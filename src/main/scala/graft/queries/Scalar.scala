@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** Scalar-function operator inventory (SURVEY.md §2.8): enum codecs,
+  * sequence explode, regex extraction, date formatting, string kernels.
+  */
+object Scalar {
+
+  val entries: Map[String, Q] = Map(
+
+    // ---- F1+F2: bidirectional enum codec (letter ↔ int) ---------------
+    "f2_enum_codec" -> Q(
+      """WITH coded AS (
+        |  SELECT CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+        |              WHEN 'view' THEN 3 WHEN 'purchase' THEN 4 ELSE 5 END AS code
+        |  FROM events)
+        |SELECT code,
+        |       CASE code WHEN 1 THEN 'S' WHEN 2 THEN 'C' WHEN 3 THEN 'V'
+        |            WHEN 4 THEN 'P' ELSE 'E' END AS letter,
+        |       count(*) AS n
+        |FROM coded GROUP BY code""".stripMargin) { (s, dir) =>
+      val code = when(col("event_type") === "signup", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "view", 3)
+        .when(col("event_type") === "purchase", 4)
+        .otherwise(5)
+      val letter = when(col("code") === 1, "S").when(col("code") === 2, "C")
+        .when(col("code") === 3, "V").when(col("code") === 4, "P").otherwise("E")
+      t(s, dir, "events")
+        .select(code.as("code"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("letter", letter)
+        .select("code", "letter", "n")
+    },
+
+    // ---- F13: year-range parse → sequence explode ---------------------
+    "f13_explode_sequence" -> Q(
+      """WITH span AS (SELECT o_custkey, year(min(o_orderdate)) AS lo, year(max(o_orderdate)) AS hi
+        |              FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, cast(u.yr AS int) AS yr
+        |FROM span, unnest(generate_series(lo, hi)) AS u(yr)""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(year(min(col("o_orderdate"))).as("lo"), year(max(col("o_orderdate"))).as("hi"))
+        .select(col("o_custkey"),
+          explode(sequence(col("lo"), col("hi"))).as("yr"))
+    },
+
+    // ---- F14: regex extraction ----------------------------------------
+    "f14_regex_extract" -> Q(
+      """SELECT cast(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS int) AS brand_num,
+        |       count(*) AS n
+        |FROM part GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"))
+        .groupBy("brand_num")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- F15: date/time formatting + parts ----------------------------
+    "f15_date_format" -> Q(
+      """SELECT strftime(ts, '%m/%d/%Y') AS mdy, year(ts) AS y, month(ts) AS m,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "MM/dd/yyyy").as("mdy"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- F16: string kernel (split/contains/upper/trim) ---------------
+    "f16_string_funcs" -> Q(
+      """SELECT split_part(text, ' ', 1) AS first_word,
+        |       cast(contains(text, 'spark') AS int) AS has_spark,
+        |       upper(lang) AS lang_u, count(*) AS n
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(element_at(split(col("text"), " "), 1).as("first_word"),
+          col("text").contains("spark").cast("int").as("has_spark"),
+          upper(col("lang")).as("lang_u"))
+        .agg(count(lit(1)).as("n"))
+    }
+  )
+}
