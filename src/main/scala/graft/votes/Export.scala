@@ -1,0 +1,101 @@
+package graft.votes
+
+import graft.ops.Completeness
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The dump.py pipeline (reference: dump.py:10-101) as one Spark job:
+  * completeness-gate sessions, order rolls with the conditional per-day
+  * sort key, build the per-(year, chamber) roster, and emit the full
+  * (roll × roster) long matrix ready for [[VoteMatrix.toCsvBytes]].
+  *
+  * Scale: every join is either broadcast (dims: sessions/days/service/
+  * members are ≤ thousands of rows per the data model) or keyed on roll/
+  * member ids; the only per-group bounded materialization is the export
+  * matrix itself, which is the output's own size.
+  */
+object Export {
+
+  /** Produce the long export DataFrame for all complete (year, chamber)
+    * groups. Input schemas follow [[Schemas]].
+    */
+  def exportLong(sessions: DataFrame, sessionDays: DataFrame, rollCalls: DataFrame,
+                 votes: DataFrame, members: DataFrame, service: DataFrame): DataFrame = {
+
+    // -- day-level completeness: drop a (year, chamber) if ANY of its days
+    //    is uncrawled (dump.py:26-31); sessions with no days drop naturally.
+    val days = sessionDays.as("d")
+      .join(sessions.as("s"), col("d.session_id") === col("s.id"))
+      .select(col("d.id").as("day_id"), col("d.date").as("day_date"),
+        col("s.year"), col("s.chamber"), col("d.last_crawl").as("day_crawl"))
+    val completeDays = Completeness.gate(days, Seq("year", "chamber"),
+      col("day_crawl").isNotNull)
+
+    // -- rolls joined to their day; W2 conditional sort key (dump.py:48-60):
+    //    within a day, if any roll lacks a stamp, order all by id and
+    //    substitute the day date for missing stamps; else order by stamp.
+    val rolls = rollCalls.as("r")
+      .join(completeDays.as("cd"), col("r.day_id") === col("cd.day_id"))
+      .select(col("r.id").as("roll_id"), col("r.name").as("roll_name"),
+        col("r.number").as("roll_number"), col("r.stamp"),
+        col("cd.day_id"), col("cd.day_date"), col("cd.year"), col("cd.chamber"))
+    val wDay = Window.partitionBy("day_id")
+    val ordered = rolls
+      .withColumn("_any_missing", max(col("stamp").isNull.cast("int")).over(wDay) === 1)
+      .withColumn("stamp_raw",
+        when(col("stamp").isNull, col("day_date").cast("string"))
+          .otherwise(date_format(col("stamp"), "yyyy-MM-dd HH:mm:ss")))
+      .withColumn("_k2",
+        when(col("_any_missing"), col("roll_id"))
+          .otherwise(unix_micros(col("stamp"))))
+    val wGroup = Window.partitionBy("year", "chamber")
+      .orderBy("day_date", "_k2", "roll_id")
+    val orderedRolls = ordered
+      .withColumn("row_idx", (row_number().over(wGroup) - 1).cast("int"))
+      .select("roll_id", "roll_name", "roll_number", "stamp_raw",
+        "year", "chamber", "row_idx")
+
+    // -- roster: service for the (year, chamber) ordered by district
+    //    (dump.py:72-78); member_id breaks district ties deterministically
+    //    (SQLite's tie order is rowid insertion order, which tracks id).
+    val display = concat_ws(" ",
+      col("m.first"), col("m.middle"), col("m.last"), col("m.suffix"))
+    val wRoster = Window.partitionBy("year", "chamber")
+      .orderBy(col("district").asc_nulls_last, col("member_id"))
+    val roster = service.as("sv")
+      .join(members.as("m"), col("sv.member_id") === col("m.id"))
+      .select(col("sv.year"), col("sv.chamber"), col("sv.member_id"),
+        col("sv.district"), col("sv.party"), display.as("member_name"))
+      .withColumn("member_idx", (row_number().over(wRoster) - 1).cast("int"))
+
+    // -- full matrix: every (roll × roster member) cell, vote letter or blank
+    val cells = orderedRolls.as("or")
+      .join(roster.as("ro"), Seq("year", "chamber"))
+    val votesClean = votes.filter(col("member_id").isNotNull)
+      .select(col("roll_id").as("v_roll_id"), col("member_id").as("v_member_id"),
+        col("vote"))
+    cells
+      .join(votesClean,
+        col("roll_id") === col("v_roll_id") && col("member_id") === col("v_member_id"),
+        "left")
+      .select(col("year"), col("chamber"), col("row_idx"), col("roll_name"),
+        col("roll_number"), col("stamp_raw"), col("member_idx"),
+        col("member_name"),
+        col("district").cast("string").as("district"), col("party"),
+        VoteCode.toLetterCol(col("vote")).as("letter"))
+  }
+
+  /** Write every complete (year, chamber) group under `root` in the
+    * vote_data layout (dump.py:40-66).
+    */
+  def writeAll(spark: SparkSession, long: DataFrame, root: String): Unit = {
+    val groups = long.select("year", "chamber").distinct()
+      .orderBy("year", "chamber").collect()
+    for (g <- groups) {
+      val (y, c) = (g.getInt(0), g.getInt(1))
+      VoteMatrix.writeCsv(long.filter(col("year") === y && col("chamber") === c),
+        root, y, c)
+    }
+  }
+}

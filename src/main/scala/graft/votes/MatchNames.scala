@@ -1,0 +1,169 @@
+package graft.votes
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Entity resolution: link free-text voter names on roll calls to canonical
+  * member records (reference: match_names.py:13-47 pass 1,
+  * match_names.py:139-156 pass 2).
+  *
+  * Pass 1 is a blocked fuzzy join — equi-join on `lower(last)` within
+  * (year, chamber) with the `is_same_name` kernel as a post-join predicate
+  * and a uniqueness gate. The blocking key bounds the pairwise expansion,
+  * so the join scales linearly in roster size; the plan must never degrade
+  * to a cartesian product (SURVEY.md §4).
+  *
+  * Pass 2 is the reference's inherently iterative substring fixed point,
+  * run on the driver over the (small) per-group residue of pass 1, exactly
+  * matching the reference's scale assumptions (SURVEY.md §7 risk 3).
+  */
+object MatchNames {
+
+  /** probe parse used by get_match (match_names.py:14-18): bare token →
+    * last-only probe; otherwise HumanName(title-cased).
+    */
+  private val parseProbe = udf { (name: String) =>
+    val t = Names.pythonTitle(if (name == null) "" else name)
+    val nm = if (!t.contains(' ')) Name(last = t) else Name.parse(t)
+    (nm.first, nm.middle, nm.last, nm.suffix)
+  }
+
+  final case class Result(matches: DataFrame, missingNames: DataFrame,
+                          unmatchedMembers: DataFrame)
+
+  /** @param voterNames distinct voter names: (year, chamber, name)
+    * @param roster     members serving: (year, chamber, member_id, first,
+    *                   middle, last, suffix) — nulls allowed in name parts
+    * @return matches (year, chamber, name, member_id, method), plus the
+    *         unmatched residue on both sides
+    */
+  def run(spark: SparkSession, voterNames: DataFrame, roster: DataFrame): Result = {
+    val probes = voterNames
+      .withColumn("_p", parseProbe(col("name")))
+      .withColumn("_block", lower(col("_p._3")))
+
+    val wBlock = Window.partitionBy("year", "chamber", "_block")
+    val rosterB = roster
+      .withColumn("_block", lower(coalesce(col("last"), lit(""))))
+      .withColumn("_n_last", count(lit(1)).over(wBlock))
+
+    // normalized probe first: "J." → "J" (match_names.py:36-37), applied
+    // only on the multi-candidate branch of get_match
+    val normFirst = when(length(col("_p._1")) === 2 &&
+      substring(col("_p._1"), 2, 1) === ".", substring(col("_p._1"), 1, 1))
+      .otherwise(col("_p._1"))
+
+    val joined = probes.join(rosterB, Seq("year", "chamber", "_block"))
+      .withColumn("_norm_first", normFirst)
+      .withColumn("_hit_single", NameUdfs.isSameName(
+        col("_p._1"), col("_p._2"), col("_p._3"), col("_p._4"),
+        col("first"), col("middle"), col("last"), col("suffix"),
+        lit(false)).isNotNull)
+      .withColumn("_hit_multi", col("_p._1") =!= "" && NameUdfs.isSameName(
+        col("_norm_first"), col("_p._2"), col("_p._3"), col("_p._4"),
+        col("first"), col("middle"), col("last"), col("suffix"),
+        lit(false)).isNotNull)
+      .withColumn("_hit",
+        when(col("_n_last") === 1, col("_hit_single")).otherwise(col("_hit_multi")))
+
+    val fuzzyMatches = joined
+      .groupBy("year", "chamber", "name")
+      .agg(min(when(col("_hit"), col("member_id"))).as("member_id"),
+        count(when(col("_hit"), 1)).as("_n_hits"))
+      .filter(col("_n_hits") === 1)
+      .select(col("year"), col("chamber"), col("name"), col("member_id"),
+        lit("fuzzy").as("method"))
+
+    // ---- residue after pass 1
+    val missing1 = voterNames.join(fuzzyMatches, Seq("year", "chamber", "name"), "left_anti")
+    val unmatched1 = roster.join(
+      fuzzyMatches.select(col("year"), col("chamber"), col("member_id")),
+      Seq("year", "chamber", "member_id"), "left_anti")
+
+    // ---- pass 2: substring fixed point on the driver (match_names.py:139-156)
+    val missingRows = missing1.select("year", "chamber", "name").collect()
+    val unmatchedRows = unmatched1
+      .select(col("year"), col("chamber"), col("member_id"),
+        upper(coalesce(col("last"), lit(""))).as("last_u"))
+      .collect()
+
+    val extra = Vector.newBuilder[Row]
+    val resolvedNames = collection.mutable.Set[(Int, Int, String)]()
+    val resolvedIds = collection.mutable.Set[(Int, Int, Long)]()
+    val groups = (missingRows.map(r => (r.getInt(0), r.getInt(1))) ++
+      unmatchedRows.map(r => (r.getInt(0), r.getInt(1)))).distinct
+    for ((y, c) <- groups) {
+      val missingNames = collection.mutable.LinkedHashSet[String](
+        missingRows.collect { case r if r.getInt(0) == y && r.getInt(1) == c => r.getString(2) }.toIndexedSeq: _*)
+      val unmatchedByLast = collection.mutable.LinkedHashMap[String, List[Long]]()
+      for (r <- unmatchedRows if r.getInt(0) == y && r.getInt(1) == c)
+        unmatchedByLast(r.getString(3)) = unmatchedByLast.getOrElse(r.getString(3), Nil) :+ r.getLong(2)
+
+      var changed = true
+      while (changed) {
+        changed = false
+        for (name <- missingNames.toList) {
+          val hits = unmatchedByLast.toList.collect {
+            case (lastU, ids) if lastU.contains(name) => (lastU, ids)
+          }
+          val ids = hits.flatMap(_._2)
+          if (ids.length == 1) {
+            extra += Row(y, c, name, ids.head, "substring")
+            missingNames -= name
+            // reference removes the WHOLE last-name bucket (match_names.py:155)
+            unmatchedByLast -= hits.head._1
+            resolvedNames += ((y, c, name))
+            resolvedIds += ((y, c, ids.head))
+            changed = true
+          }
+        }
+      }
+    }
+
+    val extraSchema = StructType(Seq(
+      StructField("year", IntegerType), StructField("chamber", IntegerType),
+      StructField("name", StringType), StructField("member_id", LongType),
+      StructField("method", StringType)))
+    val extraDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(extra.result().toSeq), extraSchema)
+
+    val matches = fuzzyMatches.unionByName(extraDf)
+    Result(
+      matches,
+      missing1.join(matches, Seq("year", "chamber", "name"), "left_anti"),
+      unmatched1.join(matches.select("year", "chamber", "member_id"),
+        Seq("year", "chamber", "member_id"), "left_anti"))
+  }
+
+  /** Per-group resolution stats with the reference's integer-floor percent
+    * display (match_names.py:158-166, F17).
+    */
+  def stats(r: Result): DataFrame = {
+    val m = r.matches.groupBy("year", "chamber").agg(count(lit(1)).as("n_matched"))
+    val miss = r.missingNames.groupBy("year", "chamber").agg(count(lit(1)).as("n_missing"))
+    val um = r.unmatchedMembers.groupBy("year", "chamber").agg(count(lit(1)).as("n_unmatched"))
+    m.join(miss, Seq("year", "chamber"), "full")
+      .join(um, Seq("year", "chamber"), "full")
+      .na.fill(0)
+      .withColumn("pct_matched",
+        floor(lit(100) * col("n_matched") / (col("n_matched") + col("n_missing"))))
+  }
+
+  /** Write-back (S9, match_names.py:168-188): fill votes.member_id from the
+    * matches, but only for (year, chamber) groups that resolved completely
+    * (zero missing names AND zero unmatched members).
+    */
+  def applyMatches(votes: DataFrame, rollYearChamber: DataFrame, r: Result): DataFrame = {
+    val incompleteGroups = r.missingNames.select("year", "chamber")
+      .union(r.unmatchedMembers.select("year", "chamber")).distinct()
+    val gated = r.matches.join(incompleteGroups, Seq("year", "chamber"), "left_anti")
+      .select(col("year"), col("chamber"), col("name"),
+        col("member_id").as("_new_member_id"))
+    votes.join(rollYearChamber, Seq("roll_id"), "left")
+      .join(gated, Seq("year", "chamber", "name"), "left")
+      .withColumn("member_id", coalesce(col("member_id"), col("_new_member_id")))
+      .drop("_new_member_id", "year", "chamber")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.votes
+
+import java.sql.{Date, Timestamp}
+import graft.SparkSpec
+
+class DuplicatesAndEditsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- FindDuplicates --------------------------------------------------
+
+  private lazy val members = Seq(
+    (1L, Option(10L), None: Option[Long], None: Option[Long], None: Option[Long],
+      "Mike", null, "Jones", null, Option(Date.valueOf("1960-01-01"))),
+    (2L, None: Option[Long], Option(20L), None: Option[Long], None: Option[Long],
+      "Michael", "T.", "Jones", null, Option(Date.valueOf("1960-01-01"))),
+    (3L, Option(30L), None: Option[Long], None: Option[Long], None: Option[Long],
+      "Jane", null, "Jones", null, None),
+    // same dob, different chamber-years, suffix-lenient dob block
+    (4L, None: Option[Long], None: Option[Long], Option(40L), None: Option[Long],
+      "Sam", null, "Oak", "Jr.", Option(Date.valueOf("1970-05-05"))),
+    (5L, None: Option[Long], None: Option[Long], None: Option[Long], Option(50L),
+      "Sam", null, "Oak", null, Option(Date.valueOf("1970-05-05")))
+  ).toDF("id", "house_archive_id", "house_current_id", "senate_archive_id",
+    "senate_current_id", "first", "middle", "last", "suffix", "dob")
+
+  private lazy val service = Seq(
+    (1L, 2020, Chamber.HOUSE, 5, "Democrat"),
+    (2L, 2020, Chamber.HOUSE, 5, "Democrat"),
+    (3L, 2020, Chamber.HOUSE, 9, "Republican"),
+    (4L, 2019, Chamber.SENATE, 3, "Democrat"),
+    (5L, 2021, Chamber.SENATE, 3, "Democrat")
+  ).toDF("member_id", "year", "chamber", "district", "party")
+
+  test("candidate pairs come from both blocks, name-gated") {
+    val pairs = FindDuplicates.candidatePairs(members, service)
+      .select("id1", "id2", "kind").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(pairs.contains((1L, 2L, "service"))) // Mike/Michael Jones, same block
+    assert(pairs.contains((4L, 5L, "dob")))     // same dob, suffix-lenient
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // Jane ≠ Mike/Michael
+  }
+
+  test("merge keeps survivor with merged name, inherited ids, deduped service") {
+    val pairs = FindDuplicates.candidatePairs(members, service)
+    val merges = FindDuplicates.mergeGroups(pairs)
+    val applied = FindDuplicates.applyMerges(members, service, merges)
+
+    val ids = applied.members.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L))
+
+    val m1 = applied.members.filter($"id" === 1L).collect().head
+    assert(m1.getAs[String]("first") == "Michael") // nickname resolves to canonical
+    assert(m1.getAs[Long]("house_archive_id") == 10L)
+    assert(m1.getAs[Long]("house_current_id") == 20L) // inherited from absorbed
+
+    val svc1 = applied.service.filter($"member_id" === 1L).collect()
+    assert(svc1.length == 1) // identical (2020, HOUSE, 5, Democrat) rows deduped
+    val svc4 = applied.service.filter($"member_id" === 4L).count()
+    assert(svc4 == 2) // different years survive
+  }
+
+  // ---- ApplyEdits ------------------------------------------------------
+
+  test("parseYaml reads the reference edits.yaml") {
+    val e = ApplyEdits.parseYaml("/root/reference/edits.yaml")
+    assert(e.yearEdits.nonEmpty)
+    assert(e.yearEdits.exists(y => y.last == "Sabatina" && y.year == 2022 &&
+      y.chamber == Chamber.SENATE))
+    assert(e.yearEdits.exists(y => y.first.contains("Daniel") && y.last == "McNeill"))
+    assert(e.voteRenames.nonEmpty)
+  }
+
+  test("year edit removes unique match and adds from neighbor year") {
+    val svc = Seq(
+      (1L, 2020, Chamber.HOUSE, 5, "Democrat"),
+      (1L, 2021, Chamber.HOUSE, 5, "Democrat"),
+      (2L, 2020, Chamber.HOUSE, 9, "Republican")
+    ).toDF("member_id", "year", "chamber", "district", "party")
+    val mem = Seq((1L, "Ann", "Alpha"), (2L, "Bob", "Beta"))
+      .toDF("id", "first", "last")
+      .withColumnRenamed("first", "first").withColumnRenamed("last", "last")
+
+    // remove Alpha 2021; add Beta 2021 (copied from 2020)
+    val edits = Seq(
+      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Alpha"),
+      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Beta"))
+    val out = ApplyEdits.applyYearEdits(svc, mem, edits)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).toSet
+    assert(!out.contains((1L, 2021, 5)))
+    assert(out.contains((2L, 2021, 9)))
+  }
+
+  test("vote renames: simple everywhere, ranged only inside the stamp window") {
+    val votes = Seq(
+      (1L, 100L, "OLD", VoteCode.YEA, None: Option[Long]),
+      (1L, 101L, "OLD", VoteCode.NAY, None: Option[Long]),
+      (1L, 100L, "KELLER", VoteCode.YEA, None: Option[Long]),
+      (1L, 101L, "KELLER", VoteCode.NAY, None: Option[Long])
+    ).toDF("session_id", "roll_id", "name", "vote", "member_id")
+    val rolls = Seq(
+      (100L, Timestamp.valueOf("2019-03-01 12:00:00")),
+      (101L, Timestamp.valueOf("2019-09-01 12:00:00"))
+    ).toDF("roll_id", "stamp")
+
+    val renames = Seq(
+      ApplyEdits.VoteRename("OLD", "NEW", None, None),
+      ApplyEdits.VoteRename("KELLER", "KELLER M.",
+        Some("2019-01-01"), Some("2019-06-01")))
+    val out = ApplyEdits.applyVoteRenames(votes, rolls, renames)
+      .select("roll_id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((100L, "NEW"), (101L, "NEW"),
+      (100L, "KELLER M."), (101L, "KELLER")))
+  }
+
+  test("member renames update only matching rows/fields") {
+    val mem = Seq((1L, "Ann", "Alpha"), (2L, "Bob", "Beta")).toDF("id", "first", "last")
+    val out = ApplyEdits.applyMemberRenames(mem,
+      Seq(ApplyEdits.MemberRename(Map("id" -> 1L), Map("last" -> "Gamma"))))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out == Set((1L, "Gamma"), (2L, "Beta")))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.votes
+
+import java.sql.{Date, Timestamp}
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** End-to-end dump-pipeline test on synthetic 7-table data exercising the
+  * W2 conditional sort key, completeness gating, roster ordering, and the
+  * letter codec (reference: dump.py).
+  */
+class ExportSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val sessions = Seq(
+    (1L, Chamber.HOUSE, 2023, 0, "2023 House", ts("2023-12-31 00:00:00")),
+    (2L, Chamber.SENATE, 2023, 0, "2023 Senate", ts("2023-12-31 00:00:00"))
+  ).toDF("id", "chamber", "year", "session_index", "name", "last_crawl")
+
+  // day 20 is uncrawled → Senate 2023 must be withheld entirely (P6)
+  private lazy val sessionDays = Seq(
+    (10L, 1L, d("2023-01-03"), Option(ts("2023-12-01 00:00:00"))),
+    (11L, 1L, d("2023-01-04"), Option(ts("2023-12-01 00:00:00"))),
+    (20L, 2L, d("2023-01-03"), None)
+  ).toDF("id", "session_id", "date", "last_crawl")
+
+  // day 10: all stamps present → order by stamp (note id order ≠ stamp order)
+  // day 11: one stamp missing → order by id, missing stamp becomes day date
+  private lazy val rollCalls = Seq(
+    (100L, 10L, 2023, 0, Chamber.HOUSE, 1, "ROLL A", Option(ts("2023-01-03 14:00:00"))),
+    (101L, 10L, 2023, 0, Chamber.HOUSE, 2, "ROLL B", Option(ts("2023-01-03 12:00:00"))),
+    (102L, 11L, 2023, 0, Chamber.HOUSE, 3, "ROLL C", Option(ts("2023-01-04 09:00:00"))),
+    (103L, 11L, 2023, 0, Chamber.HOUSE, 4, "ROLL D", None),
+    (200L, 20L, 2023, 0, Chamber.SENATE, 1, "SENATE ROLL", Option(ts("2023-01-03 10:00:00")))
+  ).toDF("id", "day_id", "session_year", "session_index", "chamber", "number", "name", "stamp")
+
+  private lazy val members = Seq(
+    (1L, "Ann", null, "Alpha", null),
+    (2L, "Bob", "Q.", "Beta", null),
+    (3L, "Cid", null, "Gamma", "Jr.")
+  ).toDF("id", "first", "middle", "last", "suffix")
+
+  // district order 2,1,7 → roster must come out Beta(1), Alpha(2), Gamma(7)
+  private lazy val service = Seq(
+    (1L, 2023, Chamber.HOUSE, 2, "Democrat"),
+    (2L, 2023, Chamber.HOUSE, 1, "Republican"),
+    (3L, 2023, Chamber.HOUSE, 7, "Democrat"),
+    (1L, 2023, Chamber.SENATE, 1, "Democrat")
+  ).toDF("member_id", "year", "chamber", "district", "party")
+
+  private lazy val votes = Seq(
+    (1L, 100L, "ALPHA", VoteCode.YEA, Option(1L)),
+    (1L, 100L, "BETA", VoteCode.NAY, Option(2L)),
+    (1L, 101L, "GAMMA", VoteCode.LEAVE, Option(3L)),
+    (1L, 103L, "ALPHA", VoteCode.NO_VOTE, Option(1L)),
+    (1L, 103L, "NOBODY", VoteCode.YEA, None) // unresolved → ignored
+  ).toDF("session_id", "roll_id", "name", "vote", "member_id")
+
+  private lazy val long = Export.exportLong(
+    sessions, sessionDays, rollCalls, votes, members, service)
+
+  test("incomplete (year, chamber) groups are withheld") {
+    assert(long.filter($"chamber" === Chamber.SENATE).count() == 0)
+  }
+
+  test("W2 ordering: stamp order when complete, id order + date fill when not") {
+    val rows = long.select("row_idx", "roll_name", "stamp_raw")
+      .distinct().orderBy("row_idx").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("ROLL B", "ROLL A", "ROLL C", "ROLL D"))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("2023-01-03 12:00:00", "2023-01-03 14:00:00",
+        "2023-01-04 09:00:00", "2023-01-04"))
+  }
+
+  test("roster ordered by district with display names") {
+    val roster = long.select("member_idx", "member_name", "district", "party")
+      .distinct().orderBy("member_idx").collect()
+    assert(roster.map(_.getString(1)).toSeq ==
+      Seq("Bob Q. Beta", "Ann Alpha", "Cid Gamma Jr."))
+    assert(roster.map(_.getString(2)).toSeq == Seq("1", "2", "7"))
+  }
+
+  test("cells carry letters; missing votes blank; full matrix emitted") {
+    assert(long.count() == 4 * 3) // 4 rolls × 3 roster members
+    val cells = long.filter($"roll_name" === "ROLL A")
+      .select("member_name", "letter").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cells == Map("Ann Alpha" -> "Y", "Bob Q. Beta" -> "N", "Cid Gamma Jr." -> null))
+  }
+
+  test("export bytes include conditional District/Party rows") {
+    val csv = new String(VoteMatrix.toCsvBytes(long))
+    val lines = csv.split("\r\n")
+    assert(lines(0) == "Name,Number,Date,Bob Q. Beta,Ann Alpha,Cid Gamma Jr.")
+    assert(lines(1) == "District,,,1,2,7")
+    assert(lines(2) == "Party,,,Republican,Democrat,Democrat")
+    assert(lines(3) == "ROLL B,2,2023-01-03 12:00:00,,,E")
+    // ROLL D's X vote is by Ann Alpha = second roster column
+    assert(lines(6) == "ROLL D,4,2023-01-04,,X,")
+  }
+}

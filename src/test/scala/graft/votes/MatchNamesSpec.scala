@@ -1,0 +1,84 @@
+package graft.votes
+
+import graft.SparkSpec
+
+/** ER pipeline tests: blocked fuzzy pass + substring fixed point
+  * (reference: match_names.py).
+  */
+class MatchNamesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val roster = Seq(
+    (2023, Chamber.HOUSE, 1L, "Patrick", "J.", "Harkins", null),
+    (2023, Chamber.HOUSE, 2L, "Robert", "E.", "Merski", null),
+    (2023, Chamber.HOUSE, 3L, "Ryan", "A.", "Bizzarro", null),
+    (2023, Chamber.HOUSE, 4L, "Michael", null, "Smith", null),
+    (2023, Chamber.HOUSE, 5L, "Jane", null, "Smith", null),
+    (2023, Chamber.HOUSE, 6L, "Amen", null, "Brown", null),
+    (2023, Chamber.HOUSE, 7L, "Marla", null, "Brown", null),
+    (2023, Chamber.HOUSE, 8L, "Carrie", "A. Lewis", "DelRosso", null)
+  ).toDF("year", "chamber", "member_id", "first", "middle", "last", "suffix")
+
+  private def namesDf(names: String*) =
+    names.map(n => (2023, Chamber.HOUSE, n))
+      .toDF("year", "chamber", "name")
+
+  test("bare last name matches when unique in block") {
+    val r = MatchNames.run(spark, namesDf("HARKINS", "MERSKI"), roster)
+    val m = r.matches.collect().map(x => x.getString(2) -> x.getLong(3)).toMap
+    assert(m == Map("HARKINS" -> 1L, "MERSKI" -> 2L))
+    assert(r.missingNames.count() == 0)
+  }
+
+  test("bare ambiguous last name does not match") {
+    val r = MatchNames.run(spark, namesDf("SMITH"), roster)
+    assert(r.matches.filter($"method" === "fuzzy").count() == 0)
+  }
+
+  test("first-name qualified ambiguous last matches; nickname resolves") {
+    val r = MatchNames.run(spark, namesDf("MIKE SMITH", "JANE SMITH", "A. BROWN"), roster)
+    val m = r.matches.collect().map(x => x.getString(2) -> x.getLong(3)).toMap
+    assert(m("MIKE SMITH") == 4L)
+    assert(m("JANE SMITH") == 5L)
+    assert(m("A. BROWN") == 6L)
+  }
+
+  test("substring pass resolves what fuzzy cannot, with uniqueness gate") {
+    // "BIZZ" is not parseable to a last name match but is a substring of
+    // exactly one unmatched member's last
+    val r = MatchNames.run(spark, namesDf("HARKINS", "BIZZ"), roster)
+    val m = r.matches.collect().map(x => (x.getString(2), x.getLong(3), x.getString(4)))
+    assert(m.contains(("BIZZ", 3L, "substring")))
+  }
+
+  test("applyMatches fills member ids only for fully-resolved groups") {
+    val votes = Seq(
+      (1L, 100L, "HARKINS", VoteCode.YEA, None: Option[Long]),
+      (1L, 100L, "MERSKI", VoteCode.NAY, None: Option[Long])
+    ).toDF("session_id", "roll_id", "name", "vote", "member_id")
+    val rollYc = Seq((100L, 2023, Chamber.HOUSE)).toDF("roll_id", "year", "chamber")
+
+    // full roster unmatched → group NOT fully resolved → no fill
+    val r1 = MatchNames.run(spark, namesDf("HARKINS", "MERSKI"), roster)
+    val v1 = MatchNames.applyMatches(votes, rollYc, r1)
+    assert(v1.filter($"member_id".isNotNull).count() == 0)
+
+    // restrict roster to the two matched members → fully resolved → fill
+    val smallRoster = roster.filter($"member_id" <= 2L)
+    val r2 = MatchNames.run(spark, namesDf("HARKINS", "MERSKI"), smallRoster)
+    val v2 = MatchNames.applyMatches(votes, rollYc, r2)
+    assert(v2.filter($"member_id".isNotNull).count() == 2)
+  }
+
+  test("ER join plan stays blocked (no cartesian product)") {
+    val probes = namesDf("HARKINS", "MERSKI", "MIKE SMITH")
+    val plan = {
+      // reproduce pass-1 join shape and inspect the physical plan
+      val r = MatchNames.run(spark, probes, roster)
+      r.matches.queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("CartesianProduct"),
+      s"ER join degraded to cartesian product:\n$plan")
+  }
+}
