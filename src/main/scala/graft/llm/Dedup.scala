@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale design notes (100 TB):
+  * - Exact dedup is a hash-groupBy: one shuffle on a 64-bit content hash,
+  *   never on the text itself.
+  * - All-pairs Jaccard is quadratic and exists only as the verifier /
+  *   small-scale oracle; the scale path is MinHash-LSH, where cost is
+  *   bounded by (docs × bands) and bucket collision counts.
+  * - Hash families are explicit (xxhash64 + affine rehash mod a Mersenne
+  *   prime), so results are deterministic across runs, partitionings and
+  *   engines — no RNG state.
+  */
+object Dedup {
+
+  /** Exact duplicates by full text content. Returns one row per duplicate
+    * group: the surviving (minimum) id, the group size, and member ids.
+    * The groupBy key is xxhash64(text) so the shuffle carries 8 bytes per
+    * doc; a final within-group equality check guards against hash
+    * collisions (at 100 TB, 64-bit collisions are plausible).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(xxhash64(col(textCol)).as("_h"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .drop("_h", textCol)
+
+  /** (doc_id, shingle) pairs: distinct word n-grams per document,
+    * expressed with native array functions (no UDF in the scan path).
+    */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    docs.select(col(idCol),
+        explode(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard over an equi-join on shared shingles.
+    * Exact but quadratic in bucket size — the verifier for LSH and the
+    * small-scale oracle path. Jaccard is computed from integer counts, so
+    * it is bit-deterministic.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol)
+    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("_n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .agg(count(lit(1)).as("_common"))
+    common
+      .join(counts.select(col(idCol).as("id1"), col("_n").as("_n1")), "id1")
+      .join(counts.select(col(idCol).as("id2"), col("_n").as("_n2")), "id2")
+      .withColumn("jaccard",
+        col("_common") / (col("_n1") + col("_n2") - col("_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Deterministic rehash family: the i-th hash of a base 64-bit hash is
+    * xxhash64(base, i) — index-derived, no RNG, and no overflow under ANSI
+    * arithmetic (an affine `a*h + b` family would overflow long multiply).
+    */
+  private def rehash(h: Column, i: Int): Column = xxhash64(h, lit(i))
+
+  /** Per-document MinHash signature: `numHashes` minima over the shingle
+    * set's rehashed values, computed in ONE aggregation (map-side partial
+    * combine does most of the work before the shuffle).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol)
+      .withColumn("_h", xxhash64(col("shingle")))
+    val mins = (0 until numHashes).map(i => min(rehash(col("_h"), i)).as(s"_m$i"))
+    sh.groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("signature"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature, hash each band,
+    * self-join on (band index, band hash), then verify candidates with
+    * true Jaccard. `bands × rows = numHashes`; the S-curve threshold is
+    * ≈ (1/bands)^(1/rows).
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+                      threshold: Double, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, n, numHashes, idCol, textCol)
+    val banded = sig.select(col(idCol),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("signature"), b * rows + 1, rows), lit(b)))): _*)))
+      .toDF(idCol, "band_idx", "band_hash")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    // verify: true Jaccard on the candidate set only
+    jaccardPairs(docs, n, threshold, idCol, textCol)
+      .join(cands, Seq("id1", "id2"), "left_semi")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unit weights): per-bit
+    * majority vote of token hashes, assembled with native bit ops.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    // per-bit vote: +1 if bit set else -1; sign of the sum is the output bit
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_v$i")
+    }
+    val assembled = (0 until 64).map { i =>
+      when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, using the
+    * pigeonhole block trick: split the 64-bit fingerprint into
+    * `maxDist + 1` chunks — any pair within distance d shares at least one
+    * exact chunk — and equi-join on (chunk index, chunk value).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val sh = simhash(docs, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("simhash"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
+      .toDF(idCol, "simhash", "chunk_idx", "chunk_val")
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by partition-batched decode /
+  * feature-extract stages.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libs): `decodeStub` produces deterministic fake features derived from
+  * the bytes. Everything around it — the schema, the binary column, the
+  * batched `mapPartitions` stage shape, the size-aware repartitioning —
+  * is the real Spark-side design: at 100 TB the decode stage is the
+  * expensive part, so records are batched per partition (amortizing
+  * per-batch model/codec setup, the Scala analog of `mapInPandas`) and
+  * partitions are sized by media bytes, not row count.
+  */
+object Multimodal {
+
+  /** media record: id + opaque payload + typed metadata */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("source", StringType))))))
+
+  /** Build a media table from the documents table: payload = utf-8 bytes
+    * of the text (a deterministic stand-in for real image/audio bytes).
+    */
+  def mediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("application/fake").as("mime"),
+      encode(col("text"), "UTF-8").as("data"),
+      struct(length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  final case class MediaFeatures(media_id: Long, n_bytes: Long,
+                                 first_byte: Int, last_byte: Int,
+                                 byte_sum32: Long)
+
+  /** STUB decode: deterministic fake features from the payload bytes.
+    * Replace the body with a real codec (JPEG decode, resample, frame
+    * sample) — the stage shape stays identical.
+    */
+  def decodeStub(data: Array[Byte]): MediaFeatures =
+    MediaFeatures(0L, data.length,
+      if (data.nonEmpty) data(0) & 0xFF else 0,
+      if (data.nonEmpty) data(data.length - 1) & 0xFF else 0,
+      data.take(32).foldLeft(0L)((a, b) => a + (b & 0xFF)))
+
+  /** Partition-batched feature extraction: one "codec" per partition,
+    * records processed in a tight loop (the mapInPandas-equivalent batch
+    * shape). Input is repartitioned by byte size so decode work, not row
+    * count, balances across executors.
+    */
+  def extractFeatures(media: DataFrame, targetPartitions: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0)
+        media.repartitionByRange(targetPartitions, col("meta.n_bytes"), col("media_id"))
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup happens HERE (codec init, model load, …)
+        it.map { case (id, data) => decodeStub(data).copy(media_id = id) }
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the exact baseline and a
+  * deterministic random-hyperplane LSH variant as the scale path.
+  *
+  * Determinism: embeddings are quantized to integer milli-units before any
+  * arithmetic. Integer-valued doubles add exactly in IEEE754 (values stay
+  * ≪ 2^53), so dot products are bit-identical regardless of summation
+  * order, partitioning, or engine — which is what lets the DuckDB oracle
+  * hash-match. Hyperplanes come from a hash of (plane, dim), not an RNG.
+  *
+  * Scale notes: brute force is queries × corpus — fine when the query set
+  * is small enough to broadcast (the common "find neighbors of this batch"
+  * shape); for corpus × corpus near-dup at 100 TB use the LSH bucket join,
+  * whose cost is bounded by bucket occupancy, with per-bucket verification.
+  */
+object Similarity {
+
+  /** Quantize a float-array embedding to exact integer milli-units
+    * (as doubles, so downstream arithmetic is still exact).
+    */
+  def quantized(c: Column): Column = transform(c, x => round(x * 1000))
+
+  /** Exact dot product of two quantized vectors: left-fold, but exact
+    * integer arithmetic makes order irrelevant.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Cosine similarity of two quantized vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact top-k cosine neighbors of each query vector over the corpus.
+    * The query side is broadcast; ties break on corpus id so results are
+    * total-ordered.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantized(col(vecCol)).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantized(col(vecCol)).as("_cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Random-hyperplane (SRP) signature: one bit per plane = sign of the
+    * projection onto a deterministic ±1 hyperplane whose components come
+    * from xxhash64(plane, dim) parity (no RNG, no ANSI long overflow).
+    */
+  def srpSignature(vec: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p =>
+      when(aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * when(xxhash64(p, i).bitwiseAND(1) === 0, 1.0d).otherwise(-1.0d)),
+        lit(0.0d), (acc, v) => acc + v) >= 0, 1).otherwise(0))
+
+  /** LSH-bucketed approximate top-k: band the SRP signature, join on
+    * buckets, then rank by exact cosine WITHIN the candidate set. Recall
+    * rises with bands; cost is bounded by bucket occupancy instead of the
+    * full corpus.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 16, bands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0)
+    val rows = planes / bands
+    def withBuckets(df: DataFrame, side: String): DataFrame = {
+      val q = df.select(col(idCol).as(s"${side}_id"),
+        quantized(col(vecCol)).as(s"_${side}v"),
+        srpSignature(quantized(col(vecCol)), planes).as("_sig"))
+      q.select(col(s"${side}_id"), col(s"_${side}v"),
+          posexplode(array((0 until bands).map(b =>
+            xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, rows), lit(b)))): _*)))
+        .toDF(s"${side}_id", s"_${side}v", "band_idx", "band_hash")
+    }
+    val qb = broadcast(withBuckets(queries, "query"))
+    val cb = withBuckets(corpus, "neighbor")
+    val cands = qb.join(cb, Seq("band_idx", "band_hash"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("_queryv"), col("_neighborv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Recall of an approximate result against the exact top-k. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    val total = exact.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, and document fingerprinting. Everything in the
+  * scan path uses native/higher-order expressions (codegen-friendly); the
+  * winnowing fingerprint is the one scalar UDF, applied per-document.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def words(textCol: Column): Column = split(textCol, " ")
+
+  /** Stopword-marker profiles per language. Tiny on purpose: language ID
+    * here is the classic top-stopword n-gram heuristic, and the marker
+    * lists are the model. Extend per corpus.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "des"),
+    "es" -> Seq("el", "los", "las", "es", "no", "por", "para", "una", "con", "del"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "ta", "men", "zai", "you", "he"))
+
+  /** Count of tokens that appear in a marker list (native higher-order
+    * filter — no UDF, no join).
+    */
+  def markerHits(ws: Column, lang: String): Column =
+    size(filter(ws, w => markers(lang).map(m => w === m).reduce(_ || _)))
+
+  /** Language-ID: argmax of marker-hit counts, 'und' when nothing hits.
+    * Deterministic tie-break: lexicographic language order.
+    */
+  def langId(textCol: Column): Column = {
+    val ws = words(lower(textCol))
+    val scored = markers.keys.toSeq.sorted.map(l => struct(markerHits(ws, l).as("hits"), lit(l).as("lang")))
+    val best = scored.reduce((a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality features per document: all exact integer/string arithmetic,
+    * so results are engine-portable.
+    */
+  def quality(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    docs.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      size(ws).as("n_words"),
+      ((length(t) - (size(ws) - 1)) / size(ws)).as("avg_word_len"),
+      size(array_distinct(ws)).as("n_distinct_words"),
+      (size(array_distinct(ws)) / size(ws).cast("double")).as("ttr"),
+      markerHits(words(lower(t)), "en").as("n_stopwords"),
+      (markerHits(words(lower(t)), "en") / size(ws).cast("double")).as("stopword_ratio"))
+  }
+
+  /** Whitespace token count plus a BPE-ish subword estimate: runs of
+    * letters, digits, or single other chars (the classic GPT-style
+    * pre-tokenizer shape, simplified to an engine-portable regex).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(words(col(textCol))).as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+        .as("bpe_ish_tokens"))
+
+  /** Winnowing document fingerprint: minimum of rolling polynomial k-gram
+    * hashes per window — robust to small edits; UDF by design (stateful
+    * rolling loop), one call per document.
+    */
+  val winnowFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, k: Int, window: Int) =>
+      if (text == null || text.length < k) 0L
+      else {
+        val B = 1000000007L
+        val hashes = new Array[Long](text.length - k + 1)
+        var h = 0L
+        var pow = 1L
+        for (i <- 0 until k) { h = h * B + text.charAt(i); if (i > 0) pow *= B }
+        hashes(0) = h
+        for (i <- k until text.length) {
+          h = (h - text.charAt(i - k) * pow) * B + text.charAt(i)
+          hashes(i - k + 1) = h
+        }
+        // winnow: min per window, xor-combined (order-free digest)
+        var acc = 0L
+        var i = 0
+        while (i + window <= hashes.length) {
+          var m = Long.MaxValue
+          var j = i
+          while (j < i + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          acc ^= m
+          i += window
+        }
+        acc
+      }
+    }
+}

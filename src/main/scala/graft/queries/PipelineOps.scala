@@ -1,0 +1,199 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+import graft.Tables.t
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (dedup, similarity search,
+  * multimodal, text analysis) and Structured Streaming, as verifiable
+  * queries. Hash-based sketches (MinHash/SimHash/SRP/fingerprint) have no
+  * DuckDB-expressible oracle → rows-only checks + dedicated specs that
+  * validate them against the exact operators.
+  */
+object PipelineOps {
+
+  private val streamSeq = new AtomicInteger(0)
+
+  private val langIdOracle: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+    val m = TextStats.markers
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |  len(list_filter(ws, x -> x IN ${inList(m("de"))})) AS s_de,
+       |  len(list_filter(ws, x -> x IN ${inList(m("en"))})) AS s_en,
+       |  len(list_filter(ws, x -> x IN ${inList(m("es"))})) AS s_es,
+       |  len(list_filter(ws, x -> x IN ${inList(m("fr"))})) AS s_fr,
+       |  len(list_filter(ws, x -> x IN ${inList(m("zh"))})) AS s_zh
+       |  FROM w),
+       |b1 AS (SELECT *, CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS b,
+       |                 CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS l FROM s),
+       |b2 AS (SELECT doc_id, s_fr, s_zh,
+       |       CASE WHEN s_es > b THEN s_es ELSE b END AS b,
+       |       CASE WHEN s_es > b THEN 'es' ELSE l END AS l FROM b1),
+       |b3 AS (SELECT doc_id, s_zh,
+       |       CASE WHEN s_fr > b THEN s_fr ELSE b END AS b,
+       |       CASE WHEN s_fr > b THEN 'fr' ELSE l END AS l FROM b2),
+       |b4 AS (SELECT doc_id,
+       |       CASE WHEN s_zh > b THEN s_zh ELSE b END AS b,
+       |       CASE WHEN s_zh > b THEN 'zh' ELSE l END AS l FROM b3)
+       |SELECT doc_id, CASE WHEN b > 0 THEN l ELSE 'und' END AS pred_lang FROM b4""".stripMargin
+  }
+
+  val entries: Map[String, Q] = Map(
+
+    // ---- D1: exact dedup (hash-groupBy); input doubled so real duplicate
+    //      groups exist to find
+    "d1_dedup_exact" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
+        |       array_to_string(list_sort(list(doc_id)), ',') AS ids
+        |FROM d GROUP BY text""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exact(doubled)
+        .select(col("keep_id"), col("n_dups"),
+          array_join(col("ids"), ",").as("ids"))
+    },
+
+    // ---- D2: n-gram Jaccard near-dup pairs (exact, the LSH verifier) ---
+    "d2_jaccard_pairs" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, round(c * 1.0 / (n1.n + n2.n - c), 6) AS jaccard
+        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // ---- D3: MinHash-LSH near-dup (scale path; validated vs D2 in specs)
+    "d3_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 64,
+        bands = 16, threshold = 0.6)
+        .select("id1", "id2")
+    },
+
+    // ---- D4: SimHash near-dup pairs ------------------------------------
+    "d4_simhash_pairs" -> Q.rowsOnly { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 7)
+    },
+
+    // ---- E1: brute-force cosine top-k (exact ANN baseline) -------------
+    "e1_ann_topk" -> Q(
+      """WITH q AS (SELECT vec_id AS qid,
+        |            list_transform(embedding, x -> round(x * 1000)::DOUBLE) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid,
+        |       list_transform(embedding, x -> round(x * 1000)::DOUBLE) AS cv
+        |      FROM embeddings),
+        |sc AS (SELECT qid, cid,
+        |        list_dot_product(qv, cv) /
+        |        sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+        |       FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid AS query_id, cid AS neighbor_id,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
+        |       cos FROM sc)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+
+    // ---- E2: LSH-bucketed ANN (scale path; recall vs E1 in specs) ------
+    "e2_ann_lsh" -> Q.rowsOnly { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        planes = 16, bands = 8)
+        .select("query_id", "neighbor_id", "rank")
+    },
+
+    // ---- X1: language ID (stopword-marker heuristic) -------------------
+    "x1_langid" -> Q(langIdOracle) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))
+    },
+
+    // ---- X2: quality scoring -------------------------------------------
+    "x2_quality" -> Q(
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |            string_split(lower(text), ' ') AS wl FROM documents)
+        |SELECT doc_id, strlen(text) AS n_chars, len(ws) AS n_words,
+        |       (strlen(text) - (len(ws) - 1)) / len(ws) AS avg_word_len,
+        |       len(list_distinct(ws)) AS n_distinct_words,
+        |       len(list_distinct(ws)) / len(ws)::DOUBLE AS ttr,
+        |       len(list_filter(wl, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) AS n_stopwords,
+        |       len(list_filter(wl, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) / len(ws)::DOUBLE AS stopword_ratio
+        |FROM w""".stripMargin) { (s, dir) =>
+      TextStats.quality(t(s, dir, "documents"))
+    },
+
+    // ---- X3: token counting (whitespace + BPE-ish regex) ---------------
+    "x3_token_counts" -> Q(
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextStats.tokenCounts(t(s, dir, "documents"))
+    },
+
+    // ---- X4: winnowing document fingerprint (rolling hash) -------------
+    "x4_fingerprint" -> Q.rowsOnly { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.winnowFingerprint(col("text"), lit(8), lit(16)).as("fingerprint"))
+    },
+
+    // ---- M1: multimodal binary pipeline (stubbed decode, real plumbing)
+    "m1_multimodal_features" -> Q(
+      """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+        |       ascii(substr(text, 1, 1)) AS first_byte,
+        |       ascii(substr(text, strlen(text), 1)) AS last_byte,
+        |       list_sum(list_transform(generate_series(1, least(strlen(text), 32)),
+        |                i -> ascii(substr(text, i, 1))))::BIGINT AS byte_sum32
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocs(t(s, dir, "documents")), targetPartitions = 8)
+        .toDF()
+    },
+
+    // ---- T2 (streaming): tumbling-window counts with watermark ---------
+    "t2_stream_window" -> Q(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*) AS n,
+        |       sum(cast(round(value * 100) AS bigint)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val streaming = EventStream.hourlyCounts(EventStream.readEvents(s, dir))
+      EventStream.runToMemory(streaming, s"t2_stream_${streamSeq.incrementAndGet()}")
+    },
+
+    // ---- T5 (stateful streaming): gap sessionization -------------------
+    "t5_sessionize" -> Q(
+      """WITH e AS (SELECT user_id, ts,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |       CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |            THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, ts,
+        |       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |c AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session
+        |FROM c GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStream.Event]
+      EventStream.sessionize(events, gapMinutes = 30).toDF()
+    }
+  )
+}

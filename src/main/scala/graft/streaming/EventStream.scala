@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: windowed aggregation with
+  * watermarks, and stateful sessionization via flatMapGroupsWithState.
+  * The reference is batch-only with watermark-column incremental recrawl
+  * (SURVEY.md §2.9); this is the streaming-native generalization.
+  */
+object EventStream {
+
+  /** events parquet schema, with ts as raw nanos (Spark 4 rejects
+    * TIMESTAMP(NANOS) parquet unless read as long — see graft.Tables).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet with µs timestamps. The
+    * file-stream source wants a directory or glob, not a bare file path —
+    * a one-element glob (`{events.parquet}`) keeps it pointed at the
+    * single table file.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts with a watermark: the canonical streaming agg.
+    * Returns the streaming DataFrame; run it with [[runToMemory]].
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Drain a streaming DataFrame into an in-memory table and return the
+    * batch result (Trigger-once semantics for tests/verification).
+    */
+  def runToMemory(streaming: DataFrame, name: String): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    streaming.sparkSession.table(name)
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_sessions: Long,
+                                  longest_session: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: events within
+    * `gapMinutes` of each other belong to one session. Works identically
+    * in batch mode (state starts empty, one invocation per key), which is
+    * how the DuckDB oracle checks it.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[List[Long]]) =>
+          val stamps = (state.getOption.getOrElse(Nil) ++
+            it.map(_.ts.getTime)).sorted
+          if (stamps.isEmpty) Iterator.empty
+          else {
+            var nSessions = 1L
+            var longest = 1L
+            var cur = 1L
+            for (Seq(a, b) <- stamps.sliding(2) if stamps.length > 1) {
+              if (b - a > gapMs) { nSessions += 1; cur = 1 }
+              else { cur += 1; if (cur > longest) longest = cur }
+            }
+            state.update(stamps)
+            Iterator(SessionSummary(user, nSessions, longest))
+          }
+      }
+  }
+}
