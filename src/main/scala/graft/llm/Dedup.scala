@@ -53,10 +53,21 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, n, idCol, textCol)
     val counts = sh.groupBy(idCol).agg(count(lit(1)).as("_n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    // Inverted-index pair generation: group ids per shingle and expand the
+    // ordered pairs from each posting list. One aggregation instead of a
+    // shingle self-join — singleton shingles (the vast majority on web
+    // corpora) produce no pairs at zero cost, and per-task work is bounded
+    // by the largest posting list, not by join-key skew.
+    val ids = col("_ids")
+    val pairArr = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("id1"), y.as("id2")))))
+    val common = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(ids) > 1)
+      .select(explode(pairArr).as("_p"))
+      .select(col("_p.id1"), col("_p.id2"))
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("_common"))
     common
       .join(counts.select(col(idCol).as("id1"), col("_n").as("_n1")), "id1")
@@ -108,9 +119,23 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-    // verify: true Jaccard on the candidate set only
-    jaccardPairs(docs, n, threshold, idCol, textCol)
-      .join(cands, Seq("id1", "id2"), "left_semi")
+    // Verify with true Jaccard computed ONLY over the candidate set —
+    // linear in candidates × shingles-per-doc, never the all-pairs join
+    // (which would make the LSH pointless at scale).
+    val sh = shingles(docs, n, idCol, textCol)
+    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("_n"))
+    val common = cands
+      .join(sh.select(col(idCol).as("id1"), col("shingle")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("_common"))
+    common
+      .join(counts.select(col(idCol).as("id1"), col("_n").as("_n1")), "id1")
+      .join(counts.select(col(idCol).as("id2"), col("_n").as("_n2")), "id2")
+      .withColumn("jaccard",
+        col("_common") / (col("_n1") + col("_n2") - col("_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens (unit weights): per-bit

@@ -16,6 +16,21 @@ object PipelineOps {
 
   private val streamSeq = new AtomicInteger(0)
 
+  /** Fan a small scan out to the cluster's parallelism. A table that
+    * arrives as a handful of parquet splits (one, for the local test files)
+    * would otherwise serialize every downstream per-row computation —
+    * shingling, hashing, fingerprinting — into as many tasks. No-op when
+    * the source already has enough splits, so it costs nothing at scale.
+    */
+  private def fanOut(s: org.apache.spark.sql.SparkSession,
+                     df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    fanOut(s, t(s, dir, "documents"))
+
   private val langIdOracle: String = {
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
     val m = TextStats.markers
@@ -51,7 +66,7 @@ object PipelineOps {
         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
         |       array_to_string(list_sort(list(doc_id)), ',') AS ids
         |FROM d GROUP BY text""".stripMargin) { (s, dir) =>
-      val d = t(s, dir, "documents").select("doc_id", "text")
+      val d = docs(s, dir).select("doc_id", "text")
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
       Dedup.exact(doubled)
         .select(col("keep_id"), col("n_dups"),
@@ -70,20 +85,20 @@ object PipelineOps {
         |SELECT id1, id2, round(c * 1.0 / (n1.n + n2.n - c), 6) AS jaccard
         |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
         |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.6)
+      Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
     // ---- D3: MinHash-LSH near-dup (scale path; validated vs D2 in specs)
     "d3_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, numHashes = 64,
+      Dedup.minhashLshPairs(docs(s, dir), n = 3, numHashes = 64,
         bands = 16, threshold = 0.6)
         .select("id1", "id2")
     },
 
     // ---- D4: SimHash near-dup pairs ------------------------------------
     "d4_simhash_pairs" -> Q.rowsOnly { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 7)
+      Dedup.simhashPairs(docs(s, dir), maxDist = 7)
     },
 
     // ---- E1: brute-force cosine top-k (exact ANN baseline) -------------
@@ -119,7 +134,7 @@ object PipelineOps {
 
     // ---- X1: language ID (stopword-marker heuristic) -------------------
     "x1_langid" -> Q(langIdOracle) { (s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))
     },
 
@@ -134,7 +149,7 @@ object PipelineOps {
         |       len(list_filter(wl, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) AS n_stopwords,
         |       len(list_filter(wl, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) / len(ws)::DOUBLE AS stopword_ratio
         |FROM w""".stripMargin) { (s, dir) =>
-      TextStats.quality(t(s, dir, "documents"))
+      TextStats.quality(docs(s, dir))
     },
 
     // ---- X3: token counting (whitespace + BPE-ish regex) ---------------
@@ -142,12 +157,12 @@ object PipelineOps {
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
         |FROM documents""".stripMargin) { (s, dir) =>
-      TextStats.tokenCounts(t(s, dir, "documents"))
+      TextStats.tokenCounts(docs(s, dir))
     },
 
     // ---- X4: winnowing document fingerprint (rolling hash) -------------
     "x4_fingerprint" -> Q.rowsOnly { (s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           TextStats.winnowFingerprint(col("text"), lit(8), lit(16)).as("fingerprint"))
     },
@@ -161,7 +176,7 @@ object PipelineOps {
         |                i -> ascii(substr(text, i, 1))))::BIGINT AS byte_sum32
         |FROM documents""".stripMargin) { (s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocs(t(s, dir, "documents")), targetPartitions = 8)
+        Multimodal.mediaFromDocs(docs(s, dir)), targetPartitions = 8)
         .toDF()
     },
 

@@ -215,13 +215,29 @@ object Relational {
         | AND a.c_custkey < b.c_custkey
         | AND levenshtein(a.c_name, b.c_name) <= 2
         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      // Scale notes: the natural block key (nationkey) has only 25 distinct
+      // values, so the blocked pair expansion is quadratic per nation and
+      // an unsalted shuffle join caps parallelism at 25 skewed tasks. Salt
+      // the probe side by hash(key) and replicate the build side across all
+      // salts → the join key becomes (nation, salt) with 25 × SALT balanced
+      // groups at any data size. Under broadcast (small build side) the
+      // shuffle disappears, so ALSO repartition the probe side — otherwise a
+      // single parquet split serializes every comparison into one task. The
+      // 3-arg banded levenshtein (returns -1 past the threshold) is O(len·k)
+      // instead of O(len²) — the dominant per-pair cost in the ER join.
+      val SALT = 8
       val c = t(s, dir, "customer")
       val a = c.select(col("c_custkey").as("k1"), col("c_name").as("nm1"),
-        col("c_nationkey").as("nationkey"))
+          col("c_nationkey").as("nationkey"))
+        .withColumn("_sa", pmod(xxhash64(col("k1")), lit(SALT)))
+        .repartition(s.sparkContext.defaultParallelism,
+          col("nationkey"), col("_sa"))
       val b = c.select(col("c_custkey").as("k2"), col("c_name").as("nm2"),
-        col("c_nationkey").as("nk2"))
-      a.join(b, col("nationkey") === col("nk2") && col("k1") < col("k2") &&
-          levenshtein(col("nm1"), col("nm2")) <= 2)
+          col("c_nationkey").as("nk2"))
+        .withColumn("_sb", explode(array((0 until SALT).map(lit(_)): _*)))
+      a.join(b, col("nationkey") === col("nk2") && col("_sa") === col("_sb") &&
+          col("k1") < col("k2") &&
+          levenshtein(col("nm1"), col("nm2"), 2) >= 0)
         .groupBy("nationkey")
         .agg(count(lit(1)).as("n_pairs"))
     },
@@ -235,10 +251,16 @@ object Relational {
         |        ON contains(d.text, ph.phrase) AND d.doc_id <> ph.doc_id)
         |SELECT doc_id, min(other_id) AS matched_doc FROM m
         |GROUP BY doc_id HAVING count(*) = 1""".stripMargin) { (s, dir) =>
+      // A containment join has no equi key → broadcast nested loop. The
+      // probe side comes off a single parquet file (1 input split), which
+      // would serialize the whole O(n·m) scan into one task — repartition it
+      // to the cluster's parallelism so the loop fans out.
       val d = t(s, dir, "documents")
       val ph = d.select(col("doc_id"),
-        array_join(slice(split(col("text"), " "), 10, 5), " ").as("phrase"))
-      val m = ph.join(d.select(col("doc_id").as("other_id"), col("text")),
+          array_join(slice(split(col("text"), " "), 10, 5), " ").as("phrase"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val m = ph.join(
+        broadcast(d.select(col("doc_id").as("other_id"), col("text"))),
         col("text").contains(col("phrase")) && col("other_id") =!= col("doc_id"))
       m.groupBy("doc_id")
         .agg(min(col("other_id")).as("matched_doc"), count(lit(1)).as("_n"))
