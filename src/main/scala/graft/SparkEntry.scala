@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val all: Map[String, Q] =
-    Relational.entries ++ Scalar.entries ++ PipelineOps.entries
+    Relational.entries ++ Scalar.entries ++ PipelineOps.entries ++ Extras.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue per region: fact scan → broadcast dim joins → exact-cents agg.

@@ -1,0 +1,158 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables.t
+import graft.votes.NameUdfs
+import org.apache.spark.sql.functions._
+
+/** Coverage for SURVEY.md §2 operator ids whose home is the `graft.votes`
+  * domain library (name kernel, pivot export) or a sink/source shape,
+  * re-expressed over the driver's synthetic tables so the DuckDB gate can
+  * hash-check them: F1 codec, A6 ordered collect, P7 conditional emission,
+  * S9 join-update write-back, S5+S7 CSV pivot sink + wide-CSV source
+  * (write→read→melt roundtrip), and the name kernel F3/F4/F7/F10 driven
+  * through the same UDFs the ER pipeline uses.
+  */
+object Extras {
+
+  val entries: Map[String, Q] = Map(
+
+    // ---- F1: chamber letter ↔ int codec (pa_legislature.py:7-23) -------
+    "f1_chamber_codec" -> Q(
+      """SELECT p_partkey,
+        |       CASE WHEN substr(p_name, 1, 1) = 'h' THEN 1
+        |            WHEN substr(p_name, 1, 1) = 's' THEN 2 END AS chamber,
+        |       CASE WHEN substr(p_name, 1, 1) = 'h' THEN 'House'
+        |            WHEN substr(p_name, 1, 1) = 's' THEN 'Senate' END AS chamber_name
+        |FROM part
+        |WHERE substr(p_name, 1, 1) IN ('h', 's')""".stripMargin) { (s, dir) =>
+      val first = substring(col("p_name"), 1, 1)
+      t(s, dir, "part")
+        .filter(first.isin("h", "s"))
+        .select(col("p_partkey"),
+          when(first === "h", 1).when(first === "s", 2).as("chamber"),
+          when(first === "h", "House").when(first === "s", "Senate").as("chamber_name"))
+    },
+
+    // ---- A6: collect-to-ordered-list per group (dump.py:33-35) ---------
+    "a6_collect_ordered" -> Q(
+      """SELECT user_id,
+        |       array_to_string(list(event_type ORDER BY ts, event_id), ',') AS seq
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      // array_sort on (ts, event_id, event_type) structs = ORDER BY ts,
+      // event_id (event_id is unique), computed map-side per group.
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("seq"))
+    },
+
+    // ---- P7: conditional row emission gated on a group predicate -------
+    //      (District/Party header rows only when any value present,
+    //       dump.py:85-88)
+    "p7_conditional_emit" -> Q(
+      """SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang HAVING bool_or(source = 'web')""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_chars"),
+          expr("bool_or(source = 'web')").as("_any_web"))
+        .filter(col("_any_web"))
+        .drop("_any_web")
+    },
+
+    // ---- S9: batched join-update write-back (match_names.py:187-188:
+    //      UPDATE votes SET member_id=? — here: re-point a fact column
+    //      from a joined dimension) --------------------------------------
+    "s9_join_update" -> Q(
+      """SELECT o.o_orderkey,
+        |       CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'B'
+        |            ELSE o.o_orderstatus END AS o_orderstatus
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select(o("o_orderkey"),
+          when(col("c_mktsegment") === "BUILDING", "B")
+            .otherwise(o("o_orderstatus")).as("o_orderstatus"))
+    },
+
+    // ---- S5+S7: wide pivot CSV sink, then wide-CSV source + melt -------
+    //      (dump.py:80-101 writes the matrix; README.md:9-28 consumers
+    //       read it back. Roundtrip must preserve the long-form facts.)
+    "s5_s7_csv_roundtrip" -> Q(
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0)
+      val tmp = Files.createTempDirectory("graft_s5s7_").toString
+      wide.write.mode("overwrite").option("header", "true").csv(tmp)
+      val back = s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+      back.select(col("user_id"),
+          explode(map(types.flatMap(tp => Seq(lit(tp), col(tp))): _*))
+            .as(Seq("event_type", "n")))
+        .filter(col("n") > 0)
+    },
+
+    // ---- F3: advanced decapitalization (crawl.py:223-243) --------------
+    //      ALL-CAPS path hash-checked here; the McRAE mixed-case state
+    //      machine is covered against reference cases in NamesSpec.
+    "f3_decapitalize" -> Q(
+      """SELECT p_partkey,
+        |       array_to_string(list_transform(string_split(upper(p_name), ' '),
+        |         w -> upper(w[1]) || lower(w[2:])), ' ') AS decap
+        |FROM part""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          NameUdfs.advancedDecap(upper(col("p_name"))).as("decap"))
+    },
+
+    // ---- F4: name parsing — space form and "Last, First Suffix" comma
+    //      form (crawl.py:246-261) ---------------------------------------
+    "f4_parse_name" -> Q(
+      """SELECT p_partkey,
+        |       split_part(p_name, ' ', 1) AS first1,
+        |       split_part(p_name, ' ', 2) AS last1,
+        |       split_part(p_name, ' ', 1) AS first2,
+        |       split_part(p_name, ' ', 2) AS last2,
+        |       'Jr.' AS suffix2
+        |FROM part""".stripMargin) { (s, dir) =>
+      val w1 = expr("split_part(p_name, ' ', 1)")
+      val w2 = expr("split_part(p_name, ' ', 2)")
+      val spaceForm = NameUdfs.parseName(col("p_name"))
+      val commaForm = NameUdfs.parseName(concat(w2, lit(", "), w1, lit(" Jr.")))
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          spaceForm.getField("_1").as("first1"), spaceForm.getField("_3").as("last1"),
+          commaForm.getField("_1").as("first2"), commaForm.getField("_3").as("last2"),
+          commaForm.getField("_4").as("suffix2"))
+    },
+
+    // ---- F7+F10: fuzzy name equality with initial resolution
+    //      ("s." matches "small"; merged name keeps the long form,
+    //       names.py:52-67, names.py:96-149) -----------------------------
+    "f10_same_name_initial" -> Q(
+      """SELECT p_partkey,
+        |       split_part(p_name, ' ', 1) AS first,
+        |       split_part(p_name, ' ', 2) AS last
+        |FROM part""".stripMargin) { (s, dir) =>
+      val w1 = expr("split_part(p_name, ' ', 1)")
+      val w2 = expr("split_part(p_name, ' ', 2)")
+      val merged = NameUdfs.isSameName(
+        w1, lit(""), w2, lit(""),
+        concat(substring(w1, 1, 1), lit(".")), lit(""), w2, lit(""),
+        lit(true))
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          merged.getField("_1").as("first"), merged.getField("_3").as("last"))
+    }
+  )
+}
