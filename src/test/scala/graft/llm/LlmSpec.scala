@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Validates the approximate/sketch operators against their exact
+  * counterparts on the driver's sf0.001 tables — the checks the DuckDB
+  * oracle can't express (LSH and SRP are not SQL).
+  */
+class LlmSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.t(spark, dir, "documents")
+  private lazy val emb = Tables.t(spark, dir, "embeddings")
+
+  test("exact dedup finds every duplicate group on a doubled corpus") {
+    val d = docs.select("doc_id", "text")
+    val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+    val groups = Dedup.exact(doubled)
+    assert(groups.count() === d.count())        // one group per original doc
+    assert(groups.filter(col("n_dups") < 2).count() === 0)
+    // survivor is the original (minimum) id
+    assert(groups.filter(col("keep_id") >= 1000000).count() === 0)
+  }
+
+  test("MinHash-LSH pairs are a subset of exact Jaccard pairs with high recall") {
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, numHashes = 64, bands = 16,
+        threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain near-dups")
+    assert(lsh.subsetOf(exact), "verification must kill false candidates")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (${lsh.size}/${exact.size})")
+  }
+
+  test("SimHash finds all exact duplicates at hamming distance 0") {
+    val d = docs.select("doc_id", "text").limit(50)
+    val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+    val pairs = Dedup.simhashPairs(doubled, maxDist = 3)
+    val zero = pairs.filter(col("hamming") === 0 &&
+      col("id2") === col("id1") + 1000000).count()
+    assert(zero === 50)
+  }
+
+  test("SRP-LSH ANN recall against exact brute-force top-k") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.lshTopK(queries, emb, k = 5, planes = 16, bands = 8)
+    val recall = Similarity.recallAtK(approx, exact)
+    assert(recall >= 0.5, s"SRP recall $recall below 0.5")
+  }
+
+  test("ANN ranks are dense and cosine is within [-1, 1]") {
+    val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+    assert(topk.count() === 15)
+    assert(topk.filter(col("cosine") > 1.0 || col("cosine") < -1.0).count() === 0)
+    val ranks = topk.groupBy("query_id")
+      .agg(sort_array(collect_list("rank")).as("rs"))
+      .filter(array_join(col("rs"), ",") =!= "1,2,3")
+    assert(ranks.count() === 0)
+  }
+
+  test("language ID picks the right language on marker-bearing text") {
+    // The synthetic corpus's text is language-independent word soup (its
+    // lang column is a label, not a property of the text), so semantic
+    // accuracy is asserted on controlled inputs instead.
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat and the dog ran to the house in the rain"),
+      ("de", "der hund und die katze ist nicht mit der maus von zu haus"),
+      ("fr", "le chat et la souris est pour les amis dans une maison des champs"),
+      ("es", "el gato no es por las casas para una madre con los perros del sur"),
+      ("und", "qwerty zxcvb asdfgh")).toDF("expected", "text")
+    val wrong = samples
+      .withColumn("pred", TextStats.langId(col("text")))
+      .filter(col("pred") =!= col("expected"))
+    assert(wrong.count() === 0)
+  }
+
+  test("winnowing fingerprint is deterministic and edit-sensitive") {
+    val fp = docs.select(col("doc_id"),
+      TextStats.winnowFingerprint(col("text"), lit(8), lit(16)).as("fp"))
+    val fp2 = docs.select(col("doc_id"),
+      TextStats.winnowFingerprint(col("text"), lit(8), lit(16)).as("fp"))
+    assert(fp.exceptAll(fp2).count() === 0)
+    // Near-duplicate documents are SUPPOSED to collide (that is the point
+    // of winnowing) — this corpus has ~dozens of near-dup pairs. Only
+    // gross degeneracy (most docs hashing together) would be a bug.
+    val nTexts = docs.select("text").distinct().count()
+    val nFps = fp.select("fp").distinct().count()
+    assert(nFps >= nTexts * 9 / 10, s"fingerprint degenerated: $nFps of $nTexts")
+  }
+
+  test("quality metrics are exact integer/ratio arithmetic") {
+    val q = TextStats.quality(docs)
+    val bad = q.filter(col("n_words") <= 0 || col("ttr") > 1.0 ||
+      col("stopword_ratio") > 1.0 || col("n_distinct_words") > col("n_words"))
+    assert(bad.count() === 0)
+  }
+}
