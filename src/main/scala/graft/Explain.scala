@@ -2,9 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Sessions.local("4")
     spark.sparkContext.setLogLevel("WARN")
     for (name <- args)
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").explain("formatted")

@@ -3,9 +3,7 @@ import org.apache.spark.sql.SparkSession
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Sessions.local("32")
     spark.sparkContext.setLogLevel("WARN")
     for (name <- args) {
       val fn = SparkEntry.queries(name)

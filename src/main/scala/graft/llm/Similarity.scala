@@ -26,11 +26,20 @@ object Similarity {
     */
   def quantized(c: Column): Column = transform(c, x => round(x * 1000))
 
-  /** Exact dot product of two quantized vectors: left-fold, but exact
-    * integer arithmetic makes order irrelevant.
+  /** Exact dot product of two quantized vectors. Uses the native codegen
+    * [[graft.functions.DotProduct]] when [[graft.plans.GraftExtensions]] is
+    * installed on the active session (a tight primitive loop, no per-element
+    * lambda dispatch); falls back to built-in higher-order functions
+    * otherwise. Exact integer arithmetic makes summation order irrelevant,
+    * so both paths are bit-identical.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_dot"))
+    if (native) call_function("graft_dot",
+      a.cast("array<double>"), b.cast("array<double>"))
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  }
 
   /** Cosine similarity of two quantized vectors. */
   def cosine(a: Column, b: Column): Column =
@@ -66,6 +75,29 @@ object Similarity {
           (x, i) => x * when(xxhash64(p, i).bitwiseAND(1) === 0, 1.0d).otherwise(-1.0d)),
         lit(0.0d), (acc, v) => acc + v) >= 0, 1).otherwise(0))
 
+  /** The ±1 hyperplane component for (plane, dim-index): parity of the same
+    * XxHash64 the column expression uses, evaluated driver-side so the two
+    * signature paths are bit-identical.
+    */
+  private def planeSign(p: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // seed 42 = functions.xxhash64's default, matching the column path
+    val h = XxHash64(Seq(Literal(p), Literal(i)), 42L).eval(null).asInstanceOf[Long]
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** SRP signature with the hyperplane matrix materialized as literal
+    * arrays (the planes are deterministic, so they are plan-time
+    * constants): each bit is one native dot product instead of a
+    * per-element interpreted lambda with a hash call per component.
+    * Identical output to [[srpSignature]]; requires a known dimension.
+    */
+  def srpSignatureFast(vec: Column, planes: Int, dim: Int): Column =
+    array((0 until planes).map { p =>
+      val plane = typedLit((0 until dim).map(i => planeSign(p, i)))
+      when(dot(vec, plane) >= 0, 1).otherwise(0)
+    }: _*)
+
   /** LSH-bucketed approximate top-k: band the SRP signature, join on
     * buckets, then rank by exact cosine WITHIN the candidate set. Recall
     * rises with bands; cost is bounded by bucket occupancy instead of the
@@ -76,10 +108,16 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes % bands == 0)
     val rows = planes / bands
+    // One tiny driver-side lookup pins the dimension so the hyperplanes
+    // become plan-time literal arrays (srpSignatureFast).
+    val dim = corpus.select(size(col(vecCol))).head() match {
+      case r if !r.isNullAt(0) => r.getInt(0)
+      case _ => 0
+    }
     def withBuckets(df: DataFrame, side: String): DataFrame = {
       val q = df.select(col(idCol).as(s"${side}_id"),
         quantized(col(vecCol)).as(s"_${side}v"),
-        srpSignature(quantized(col(vecCol)), planes).as("_sig"))
+        srpSignatureFast(quantized(col(vecCol)), planes, dim).as("_sig"))
       q.select(col(s"${side}_id"), col(s"_${side}v"),
           posexplode(array((0 until bands).map(b =>
             xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, rows), lit(b)))): _*)))
