@@ -137,6 +137,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair
+    * with cosine ≥ threshold. The quadratic exact form — the verifier and
+    * small-scale path; at corpus×corpus scale, bucket with
+    * [[srpSignatureFast]] bands first (same pattern as [[lshTopK]]) so cost
+    * is bounded by bucket occupancy. The caller controls probe-side
+    * partitioning (a broadcast nested-loop join inherits it).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol), quantized(col(vecCol)).as("_v"))
+    val a = v.select(col(idCol).as("id1"), col("_v").as("_v1"))
+    val b = broadcast(v.select(col(idCol).as("id2"), col("_v").as("_v2")))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("_v1"), col("_v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
   /** Recall of an approximate result against the exact top-k. */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
     val hit = approx.select("query_id", "neighbor_id")

@@ -101,6 +101,24 @@ object PipelineOps {
       Dedup.simhashPairs(docs(s, dir), maxDist = 7)
     },
 
+    // ---- D5: embedding-cosine near-dup pairs (exact; the synthetic
+    //      vectors are near-orthogonal, so τ=0.4 marks the "suspiciously
+    //      close" tail rather than true dups) ---------------------------
+    "d5_embedding_neardup" -> Q(
+      """WITH v AS (SELECT vec_id,
+        |            list_transform(embedding, x -> round(x * 1000)::DOUBLE) AS qv
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_dot_product(a.qv, b.qv) /
+        |             sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)),
+        |             6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.qv, b.qv) /
+        |      sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) >= 0.4""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDupPairs(fanOut(s, t(s, dir, "embeddings")), 0.4)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    },
+
     // ---- E1: brute-force cosine top-k (exact ANN baseline) -------------
     "e1_ann_topk" -> Q(
       """WITH q AS (SELECT vec_id AS qid,
