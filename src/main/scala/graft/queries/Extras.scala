@@ -102,6 +102,24 @@ object Extras {
         .filter(col("n") > 0)
     },
 
+    // ---- S10 (scale layout): partitioned parquet sink + pruned read ----
+    //      The 100 TB fact layout: write partitioned by the pruning key,
+    //      read back with a partition filter → only matching directories
+    //      are scanned (PartitionFilters in the plan).
+    "s10_partitioned_roundtrip" -> Q(
+      """SELECT event_type, user_id, count(*) AS n
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_s10_").toString
+      graft.sources.PartitionedStore.writePartitioned(
+        t(s, dir, "events").select("event_id", "user_id", "event_type"),
+        tmp, Seq("event_type"))
+      graft.sources.PartitionedStore.read(s, tmp)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- F3: advanced decapitalization (crawl.py:223-243) --------------
     //      ALL-CAPS path hash-checked here; the McRAE mixed-case state
     //      machine is covered against reference cases in NamesSpec.

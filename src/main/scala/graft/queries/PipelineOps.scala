@@ -208,6 +208,28 @@ object PipelineOps {
       EventStream.runToMemory(streaming, s"t2_stream_${streamSeq.incrementAndGet()}")
     },
 
+    // ---- T6 (streaming): watermarked stream-stream interval join -------
+    "t6_stream_join" -> Q(
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      // A stream-stream join materializes ~4 state stores per shuffle
+      // partition per microbatch; scope the partition count to the state
+      // volume (tiny here) rather than the session's scan parallelism.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val drained =
+        try {
+          val joined = EventStream.clickPurchaseJoin(EventStream.readEvents(s, dir), 10)
+          EventStream.runToMemory(joined,
+            s"t6_stream_${streamSeq.incrementAndGet()}", mode = "append")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      drained.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,

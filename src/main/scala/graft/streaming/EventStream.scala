@@ -50,13 +50,35 @@ object EventStream {
 
   /** Drain a streaming DataFrame into an in-memory table and return the
     * batch result (Trigger-once semantics for tests/verification).
+    * Aggregations drain in `complete` mode; joins/projections in `append`.
     */
-  def runToMemory(streaming: DataFrame, name: String): DataFrame = {
+  def runToMemory(streaming: DataFrame, name: String,
+                  mode: String = "complete"): DataFrame = {
     val q = streaming.writeStream
-      .format("memory").queryName(name).outputMode("complete").start()
+      .format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()
     q.stop()
     streaming.sparkSession.table(name)
+  }
+
+  /** Watermarked stream-stream inner join: click→purchase attribution
+    * within `windowMinutes`. Both sides carry event-time watermarks and the
+    * join condition bounds purchase time to [click, click + window], so
+    * state for either side is droppable once the other's watermark passes —
+    * the join runs with bounded state at any stream length.
+    */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
