@@ -393,6 +393,25 @@ object Relational {
       Islands.condense(y, Seq("o_custkey"), "yr", "years")
     },
 
+    // ---- A11 (UDAF form): same condense as a typed Aggregator ----------
+    "a11b_condense_udaf" -> Q(
+      """WITH y AS (SELECT DISTINCT o_custkey AS c, year(o_orderdate) AS y FROM orders),
+        |r AS (SELECT c, y, y - row_number() OVER (PARTITION BY c ORDER BY y) AS g FROM y),
+        |i AS (SELECT c, min(y) AS lo, max(y) AS hi FROM r GROUP BY c, g)
+        |SELECT c AS o_custkey,
+        |       string_agg(CASE WHEN lo = hi THEN lo::varchar
+        |                       ELSE lo::varchar || '-' || hi::varchar END, ', ' ORDER BY lo) AS years
+        |FROM i GROUP BY c""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.CondenseAgg.toColumn.name("years"))
+        .toDF("o_custkey", "years")
+    },
+
     // ---- W1: pivot (long → wide) ---------------------------------------
     "w1_pivot" -> Q(
       """SELECT user_id,
