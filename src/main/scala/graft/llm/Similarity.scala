@@ -137,6 +137,59 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of `nlist`
+    * centroids (deterministic init: the lowest-id corpus vectors, refined
+    * by `iters` Lloyd rounds of cosine assignment + element-wise mean),
+    * an inverted list per centroid, and per-query probing of the `nprobe`
+    * nearest lists with exact cosine re-ranking inside them.
+    *
+    * Scale shape: build cost is corpus × nlist dots (one broadcast of the
+    * tiny centroid table, no corpus shuffle beyond the list assignment);
+    * query cost drops from corpus to ≈ corpus × nprobe / nlist per query.
+    * The centroid means are the one non-integer computation in this file —
+    * fine for an approximate index (recall is what is asserted, and the
+    * final ranking re-scores with exact quantized cosine).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+
+    def nearestCentroid(df: DataFrame, vec: String, centroids: DataFrame,
+                        n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("_cc", cosine(col(vec), col("_centroid")))
+      val w = Window.partitionBy(df.columns.head).orderBy(col("_cc").desc, col("_cl"))
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n)
+        .drop("_cc", "_rn", "_centroid")
+    }
+
+    var centroids = c.orderBy("cid").limit(nlist)
+      .select(col("_cv").as("_centroid"))
+      .withColumn("_cl", monotonically_increasing_id())
+    for (_ <- 1 to iters) {
+      val assigned = nearestCentroid(c, "_cv", centroids, 1)
+      centroids = assigned
+        .select(col("_cl"), posexplode(col("_cv")).as(Seq("_pos", "_x")))
+        .groupBy("_cl", "_pos").agg(avg(col("_x")).as("_m"))
+        .groupBy("_cl")
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m")).as("_centroid"))
+    }
+
+    val lists = nearestCentroid(c, "_cv", centroids, 1)
+    val q = queries.select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+    val probes = nearestCentroid(q, "_qv", centroids, nprobe)
+    val cands = broadcast(probes).join(lists, "_cl")
+      .filter(col("query_id") =!= col("cid"))
+      .dropDuplicates("query_id", "cid")
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cid"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair
     * with cosine ≥ threshold. The quadratic exact form — the verifier and
     * small-scale path; at corpus×corpus scale, bucket with

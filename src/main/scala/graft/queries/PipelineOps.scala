@@ -150,6 +150,14 @@ object PipelineOps {
         .select("query_id", "neighbor_id", "rank")
     },
 
+    // ---- E3: IVF ANN (coarse quantizer + nprobe; recall vs E1 in specs)
+    "e3_ann_ivf" -> Q.rowsOnly { (s, dir) =>
+      val emb = fanOut(s, t(s, dir, "embeddings"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nlist = 16, nprobe = 6)
+        .select("query_id", "neighbor_id", "rank")
+    },
+
     // ---- X1: language ID (stopword-marker heuristic) -------------------
     "x1_langid" -> Q(langIdOracle) { (s, dir) =>
       docs(s, dir)

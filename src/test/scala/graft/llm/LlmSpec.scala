@@ -53,6 +53,15 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"SRP recall $recall below 0.5")
   }
 
+  test("IVF ANN recall against exact brute-force top-k") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.ivfTopK(queries, emb, k = 5, nlist = 16, nprobe = 6)
+    val recall = Similarity.recallAtK(approx, exact)
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+  }
+
   test("ANN ranks are dense and cosine is within [-1, 1]") {
     val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
     assert(topk.count() === 15)
