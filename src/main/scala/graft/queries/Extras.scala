@@ -120,6 +120,36 @@ object Extras {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- F18: semi-structured JSON extraction (events.props) -----------
+    "f18_json_extract" -> Q(
+      """SELECT user_id,
+        |       sum(cast(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("_k"))
+        .groupBy("user_id")
+        .agg(sum(col("_k")).as("sum_k"), count(lit(1)).as("n"))
+    },
+
+    // ---- F19 / UDTF shape: generator — explode of an array-producing
+    //      extraction (the §2.10 pattern for the reference's HTML-row
+    //      parsers: scalar extract returning arrays + explode) ----------
+    "f19_generator_extract" -> Q(
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(text, 'data|table|stream|spark')) AS tok
+        |      FROM documents)
+        |GROUP BY tok""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(expr(
+          "regexp_extract_all(text, 'data|table|stream|spark', 0)")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- F3: advanced decapitalization (crawl.py:223-243) --------------
     //      ALL-CAPS path hash-checked here; the McRAE mixed-case state
     //      machine is covered against reference cases in NamesSpec.
