@@ -32,6 +32,21 @@ class VoteMatrixSpec extends SparkSpec {
     roundTrip(s"$ref/2007/House.csv", 2007, Chamber.HOUSE)
   }
 
+  test("ALL 38 published files round-trip byte-identically") {
+    val files = for {
+      yearDir <- Files.list(Paths.get(ref)).toArray.map(_.toString).sorted
+      y = Paths.get(yearDir).getFileName.toString
+      if y.forall(_.isDigit)
+      f <- Files.list(Paths.get(yearDir)).toArray.map(_.toString).sorted
+      if f.endsWith(".csv")
+    } yield (f, y.toInt,
+      Chamber.fromLetter(Paths.get(f).getFileName.toString.stripSuffix(".csv")))
+    assert(files.length === 38)
+    for ((f, y, c) <- files) {
+      withClue(s"$f: ") { roundTrip(f, y, c) }
+    }
+  }
+
   test("csv parse/format round-trip handles quoting") {
     val line = "\"APPROVAL, OF \"\"X\"\"\",3,2011-01-19,Y\r\n"
     val recs = VoteMatrix.parseCsv(line)
