@@ -71,6 +71,65 @@ object Scalar {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- F15b: date arithmetic (add/diff/truncate/boundaries) ----------
+    "f15b_date_arith" -> Q(
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+        |       date_diff('day', DATE '1992-01-01', o_orderdate) AS age_days,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |       cast(dayofweek(o_orderdate) AS int) AS dow
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("age_days"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"))
+    },
+
+    // ---- F16b: math kernel (abs/mod/power/sqrt/log/round family) -------
+    "f16b_math_funcs" -> Q(
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS dev,
+        |       cast(l_partkey % 7 AS bigint) AS bucket,
+        |       round(power(l_quantity, 2), 4) AS qty_sq,
+        |       round(sqrt(l_extendedprice), 6) AS price_root,
+        |       round(ln(l_extendedprice + 1), 6) AS price_ln,
+        |       ceil(l_quantity / 8) AS pallets,
+        |       floor(l_quantity / 8) AS full_pallets
+        |FROM lineitem WHERE l_orderkey < 300""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("dev"),
+          (col("l_partkey") % 7).as("bucket"),
+          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 6).as("price_root"),
+          round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+          ceil(col("l_quantity") / 8).as("pallets"),
+          floor(col("l_quantity") / 8).as("full_pallets"))
+    },
+
+    // ---- F16c: null-handling conditionals (coalesce/nullif/greatest) ---
+    "f16c_null_conditionals" -> Q(
+      """SELECT user_id,
+        |       coalesce(nullif(event_type, 'error'), 'recovered') AS label,
+        |       greatest(value, 100.0) AS floored,
+        |       least(value, 400.0) AS capped,
+        |       CASE WHEN value IS NULL THEN -1 ELSE 1 END AS has_value
+        |FROM events WHERE event_id < 2000""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("user_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("recovered")).as("label"),
+          greatest(col("value"), lit(100.0)).as("floored"),
+          least(col("value"), lit(400.0)).as("capped"),
+          when(col("value").isNull, -1).otherwise(1).as("has_value"))
+    },
+
     // ---- F16: string kernel (split/contains/upper/trim) ---------------
     "f16_string_funcs" -> Q(
       """SELECT split_part(text, ' ', 1) AS first_word,
