@@ -54,6 +54,18 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
+    # every declared query must have produced output — a query that threw
+    # in Verify has no dir and must count as a failure, not shrink the
+    # denominator
+    manifest_path = os.path.join(out_dir, "queries.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            declared = json.load(f)
+        present = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+                   if os.path.isdir(d)}
+        for name in declared:
+            if name not in present:
+                results[name] = "MISSING_OUTPUT (query threw in Verify)"
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):

@@ -16,7 +16,8 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-" +
+          ProcessHandle.current().pid())
       .withExtensions(new GraftExtensions)
       .getOrCreate()
 }

@@ -18,19 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact duplicates by full text content. Returns one row per duplicate
-    * group: the surviving (minimum) id, the group size, and member ids.
-    * The groupBy key is xxhash64(text) so the shuffle carries 8 bytes per
-    * doc; a final within-group equality check guards against hash
-    * collisions (at 100 TB, 64-bit collisions are plausible).
+  /** Exact duplicates by full text content. Returns one row per distinct
+    * text: the surviving (minimum) id, the group size, and member ids.
+    *
+    * Two-phase, shuffle-light: phase 1 groups on TWO independent 64-bit
+    * content hashes, so the wide shuffle carries 16 bytes + id per doc,
+    * never the text. Phase 2 re-groups ONLY the multi-doc buckets by the
+    * text itself — exact semantics even under (astronomically rare)
+    * 128-bit collisions, and the text-bearing shuffle is bounded by the
+    * duplicate fraction, not the corpus.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame =
-    docs
-      .groupBy(xxhash64(col(textCol)).as("_h"), col(textCol))
+            textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol), col(textCol),
+      xxhash64(col(textCol)).as("_h1"),
+      xxhash64(col(textCol), lit(1)).as("_h2"))
+    val groups = hashed.select(col(idCol), col("_h1"), col("_h2"))
+      .groupBy("_h1", "_h2")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"),
         sort_array(collect_list(col(idCol))).as("ids"))
-      .drop("_h", textCol)
+    val singles = groups.filter(col("n_dups") === 1)
+      .select("keep_id", "n_dups", "ids")
+    val dupKeys = groups.filter(col("n_dups") > 1).select("_h1", "_h2")
+    val verified = hashed.join(dupKeys, Seq("_h1", "_h2"), "left_semi")
+      .groupBy(col("_h1"), col("_h2"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .select("keep_id", "n_dups", "ids")
+    singles.unionByName(verified)
+  }
 
   /** (doc_id, shingle) pairs: distinct word n-grams per document,
     * expressed with native array functions (no UDF in the scan path).

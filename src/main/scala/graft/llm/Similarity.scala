@@ -109,15 +109,18 @@ object Similarity {
     require(planes % bands == 0)
     val rows = planes / bands
     // One tiny driver-side lookup pins the dimension so the hyperplanes
-    // become plan-time literal arrays (srpSignatureFast).
-    val dim = corpus.select(size(col(vecCol))).head() match {
-      case r if !r.isNullAt(0) => r.getInt(0)
-      case _ => 0
-    }
+    // become plan-time literal arrays (srpSignatureFast). First non-null,
+    // non-empty vector wins; an empty corpus yields dim 0 (and an empty
+    // join). Null vectors are excluded on both sides — with no dimension
+    // they would all share one bucket and degrade the join to a cross
+    // product.
+    val dim = corpus.select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
     def withBuckets(df: DataFrame, side: String): DataFrame = {
-      val q = df.select(col(idCol).as(s"${side}_id"),
-        quantized(col(vecCol)).as(s"_${side}v"),
-        srpSignatureFast(quantized(col(vecCol)), planes, dim).as("_sig"))
+      val q = df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(s"${side}_id"),
+          quantized(col(vecCol)).as(s"_${side}v"),
+          srpSignatureFast(quantized(col(vecCol)), planes, dim).as("_sig"))
       q.select(col(s"${side}_id"), col(s"_${side}v"),
           posexplode(array((0 until bands).map(b =>
             xxhash64(concat_ws(",", slice(col("_sig"), b * rows + 1, rows), lit(b)))): _*)))

@@ -86,32 +86,46 @@ object EventStream {
   final case class SessionSummary(user_id: Long, n_sessions: Long,
                                   longest_session: Long)
 
+  /** Per-key session state: O(1) per user regardless of stream length —
+    * the last event time, current run length, and running session stats.
+    */
+  final case class SessState(lastTs: Long, curRun: Long,
+                             nSessions: Long, longest: Long)
+
   /** Gap-based sessionization with flatMapGroupsWithState: events within
-    * `gapMinutes` of each other belong to one session. Works identically
-    * in batch mode (state starts empty, one invocation per key), which is
-    * how the DuckDB oracle checks it.
+    * `gapMinutes` of each other belong to one session. State is a
+    * four-field summary, NOT the event history, so it stays constant-size
+    * per key on an unbounded stream. Each batch's events are sorted before
+    * folding; across batches the fold assumes event-time order (pair the
+    * source with a watermark — out-of-order arrivals older than the last
+    * seen stamp would start a spurious session). Works identically in
+    * batch mode (one sorted invocation per key), which is how the DuckDB
+    * oracle checks it.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Long], SessionSummary](
+      .flatMapGroupsWithState[SessState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[List[Long]]) =>
-          val stamps = (state.getOption.getOrElse(Nil) ++
-            it.map(_.ts.getTime)).sorted
-          if (stamps.isEmpty) Iterator.empty
+        (user: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          val incoming = it.map(_.ts.getTime).toArray.sorted
+          var st = state.getOption.orNull
+          for (t <- incoming) {
+            st =
+              if (st == null) SessState(t, 1L, 1L, 1L)
+              else if (t - st.lastTs > gapMs)
+                SessState(t, 1L, st.nSessions + 1, st.longest)
+              else {
+                val run = st.curRun + 1
+                SessState(t, run, st.nSessions, math.max(st.longest, run))
+              }
+          }
+          if (st == null) Iterator.empty
           else {
-            var nSessions = 1L
-            var longest = 1L
-            var cur = 1L
-            for (Seq(a, b) <- stamps.sliding(2) if stamps.length > 1) {
-              if (b - a > gapMs) { nSessions += 1; cur = 1 }
-              else { cur += 1; if (cur > longest) longest = cur }
-            }
-            state.update(stamps)
-            Iterator(SessionSummary(user, nSessions, longest))
+            state.update(st)
+            Iterator(SessionSummary(user, st.nSessions, st.longest))
           }
       }
   }

@@ -15,8 +15,14 @@ import scala.jdk.CollectionConverters._
   */
 object ApplyEdits {
 
-  /** year edits: remove service (edit=None) or add-from-neighbor-year */
-  final case class YearEdit(year: Int, chamber: Int, first: Option[String], last: String)
+  /** One per-year service edit. The YAML value carries the intent
+    * (apply_edits.py:26 dispatches on it): null value → removal
+    * (apply_edits.py:26-32), non-null (e.g. `true`) → add-from-neighbor-
+    * year (apply_edits.py:34-50). Ignoring the value would run BOTH paths
+    * on every edit and invert curated intent.
+    */
+  final case class YearEdit(year: Int, chamber: Int, first: Option[String],
+                            last: String, remove: Boolean)
   /** rename a voter name, optionally only within (start, stop) roll stamps */
   final case class VoteRename(before: String, after: String,
                               start: Option[String], stop: Option[String])
@@ -40,13 +46,14 @@ object ApplyEdits {
           val chamber = Chamber.fromLetter(chamberS)
           val nameMap = Option(names.asInstanceOf[ju.Map[String, Any]])
             .map(_.asScala).getOrElse(Map.empty)
-          for ((nameKey, _) <- nameMap) {
+          for ((nameKey, editValue) <- nameMap) {
             val (first, last) =
               if (nameKey.contains(" ")) {
                 val Array(f, l) = nameKey.split(" ", 2)
                 (Some(f), l)
               } else (None, nameKey)
-            yearEdits += YearEdit(year, chamber, first, last)
+            yearEdits += YearEdit(year, chamber, first, last,
+              remove = editValue == null)
           }
         }
       case "Votes" =>
@@ -54,6 +61,11 @@ object ApplyEdits {
           case after: String => voteRenames += VoteRename(before, after, None, None)
           case m: ju.Map[_, _] =>
             val mm = m.asInstanceOf[ju.Map[String, Any]].asScala
+            // the reference reads v["start"] and v["stop"] unconditionally
+            // (apply_edits.py:66) — a ranged rename without both is a
+            // malformed edit; fail at parse like the reference would
+            require(mm.contains("start") && mm.contains("stop"),
+              s"ranged rename for '$before' needs both start and stop")
             voteRenames += VoteRename(before, mm("name").toString,
               mm.get("start").map(_.toString), mm.get("stop").map(_.toString))
         }
@@ -112,15 +124,18 @@ object ApplyEdits {
 
     // e_first uses a '' sentinel (not NULL): the add-path anti join below
     // compares on it, and NULL keys never match in joins
-    val editDf = broadcast(edits
+    def toDf(es: Seq[YearEdit]) = broadcast(es
       .map(e => (e.year, e.chamber, e.first.getOrElse(""), e.last))
       .toDF("e_year", "e_chamber", "e_first", "e_last"))
+    // intent comes from the YAML value (apply_edits.py:26): null → remove,
+    // non-null → add. Each path sees only its own edits.
+    val removeEdits = toDf(edits.filter(_.remove))
+    val addEdits = toDf(edits.filterNot(_.remove))
 
     val sm = service.as("sv")
       .join(members.as("m"), col("sv.member_id") === col("m.id"), "left")
 
-    // exact matches of each edit in its own year
-    val exact = sm.join(editDf,
+    def exactMatches(editDf: DataFrame) = sm.join(editDf,
         col("m.last") === col("e_last") && col("sv.chamber") === col("e_chamber") &&
           col("sv.year") === col("e_year") &&
           (col("e_first") === "" || col("m.first") === col("e_first")))
@@ -128,15 +143,16 @@ object ApplyEdits {
       .agg(count(lit(1)).as("_n"), min(col("m.id")).as("_mid"))
 
     // removals: exactly one match → delete that service row
-    val removals = exact.filter(col("_n") === 1)
+    val removals = exactMatches(removeEdits).filter(col("_n") === 1)
       .select(col("e_year").as("r_year"), col("e_chamber").as("r_chamber"),
         col("_mid").as("r_mid"))
     val afterRemove = service.join(broadcast(removals),
       col("year") === col("r_year") && col("chamber") === col("r_chamber") &&
         col("member_id") === col("r_mid"), "left_anti")
 
-    // additions: zero matches → pull from year ± 1 when unambiguous
-    val toAdd = editDf.join(exact,
+    // additions: add-intent edits with zero matches → pull from year ± 1
+    // when unambiguous
+    val toAdd = addEdits.join(exactMatches(addEdits),
         Seq("e_year", "e_chamber", "e_first", "e_last"), "left_anti")
     val neighbor = sm.join(toAdd,
         col("m.last") === col("e_last") && col("sv.chamber") === col("e_chamber") &&

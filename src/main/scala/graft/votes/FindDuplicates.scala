@@ -68,21 +68,45 @@ object FindDuplicates {
   final case class Merge(survivor: Long, absorbed: Seq[Long],
                          mergedName: Name)
 
-  /** Driver-side merge-group construction keyed on the smaller id, as the
-    * reference does (find_duplicates.py:28-31).
+  /** Driver-side merge-group construction over the (tiny) candidate pair
+    * set. The reference keys groups on the smaller id of each pair
+    * (find_duplicates.py:28-31), which for a transitive chain a<b<c
+    * produces OVERLAPPING groups {a:[b,c], b:[c]} — its sequential apply
+    * loop then deletes b and re-inserts it via the `db.update` upsert
+    * (find_duplicates.py:110). That is a latent reference bug on chains;
+    * here (conscious fix, SURVEY.md §7 quirk policy) groups are the
+    * connected components via union-find, survivor = smallest id, so each
+    * member belongs to exactly one group and the apply stage's flat
+    * old→new mapping is well-defined.
     */
   def mergeGroups(pairs: DataFrame): Seq[Merge] = {
     val rows = pairs.orderBy("id1", "id2").collect()
-    val groups = collection.mutable.LinkedHashMap[Long, Vector[Long]]()
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
     val names = collection.mutable.Map[Long, Name]()
+    val seen = collection.mutable.LinkedHashSet[Long]()
     for (r <- rows) {
       val (id1, id2) = (r.getLong(0), r.getLong(1))
-      groups(id1) = groups.getOrElse(id1, Vector.empty) :+ id2
+      seen += id1; seen += id2
+      val (ra, rb) = (find(id1), find(id2))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       names(id1) = Name(
         Option(r.getString(3)).getOrElse(""), Option(r.getString(4)).getOrElse(""),
         Option(r.getString(5)).getOrElse(""), Option(r.getString(6)).getOrElse(""))
     }
-    groups.map { case (s, abs) => Merge(s, abs.distinct, names(s)) }.toSeq
+    val comp = collection.mutable.LinkedHashMap[Long, Vector[Long]]()
+    for (id <- seen.toVector.sorted) {
+      val root = find(id)
+      if (id != root) comp(root) = comp.getOrElse(root, Vector.empty) :+ id
+      else comp.getOrElseUpdate(root, Vector.empty)
+    }
+    // the root is the component minimum, so it is id1 of at least one pair
+    // and always has a merged name recorded
+    comp.collect { case (s, abs) if abs.nonEmpty => Merge(s, abs, names(s)) }.toSeq
   }
 
   final case class Applied(members: DataFrame, service: DataFrame)

@@ -90,8 +90,6 @@ object MatchNames {
       .collect()
 
     val extra = Vector.newBuilder[Row]
-    val resolvedNames = collection.mutable.Set[(Int, Int, String)]()
-    val resolvedIds = collection.mutable.Set[(Int, Int, Long)]()
     val groups = (missingRows.map(r => (r.getInt(0), r.getInt(1))) ++
       unmatchedRows.map(r => (r.getInt(0), r.getInt(1)))).distinct
     for ((y, c) <- groups) {
@@ -114,8 +112,6 @@ object MatchNames {
             missingNames -= name
             // reference removes the WHOLE last-name bucket (match_names.py:155)
             unmatchedByLast -= hits.head._1
-            resolvedNames += ((y, c, name))
-            resolvedIds += ((y, c, ids.head))
             changed = true
           }
         }

@@ -60,6 +60,62 @@ class DuplicatesAndEditsSpec extends SparkSpec {
     assert(svc4 == 2) // different years survive
   }
 
+  test("transitive duplicate chains merge into one component, no orphans") {
+    // a<b<c all pairwise duplicates → pairs (a,b),(a,c),(b,c); the merge
+    // must converge everything onto a, leave no service row pointing at a
+    // deleted member, and not duplicate service rows
+    val chain = Seq(
+      (11L, Option(10L), None: Option[Long], None: Option[Long], None: Option[Long],
+        "Pat", null, "Chain", null, Option(Date.valueOf("1950-02-02"))),
+      (12L, None: Option[Long], Option(20L), None: Option[Long], None: Option[Long],
+        "Pat", null, "Chain", null, Option(Date.valueOf("1950-02-02"))),
+      (13L, None: Option[Long], None: Option[Long], Option(30L), None: Option[Long],
+        "Pat", null, "Chain", null, Option(Date.valueOf("1950-02-02")))
+    ).toDF("id", "house_archive_id", "house_current_id", "senate_archive_id",
+      "senate_current_id", "first", "middle", "last", "suffix", "dob")
+    val chainSvc = Seq(
+      (11L, 2018, Chamber.HOUSE, 1, "Democrat"),
+      (12L, 2019, Chamber.HOUSE, 1, "Democrat"),
+      (13L, 2020, Chamber.HOUSE, 1, "Democrat")
+    ).toDF("member_id", "year", "chamber", "district", "party")
+
+    val pairs = FindDuplicates.candidatePairs(chain, chainSvc)
+    assert(pairs.count() === 3) // all three pairs found via the dob block
+    val merges = FindDuplicates.mergeGroups(pairs)
+    assert(merges.map(m => (m.survivor, m.absorbed.toSet)).toSet ===
+      Set((11L, Set(12L, 13L))))
+
+    val applied = FindDuplicates.applyMerges(chain, chainSvc, merges)
+    val memberIds = applied.members.select("id").collect().map(_.getLong(0)).toSet
+    assert(memberIds === Set(11L))
+    val svcOwners = applied.service.select("member_id").collect().map(_.getLong(0))
+    assert(svcOwners.toSet === Set(11L), "no service may point at a deleted member")
+    assert(svcOwners.length === 3, "distinct years must survive exactly once")
+  }
+
+  test("year-edit intent: add-intent never removes, remove-intent never adds") {
+    val svc = Seq(
+      (1L, 2020, Chamber.HOUSE, 5, "Democrat"),
+      (1L, 2021, Chamber.HOUSE, 5, "Democrat"),
+      (2L, 2020, Chamber.HOUSE, 9, "Republican")
+    ).toDF("member_id", "year", "chamber", "district", "party")
+    val mem = Seq((1L, "Ann", "Alpha"), (2L, "Bob", "Beta"))
+      .toDF("id", "first", "last")
+
+    // add-intent for Alpha 2021 (unique existing match): reference takes
+    // NO action (apply_edits.py:34 runs only when nothing matches) — the
+    // row must survive. remove-intent for Beta 2021 (no match): no action,
+    // and in particular NO neighbor-year add.
+    val edits = Seq(
+      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Alpha", remove = false),
+      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Beta", remove = true))
+    val out = ApplyEdits.applyYearEdits(svc, mem, edits)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).toSet
+    assert(out.contains((1L, 2021, 5)), "add-intent must not remove")
+    assert(!out.contains((2L, 2021, 9)), "remove-intent must not add")
+    assert(out.size === 3)
+  }
+
   // ---- ApplyEdits ------------------------------------------------------
 
   test("parseYaml reads the reference edits.yaml") {
@@ -81,10 +137,11 @@ class DuplicatesAndEditsSpec extends SparkSpec {
       .toDF("id", "first", "last")
       .withColumnRenamed("first", "first").withColumnRenamed("last", "last")
 
-    // remove Alpha 2021; add Beta 2021 (copied from 2020)
+    // remove Alpha 2021 (null-value edit); add Beta 2021 from its 2020
+    // neighbor row (non-null edit value — apply_edits.py:26 vs :34)
     val edits = Seq(
-      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Alpha"),
-      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Beta"))
+      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Alpha", remove = true),
+      ApplyEdits.YearEdit(2021, Chamber.HOUSE, None, "Beta", remove = false))
     val out = ApplyEdits.applyYearEdits(svc, mem, edits)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).toSet
     assert(!out.contains((1L, 2021, 5)))
