@@ -50,12 +50,16 @@ object Dedup {
 
   /** (doc_id, shingle) pairs: distinct word n-grams per document,
     * expressed with native array functions (no UDF in the scan path).
+    * Documents with fewer than n words produce NO shingles (only full
+    * windows count) — same outcome as the DuckDB oracle, whose
+    * out-of-range concatenation yields a NULL shingle that never joins.
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), " ")
-    docs.select(col(idCol),
-        explode(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+    docs.where(size(words) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(words) - n),
           i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
       .distinct()
   }
@@ -181,13 +185,17 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
+    // 1L << 64 wraps to 1 (shift counts are mod 64), which would zero the
+    // mask for maxDist = 0 and collapse every doc into one bucket
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     val sh = simhash(docs, idCol, textCol)
     val chunked = sh.select(col(idCol), col("simhash"),
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("simhash"), c * bitsPer)
-            .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
+            .bitwiseAND(lit(mask))): _*)))
       .toDF(idCol, "simhash", "chunk_idx", "chunk_val")
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

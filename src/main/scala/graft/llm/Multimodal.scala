@@ -55,15 +55,16 @@ object Multimodal {
 
   /** Partition-batched feature extraction: one "codec" per partition,
     * records processed in a tight loop (the mapInPandas-equivalent batch
-    * shape). Input is repartitioned by byte size so decode work, not row
-    * count, balances across executors.
+    * shape). Input is round-robin repartitioned: media sizes are heavily
+    * skewed, and range-partitioning by size would CONCENTRATE the largest
+    * payloads into one partition — random placement balances total decode
+    * bytes per executor in expectation.
     */
   def extractFeatures(media: DataFrame, targetPartitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val sized =
-      if (targetPartitions > 0)
-        media.repartitionByRange(targetPartitions, col("meta.n_bytes"), col("media_id"))
+      if (targetPartitions > 0) media.repartition(targetPartitions)
       else media
     sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -32,6 +32,20 @@ object ApplyEdits {
   final case class Edits(yearEdits: Seq[YearEdit], voteRenames: Seq[VoteRename],
                          memberRenames: Seq[MemberRename])
 
+  /** SnakeYAML parses bare YAML dates (`start: 2019-09-16`) as
+    * java.util.Date, whose toString ("Mon Sep 16 ...") a Spark timestamp
+    * cast turns into NULL — which would silently void every ranged rename.
+    * Render them back to ISO form (UTC midnight, same window semantics as
+    * the reference's lexicographic string compare in apply_edits.py:66).
+    */
+  private def yamlTime(v: Any): String = v match {
+    case d: ju.Date =>
+      val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      f.setTimeZone(ju.TimeZone.getTimeZone("UTC"))
+      f.format(d)
+    case other => other.toString
+  }
+
   /** Parse the reference's edits.yaml structure (apply_edits.py:9-21). */
   def parseYaml(path: String): Edits = {
     val root = new Yaml().load[ju.Map[Any, Any]](new FileInputStream(path)).asScala
@@ -67,7 +81,7 @@ object ApplyEdits {
             require(mm.contains("start") && mm.contains("stop"),
               s"ranged rename for '$before' needs both start and stop")
             voteRenames += VoteRename(before, mm("name").toString,
-              mm.get("start").map(_.toString), mm.get("stop").map(_.toString))
+              mm.get("start").map(yamlTime), mm.get("stop").map(yamlTime))
         }
       case "Rename" =>
         for (d <- v.asInstanceOf[ju.List[ju.Map[String, Any]]].asScala) {
@@ -123,10 +137,15 @@ object ApplyEdits {
     if (edits.isEmpty) return service
 
     // e_first uses a '' sentinel (not NULL): the add-path anti join below
-    // compares on it, and NULL keys never match in joins
+    // compares on it, and NULL keys never match in joins. e_raw is the
+    // unsplit YAML key: the reference's neighbor-year query filters
+    // last == <raw key> (apply_edits.py:37), so a two-word key like
+    // "John Smith" matches nothing there — reproduce that, don't "fix" it
+    // into a split-name match the reference never makes.
     def toDf(es: Seq[YearEdit]) = broadcast(es
-      .map(e => (e.year, e.chamber, e.first.getOrElse(""), e.last))
-      .toDF("e_year", "e_chamber", "e_first", "e_last"))
+      .map(e => (e.year, e.chamber, e.first.getOrElse(""), e.last,
+        e.first.map(f => s"$f ${e.last}").getOrElse(e.last)))
+      .toDF("e_year", "e_chamber", "e_first", "e_last", "e_raw"))
     // intent comes from the YAML value (apply_edits.py:26): null → remove,
     // non-null → add. Each path sees only its own edits.
     val removeEdits = toDf(edits.filter(_.remove))
@@ -155,7 +174,7 @@ object ApplyEdits {
     val toAdd = addEdits.join(exactMatches(addEdits),
         Seq("e_year", "e_chamber", "e_first", "e_last"), "left_anti")
     val neighbor = sm.join(toAdd,
-        col("m.last") === col("e_last") && col("sv.chamber") === col("e_chamber") &&
+        col("m.last") === col("e_raw") && col("sv.chamber") === col("e_chamber") &&
           (col("sv.year") === col("e_year") - 1 || col("sv.year") === col("e_year") + 1))
       .groupBy("e_year", "e_chamber", "e_last")
       .agg(count(lit(1)).as("_n"), min(col("m.id")).as("member_id"),

@@ -49,8 +49,11 @@ object Export {
       .withColumn("_k2",
         when(col("_any_missing"), col("roll_id"))
           .otherwise(unix_micros(col("stamp"))))
+    // day_id keeps each day's rolls a CONTIGUOUS block (dump.py emits day
+    // by day; two session-days can share a calendar date) and stops the
+    // sort from comparing roll ids against unix_micros across days
     val wGroup = Window.partitionBy("year", "chamber")
-      .orderBy("day_date", "_k2", "roll_id")
+      .orderBy("day_date", "day_id", "_k2", "roll_id")
     val orderedRolls = ordered
       .withColumn("row_idx", (row_number().over(wGroup) - 1).cast("int"))
       .select("roll_id", "roll_name", "roll_number", "stamp_raw",
@@ -61,8 +64,10 @@ object Export {
     //    (SQLite's tie order is rowid insertion order, which tracks id).
     val display = concat_ws(" ",
       col("m.first"), col("m.middle"), col("m.last"), col("m.suffix"))
+    // SQLite ORDER BY puts NULLs FIRST (dump.py:72's district ordering) —
+    // a NULL-district member leads the column order, not trails it
     val wRoster = Window.partitionBy("year", "chamber")
-      .orderBy(col("district").asc_nulls_last, col("member_id"))
+      .orderBy(col("district").asc_nulls_first, col("member_id"))
     val roster = service.as("sv")
       .join(members.as("m"), col("sv.member_id") === col("m.id"))
       .select(col("sv.year"), col("sv.chamber"), col("sv.member_id"),

@@ -44,10 +44,16 @@ object MatchNames {
       .withColumn("_p", parseProbe(col("name")))
       .withColumn("_block", lower(col("_p._3")))
 
+    // the reference's member_lookup is keyed last → {name TUPLE → member}
+    // (match_names.py:106), so block cardinality and the uniqueness gate
+    // count DISTINCT name tuples, not roster rows — duplicate member
+    // records with identical names must not block a match
     val wBlock = Window.partitionBy("year", "chamber", "_block")
+    val nameTuple = struct(col("first"), col("middle"), col("last"), col("suffix"))
     val rosterB = roster
       .withColumn("_block", lower(coalesce(col("last"), lit(""))))
-      .withColumn("_n_last", count(lit(1)).over(wBlock))
+      .withColumn("_ntuple", nameTuple)
+      .withColumn("_n_last", size(collect_set(col("_ntuple")).over(wBlock)))
 
     // normalized probe first: "J." → "J" (match_names.py:36-37), applied
     // only on the multi-candidate branch of get_match
@@ -71,7 +77,7 @@ object MatchNames {
     val fuzzyMatches = joined
       .groupBy("year", "chamber", "name")
       .agg(min(when(col("_hit"), col("member_id"))).as("member_id"),
-        count(when(col("_hit"), 1)).as("_n_hits"))
+        countDistinct(when(col("_hit"), col("_ntuple"))).as("_n_hits"))
       .filter(col("_n_hits") === 1)
       .select(col("year"), col("chamber"), col("name"), col("member_id"),
         lit("fuzzy").as("method"))

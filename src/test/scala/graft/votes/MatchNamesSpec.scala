@@ -36,6 +36,20 @@ class MatchNamesSpec extends SparkSpec {
     assert(r.matches.filter($"method" === "fuzzy").count() == 0)
   }
 
+  test("duplicate roster rows with identical name tuples still match") {
+    // the reference's member_lookup collapses identical name tuples into
+    // one dict key (match_names.py:106), so a pre-merge duplicate member
+    // record must not trip the uniqueness gate
+    val dupRoster = Seq(
+      (2023, Chamber.HOUSE, 1L, "Patrick", "J.", "Harkins", null),
+      (2023, Chamber.HOUSE, 9L, "Patrick", "J.", "Harkins", null)
+    ).toDF("year", "chamber", "member_id", "first", "middle", "last", "suffix")
+    val r = MatchNames.run(spark, namesDf("HARKINS"), dupRoster)
+    val m = r.matches.filter($"method" === "fuzzy").collect()
+    assert(m.length == 1, "one distinct name tuple must match")
+    assert(m.head.getLong(3) == 1L)
+  }
+
   test("first-name qualified ambiguous last matches; nickname resolves") {
     val r = MatchNames.run(spark, namesDf("MIKE SMITH", "JANE SMITH", "A. BROWN"), roster)
     val m = r.matches.collect().map(x => x.getString(2) -> x.getLong(3)).toMap
