@@ -92,6 +92,66 @@ class ExportSpec extends SparkSpec {
     assert(cells == Map("Ann Alpha" -> "Y", "Bob Q. Beta" -> "N", "Cid Gamma Jr." -> null))
   }
 
+  test("exportLong reproduces published files from a reconstructed 7-table model") {
+    // Reverse-engineer the relational model from melted CSVs, run the FULL
+    // dump pipeline (completeness gate → W2 ordering → roster → matrix),
+    // and byte-compare. Exercises exportLong itself, not just melt∘pivot.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ref = "/root/reference/vote_data"
+    for ((year, chamber, file) <- Seq(
+        (2023, Chamber.HOUSE, s"$ref/2023/House.csv"),
+        (2023, Chamber.SENATE, s"$ref/2023/Senate.csv"),
+        (2007, Chamber.HOUSE, s"$ref/2007/House.csv"),
+        (2019, Chamber.SENATE, s"$ref/2019/Senate.csv"))) {
+      val melted = VoteMatrix.melt(spark, file, year, chamber)
+
+      val rollsBase = melted
+        .select("row_idx", "roll_name", "roll_number", "stamp_raw").distinct()
+        .withColumn("day_date", to_date(substring($"stamp_raw", 1, 10)))
+        .withColumn("stamp",
+          when(length($"stamp_raw") > 10, to_timestamp($"stamp_raw")))
+      val dayIds = rollsBase.select("day_date").distinct()
+        .withColumn("day_id", dense_rank().over(Window.orderBy("day_date")).cast("long"))
+      val rollCalls2 = rollsBase.join(dayIds, "day_date")
+        .select($"row_idx".cast("long").as("id"), $"day_id",
+          lit(year).as("session_year"), lit(0).as("session_index"),
+          lit(chamber).as("chamber"), $"roll_number".as("number"),
+          $"roll_name".as("name"), $"stamp")
+      val sessions2 = Seq((1L, chamber, year, 0, "s", ts("2025-01-01 00:00:00")))
+        .toDF("id", "chamber", "year", "session_index", "name", "last_crawl")
+      val sessionDays2 = dayIds
+        .select($"day_id".as("id"), lit(1L).as("session_id"),
+          $"day_date".as("date"), lit(ts("2025-01-01 00:00:00")).as("last_crawl"))
+
+      val rosterRows = melted
+        .select("member_idx", "member_name", "district", "party").distinct()
+        .collect().sortBy(_.getInt(0))
+      val members2 = rosterRows.map { r =>
+        val nm = Name.parse(r.getString(1))
+        def n(s: String) = if (s.isEmpty) null else s
+        (r.getInt(0).toLong, n(nm.first), n(nm.middle), n(nm.last), n(nm.suffix))
+      }.toSeq.toDF("id", "first", "middle", "last", "suffix")
+      val service2 = rosterRows.map { r =>
+        (r.getInt(0).toLong, year, chamber,
+          Option(r.getString(2)).map(_.toInt), r.getString(3))
+      }.toSeq.toDF("member_id", "year", "chamber", "district", "party")
+
+      val votes2 = melted.filter($"letter".isNotNull)
+        .select(lit(1L).as("session_id"), $"row_idx".cast("long").as("roll_id"),
+          $"member_name".as("name"),
+          VoteCode.fromLetterCol($"letter").as("vote"),
+          $"member_idx".cast("long").as("member_id"))
+
+      val out = Export.exportLong(sessions2, sessionDays2, rollCalls2,
+        votes2, members2, service2)
+      val bytes = VoteMatrix.toCsvBytes(out)
+      val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+      assert(java.util.Arrays.equals(bytes, orig),
+        s"$file: exportLong output diverges (${bytes.length} vs ${orig.length} bytes)")
+    }
+  }
+
   test("export bytes include conditional District/Party rows") {
     val csv = new String(VoteMatrix.toCsvBytes(long))
     val lines = csv.split("\r\n")
