@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.Tables.t
 import graft.votes.NameUdfs
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Coverage for SURVEY.md §2 operator ids whose home is the `graft.votes`
@@ -118,6 +119,49 @@ object Extras {
         .filter(col("event_type").isin("click", "purchase"))
         .groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- J9: as-of join (latest order at or before each event, per
+    //      customer) — tagged-union + window, one shuffle, no range probe
+    "j9_asof_join" -> Q(
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |            o_orderdate::timestamp + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts2
+        |           FROM orders)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ts2""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"),
+        col("o_orderkey").as("last_orderkey"),
+        expr("cast(o_orderdate as timestamp) + make_dt_interval(0, 0, 0, o_orderkey % 86400)")
+          .as("ts2"))
+      graft.operators.AsofJoin(ev, ord, "user_id", "ts", "ts2",
+          Seq("last_orderkey"))
+        .select("event_id", "user_id", "last_orderkey")
+    },
+
+    // ---- W4: ranking / lag / lead window family ------------------------
+    "w4_ranking_windows" -> Q(
+      """SELECT o_custkey, o_orderkey,
+        |       rank() OVER w AS rk,
+        |       dense_rank() OVER w AS drk,
+        |       lag(o_orderkey) OVER w AS prev_order,
+        |       lead(o_orderkey) OVER w AS next_order,
+        |       cast(sum(round(o_totalprice * 100)::BIGINT) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          sum(round(col("o_totalprice") * 100).cast("long")).over(wRun).as("run_cents"))
     },
 
     // ---- F18: semi-structured JSON extraction (events.props) -----------

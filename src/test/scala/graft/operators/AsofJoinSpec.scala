@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** As-of join semantics: latest-at-or-before per key, inclusive bound,
+  * null when nothing precedes, and unmatched-key behavior.
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("picks the latest right row at or before each left time") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 11:30:00"), 200.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "a"),  // between 10 and 11 → 100
+      (1L, ts("2024-01-01 11:00:00"), "b"),  // exactly 11 → inclusive → 110
+      (1L, ts("2024-01-01 09:00:00"), "c"),  // before any quote → null
+      (2L, ts("2024-01-01 12:00:00"), "d"),  // → 200
+      (3L, ts("2024-01-01 12:00:00"), "e")   // key with no quotes → null
+    ).toDF("key", "tts", "trade")
+
+    val out = AsofJoin(trades, quotes, "key", "tts", "qts", Seq("price"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out === Map(
+      "a" -> Some(100.0), "b" -> Some(110.0), "c" -> None,
+      "d" -> Some(200.0), "e" -> None))
+  }
+
+  test("left row count and columns are preserved") {
+    val left = Seq((1L, ts("2024-01-01 00:00:00"), "x", 7))
+      .toDF("key", "t", "payload", "extra")
+    val right = Seq((1L, ts("2023-12-31 00:00:00"), 1.5))
+      .toDF("key", "rt", "v")
+    val out = AsofJoin(left, right, "key", "t", "rt", Seq("v"))
+    assert(out.columns.toSeq === Seq("key", "t", "payload", "extra", "v"))
+    assert(out.count() === 1)
+    assert(out.head().getDouble(4) === 1.5)
+  }
+}
