@@ -141,6 +141,25 @@ object Extras {
         .select("event_id", "user_id", "last_orderkey")
     },
 
+    // ---- J10: range join (events inside 2-hour windows opened by each
+    //      signup) — binned equi-join, not a nested loop -----------------
+    "j10_range_join" -> Q(
+      """WITH w AS (SELECT event_id AS win_id, ts AS w_start,
+        |            ts + INTERVAL 2 HOUR AS w_end
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT w.win_id, count(*) AS n_events
+        |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+        |GROUP BY w.win_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.operators.RangeJoin(ev.select(col("ts")), "ts",
+          windows, "w_start", "w_end", binSeconds = 7200)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"))
+    },
+
     // ---- W4: ranking / lag / lead window family ------------------------
     "w4_ranking_windows" -> Q(
       """SELECT o_custkey, o_orderkey,
