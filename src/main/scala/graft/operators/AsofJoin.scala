@@ -35,6 +35,10 @@ object AsofJoin {
             leftTime: String, rightTime: String,
             rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!(leftCols ++ rightCols).exists(Set("_t", "_isLeft")),
+      "column names _t and _isLeft are reserved by AsofJoin")
+    require(rightCols.forall(right.columns.contains),
+      s"rightCols not all present on right side: $rightCols")
     // null placeholders must carry the other side's real types — a bare
     // NullType column would fail the union
     val l = left

@@ -31,6 +31,8 @@ object RangeJoin {
   def apply(left: DataFrame, leftTime: String, right: DataFrame,
             startCol: String, endCol: String, binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(!(left.columns ++ right.columns).contains("_bin"),
+      "column name _bin is reserved by RangeJoin")
     val lb = left.withColumn("_bin",
       floor(unix_timestamp(col(leftTime)) / binSeconds))
     val rb = right.withColumn("_bin", explode(sequence(

@@ -178,11 +178,13 @@ object Extras {
     "a13_rollup" -> Q(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |       coalesce(l_linestatus, 'ALL') AS status,
-        |       sum(cast(l_quantity AS bigint)) AS sum_qty, count(*) AS n
+        |       sum(cast(round(l_quantity) AS bigint)) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      // round() before the integer cast: DuckDB's double→bigint cast
+      // rounds while Spark's truncates — identical only via explicit round
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
