@@ -160,6 +160,16 @@ object Extras {
         .agg(count(lit(1)).as("n_events"))
     },
 
+    // ---- U4: intersect (engine completeness; the reference has none) ---
+    "u4_intersect" -> Q(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    },
+
     // ---- A12: ordered-set aggregates (exact percentiles / median) ------
     "a12_percentiles" -> Q(
       """SELECT l_returnflag,

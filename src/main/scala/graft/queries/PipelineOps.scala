@@ -238,6 +238,30 @@ object PipelineOps {
       drained.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
     },
 
+    // ---- T7 (streaming): watermarked exactly-once dedup ----------------
+    //      dropDuplicates on a stream keeps state per key until the
+    //      watermark passes — the streaming form of D1 for event streams
+    "t7_stream_dedup" -> Q(
+      """WITH d AS (SELECT DISTINCT event_id, user_id, event_type FROM
+        |           (SELECT event_id, user_id, event_type FROM events
+        |            UNION ALL SELECT event_id, user_id, event_type FROM events))
+        |SELECT user_id, count(*) AS n_unique FROM d GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val drained =
+        try {
+          val ev = EventStream.readEvents(s, dir)
+            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          // self-union the stream so there are real duplicates to drop
+          val doubled = ev.unionByName(ev)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates("event_id")
+          EventStream.runToMemory(doubled,
+            s"t7_stream_${streamSeq.incrementAndGet()}", mode = "append")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      drained.groupBy("user_id").agg(count(lit(1)).as("n_unique"))
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,
