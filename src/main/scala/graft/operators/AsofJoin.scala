@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the scale shape, not the nested-loop shape: tag and
   * union both sides, then one window pass per key ordered by time carries
-  * the latest right payload forward into each left row
-  * (`last(..., ignoreNulls)` over rows-unbounded-preceding). Cost is ONE
-  * shuffle on the key — no per-row range probe, no broadcast requirement,
-  * and skew follows the key distribution exactly like any keyed window.
-  * Right rows sort before left rows at equal timestamps, so t_left ==
-  * t_right matches (inclusive as-of, DuckDB ASOF `>=` semantics).
+  * the latest right PAYLOAD STRUCT forward into each left row. The struct
+  * matters: carrying columns individually with `last(..., ignoreNulls)`
+  * would skip a right row whose payload value is genuinely null (and could
+  * stitch different right rows together when several columns are carried) —
+  * one struct per right row keeps the as-of row atomic, nulls included.
+  * Cost is ONE shuffle on the key — no per-row range probe, no broadcast
+  * requirement, and skew follows the key distribution exactly like any
+  * keyed window. Right rows sort before left rows at equal timestamps, so
+  * t_left == t_right matches (inclusive as-of, DuckDB ASOF `>=`
+  * semantics). Null join keys never match (right null-key rows are
+  * dropped, left null-key rows get null payloads) — equi-join semantics.
   */
 object AsofJoin {
 
@@ -27,7 +32,8 @@ object AsofJoin {
     * @param rightTime event-time column on `right`; (key, rightTime) pairs
     *                  should be unique or the winner among ties is
     *                  unspecified
-    * @param rightCols right payload columns to carry onto each left row
+    * @param rightCols right payload columns to carry onto each left row;
+    *                  must not collide with `left`'s columns
     * @return `left` with `rightCols` appended (null when no right row is
     *         at or before the left time)
     */
@@ -35,32 +41,37 @@ object AsofJoin {
             leftTime: String, rightTime: String,
             rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!(leftCols ++ rightCols).exists(Set("_t", "_isLeft")),
-      "column names _t and _isLeft are reserved by AsofJoin")
+    require(!(leftCols ++ rightCols).exists(Set("_t", "_isLeft", "_rpay")),
+      "column names _t, _isLeft and _rpay are reserved by AsofJoin")
     require(rightCols.forall(right.columns.contains),
       s"rightCols not all present on right side: $rightCols")
-    // null placeholders must carry the other side's real types — a bare
-    // NullType column would fail the union
+    require(!rightCols.exists(leftCols.contains),
+      s"rightCols collide with left columns: ${rightCols.filter(leftCols.contains)}")
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val l = left
       .withColumn("_t", col(leftTime).cast("timestamp"))
       .withColumn("_isLeft", lit(true))
-      .withColumns(rightCols.map(c =>
-        c -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("_rpay", lit(null).cast(payloadType))
+    // null-key right rows can never match under equi-join semantics; left
+    // null-key rows survive with a null payload (their window partition
+    // contains no right rows)
     val r = right
-      .select((Seq(key, rightTime) ++ rightCols).distinct.map(col): _*)
-      .withColumn("_t", col(rightTime).cast("timestamp"))
-      .withColumn("_isLeft", lit(false))
-      .withColumns(leftCols.filterNot(c => c == key).map(c =>
+      .filter(col(key).isNotNull)
+      .select(col(key), col(rightTime).cast("timestamp").as("_t"),
+        lit(false).as("_isLeft"),
+        struct(rightCols.map(col): _*).as("_rpay"))
+      .withColumns(leftCols.filterNot(_ == key).map(c =>
         c -> lit(null).cast(left.schema(c).dataType)).toMap)
 
     // right-before-left at equal _t makes the as-of bound inclusive
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_isLeft"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
-      (df, c) =>
-        df.withColumn(c,
-          last(when(!col("_isLeft"), col(c)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_isLeft")).select((leftCols ++ rightCols).map(col): _*)
+    l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("_rpay",
+        last(when(!col("_isLeft"), col("_rpay")), ignoreNulls = true).over(w))
+      .filter(col("_isLeft"))
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"_rpay.$c").as(c)): _*)
   }
 }

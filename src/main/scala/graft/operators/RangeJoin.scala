@@ -28,16 +28,27 @@ object RangeJoin {
     * @return inner join of every (left, right) pair with
     *         leftTime ∈ [start, end]; all columns from both sides
     */
+  /** @param maxReplication runtime guard: an interval covering more than
+    *   this many bins fails loudly instead of silently exploding the right
+    *   side (one row per covered bin) — the symptom of a binSeconds far
+    *   smaller than the interval length.
+    */
   def apply(left: DataFrame, leftTime: String, right: DataFrame,
-            startCol: String, endCol: String, binSeconds: Long): DataFrame = {
+            startCol: String, endCol: String, binSeconds: Long,
+            maxReplication: Long = 10000L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     require(!(left.columns ++ right.columns).contains("_bin"),
       "column name _bin is reserved by RangeJoin")
+    val lo = floor(unix_timestamp(col(startCol)) / binSeconds)
+    val hi = floor(unix_timestamp(col(endCol)) / binSeconds)
     val lb = left.withColumn("_bin",
       floor(unix_timestamp(col(leftTime)) / binSeconds))
-    val rb = right.withColumn("_bin", explode(sequence(
-      floor(unix_timestamp(col(startCol)) / binSeconds),
-      floor(unix_timestamp(col(endCol)) / binSeconds))))
+    val rb = right.withColumn("_bin", explode(
+      when(hi - lo + 1 > maxReplication,
+        raise_error(concat(lit("RangeJoin: interval covers "),
+          (hi - lo + 1).cast("string"),
+          lit(s" bins > maxReplication=$maxReplication; raise binSeconds"))))
+        .otherwise(sequence(lo, hi))))
     lb.join(rb, Seq("_bin"))
       .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
       .drop("_bin")

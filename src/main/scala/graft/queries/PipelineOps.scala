@@ -252,10 +252,13 @@ object PipelineOps {
         try {
           val ev = EventStream.readEvents(s, dir)
             .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          // self-union the stream so there are real duplicates to drop
+          // self-union the stream so there are real duplicates to drop.
+          // dropDuplicatesWithinWatermark evicts per-id state once the
+          // watermark passes; plain dropDuplicates(id) without the event-
+          // time column would keep one state entry per id FOREVER.
           val doubled = ev.unionByName(ev)
             .withWatermark("ts", "1 hour")
-            .dropDuplicates("event_id")
+            .dropDuplicatesWithinWatermark("event_id")
           EventStream.runToMemory(doubled,
             s"t7_stream_${streamSeq.incrementAndGet()}", mode = "append")
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)

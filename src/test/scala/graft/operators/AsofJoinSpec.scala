@@ -35,6 +35,32 @@ class AsofJoinSpec extends SparkSpec {
       "d" -> Some(200.0), "e" -> None))
   }
 
+  test("null right payloads carry through; null keys never match") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("a")),
+      (1L, ts("2024-01-01 11:00:00"), None, Option("b")),       // null price IS the as-of value
+      (Option.empty[Long].getOrElse(-1L), ts("2024-01-01 09:00:00"), Option(7.0), Option("z"))
+    ).toDF("key", "qts", "price", "src")
+    val quotesWithNullKey = quotes.withColumn("key",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("key") === -1L, null)
+        .otherwise(org.apache.spark.sql.functions.col("key")))
+    val trades = Seq(
+      (Option(1L), ts("2024-01-01 12:00:00"), "t1"),
+      (Option.empty[Long], ts("2024-01-01 12:00:00"), "t2")     // null key → no match
+    ).toDF("key", "tts", "trade")
+
+    val out = AsofJoin(trades, quotesWithNullKey, "key", "tts", "qts",
+        Seq("price", "src"))
+      .collect().map(r => r.getString(2) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    // t1's as-of row is the 11:00 quote: price null AND src "b" — both
+    // fields from the SAME row, the null not skipped for an older price
+    assert(out("t1") === ((None, Some("b"))))
+    // t2 has a null key: must not pick up the null-key quote
+    assert(out("t2") === ((None, None)))
+  }
+
   test("left row count and columns are preserved") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "x", 7))
       .toDF("key", "t", "payload", "extra")
