@@ -167,9 +167,12 @@ object Similarity {
         .drop("_cc", "_rn", "_centroid")
     }
 
+    // row_number over cid keeps labels deterministic regardless of how the
+    // limit's partitions land (monotonically_increasing_id is stable only
+    // when the limit collapses to a single partition)
     var centroids = c.orderBy("cid").limit(nlist)
-      .select(col("_cv").as("_centroid"))
-      .withColumn("_cl", monotonically_increasing_id())
+      .select(col("_cv").as("_centroid"),
+        (row_number().over(Window.orderBy("cid")) - 1).cast("long").as("_cl"))
     for (_ <- 1 to iters) {
       val assigned = nearestCentroid(c, "_cv", centroids, 1)
       centroids = assigned

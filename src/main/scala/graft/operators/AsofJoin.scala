@@ -56,9 +56,12 @@ object AsofJoin {
       .withColumn("_rpay", lit(null).cast(payloadType))
     // null-key right rows can never match under equi-join semantics; left
     // null-key rows survive with a null payload (their window partition
-    // contains no right rows)
+    // contains no right rows). Null-TIME right rows are dropped too: a
+    // `>=` comparison with NULL never matches (DuckDB ASOF contract), but
+    // the window's nulls-first ordering would otherwise carry them into
+    // every left row that precedes any timestamped right row.
     val r = right
-      .filter(col(key).isNotNull)
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
       .select(col(key), col(rightTime).cast("timestamp").as("_t"),
         lit(false).as("_isLeft"),
         struct(rightCols.map(col): _*).as("_rpay"))

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** Stable scratch path under java.io.tmpdir, namespaced by pid so
+    * concurrent JVMs (verify vs bench) never collide; reused across
+    * invocations within a process (writers use overwrite mode).
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"${name}_${ProcessHandle.current().pid()}")
+    Files.createDirectories(p)
+    p.toString
+  }
+
   val entries: Map[String, Q] = Map(
 
     // ---- F1: chamber letter ↔ int codec (pa_legislature.py:7-23) -------
@@ -94,7 +105,10 @@ object Extras {
         .pivot("event_type", types)
         .agg(count(lit(1)))
         .na.fill(0)
-      val tmp = Files.createTempDirectory("graft_s5s7_").toString
+      // fixed per-process dir + overwrite mode: verify/bench invoke each
+      // query repeatedly, and a fresh createTempDirectory per call would
+      // accumulate full table copies in /tmp across cycles
+      val tmp = scratchDir("graft_s5s7")
       wide.write.mode("overwrite").option("header", "true").csv(tmp)
       val back = s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
       back.select(col("user_id"),
@@ -111,7 +125,7 @@ object Extras {
       """SELECT event_type, user_id, count(*) AS n
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val tmp = Files.createTempDirectory("graft_s10_").toString
+      val tmp = scratchDir("graft_s10")
       graft.sources.PartitionedStore.writePartitioned(
         t(s, dir, "events").select("event_id", "user_id", "event_type"),
         tmp, Seq("event_type"))
@@ -188,7 +202,8 @@ object Extras {
     "a13_rollup" -> Q(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |       coalesce(l_linestatus, 'ALL') AS status,
-        |       sum(cast(round(l_quantity) AS bigint)) AS sum_qty, count(*) AS n
+        |       cast(sum(cast(round(l_quantity) AS bigint)) AS bigint) AS sum_qty,
+        |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
       // round() before the integer cast: DuckDB's double→bigint cast
       // rounds while Spark's truncates — identical only via explicit round
@@ -227,7 +242,7 @@ object Extras {
     // ---- F18: semi-structured JSON extraction (events.props) -----------
     "f18_json_extract" -> Q(
       """SELECT user_id,
-        |       sum(cast(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS bigint) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
@@ -268,11 +283,18 @@ object Extras {
     },
 
     // ---- F4: name parsing — space form and "Last, First Suffix" comma
-    //      form (crawl.py:246-261) ---------------------------------------
+    //      form (crawl.py:246-261). Oracle mirrors Name.parse structurally
+    //      for the space form (last1 = LAST token, not token 2) so it stays
+    //      equivalent if the generator ever emits 3+-word names; last2 is
+    //      token 2 on both sides by construction (the comma form is built
+    //      from w2). Remaining data contract: suffix-free tokens (a
+    //      trailing "Jr."-like token would be parsed as suffix on the
+    //      Spark side only).
     "f4_parse_name" -> Q(
       """SELECT p_partkey,
         |       split_part(p_name, ' ', 1) AS first1,
-        |       split_part(p_name, ' ', 2) AS last1,
+        |       list_extract(string_split(p_name, ' '),
+        |                    len(string_split(p_name, ' '))) AS last1,
         |       split_part(p_name, ' ', 1) AS first2,
         |       split_part(p_name, ' ', 2) AS last2,
         |       'Jr.' AS suffix2

@@ -227,14 +227,13 @@ object PipelineOps {
       // A stream-stream join materializes ~4 state stores per shuffle
       // partition per microbatch; scope the partition count to the state
       // volume (tiny here) rather than the session's scan parallelism.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val drained =
-        try {
-          val joined = EventStream.clickPurchaseJoin(EventStream.readEvents(s, dir), 10)
-          EventStream.runToMemory(joined,
-            s"t6_stream_${streamSeq.incrementAndGet()}", mode = "append")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // The override lives on a cloned session (own SQLConf, shared
+      // SparkContext) so nothing concurrent on `s` ever observes it.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val joined = EventStream.clickPurchaseJoin(EventStream.readEvents(ss, dir), 10)
+      val drained = EventStream.runToMemory(joined,
+        s"t6_stream_${streamSeq.incrementAndGet()}", mode = "append")
       drained.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
     },
 
@@ -246,22 +245,20 @@ object PipelineOps {
         |           (SELECT event_id, user_id, event_type FROM events
         |            UNION ALL SELECT event_id, user_id, event_type FROM events))
         |SELECT user_id, count(*) AS n_unique FROM d GROUP BY user_id""".stripMargin) { (s, dir) =>
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val drained =
-        try {
-          val ev = EventStream.readEvents(s, dir)
-            .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          // self-union the stream so there are real duplicates to drop.
-          // dropDuplicatesWithinWatermark evicts per-id state once the
-          // watermark passes; plain dropDuplicates(id) without the event-
-          // time column would keep one state entry per id FOREVER.
-          val doubled = ev.unionByName(ev)
-            .withWatermark("ts", "1 hour")
-            .dropDuplicatesWithinWatermark("event_id")
-          EventStream.runToMemory(doubled,
-            s"t7_stream_${streamSeq.incrementAndGet()}", mode = "append")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // cloned session scopes the state-store partition override (see t6)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ev = EventStream.readEvents(ss, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      // self-union the stream so there are real duplicates to drop.
+      // dropDuplicatesWithinWatermark evicts per-id state once the
+      // watermark passes; plain dropDuplicates(id) without the event-
+      // time column would keep one state entry per id FOREVER.
+      val doubled = ev.unionByName(ev)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val drained = EventStream.runToMemory(doubled,
+        s"t7_stream_${streamSeq.incrementAndGet()}", mode = "append")
       drained.groupBy("user_id").agg(count(lit(1)).as("n_unique"))
     },
 

@@ -98,8 +98,8 @@ object Scalar {
         |       round(power(l_quantity, 2), 4) AS qty_sq,
         |       round(sqrt(l_extendedprice), 6) AS price_root,
         |       round(ln(l_extendedprice + 1), 6) AS price_ln,
-        |       ceil(l_quantity / 8) AS pallets,
-        |       floor(l_quantity / 8) AS full_pallets
+        |       cast(ceil(l_quantity / 8) AS bigint) AS pallets,
+        |       cast(floor(l_quantity / 8) AS bigint) AS full_pallets
         |FROM lineitem WHERE l_orderkey < 300""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 300)

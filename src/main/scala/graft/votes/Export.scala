@@ -95,12 +95,19 @@ object Export {
     * vote_data layout (dump.py:40-66).
     */
   def writeAll(spark: SparkSession, long: DataFrame, root: String): Unit = {
-    val groups = long.select("year", "chamber").distinct()
-      .orderBy("year", "chamber").collect()
-    for (g <- groups) {
-      val (y, c) = (g.getInt(0), g.getInt(1))
-      VoteMatrix.writeCsv(long.filter(col("year") === y && col("chamber") === c),
-        root, y, c)
-    }
+    // one upstream computation for the whole export: the per-group loop
+    // below filters `long` once per (year, chamber) — ~38 times at the
+    // reference shape — and without the persist each filter would re-run
+    // the full join pipeline above
+    val cached = long.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val groups = cached.select("year", "chamber").distinct()
+        .orderBy("year", "chamber").collect()
+      for (g <- groups) {
+        val (y, c) = (g.getInt(0), g.getInt(1))
+        VoteMatrix.writeCsv(cached.filter(col("year") === y && col("chamber") === c),
+          root, y, c)
+      }
+    } finally cached.unpersist()
   }
 }

@@ -62,7 +62,14 @@ object FindDuplicates {
       .select(col("a_id").as("id1"), col("b_id").as("id2"), col("kind"),
         col("_merged._1").as("m_first"), col("_merged._2").as("m_middle"),
         col("_merged._3").as("m_last"), col("_merged._4").as("m_suffix"))
-      .dropDuplicates("id1", "id2")
+      // a pair hit by BOTH blocks must resolve deterministically: the dob
+      // block's merged name wins (the reference computes service pairs
+      // first and lets dob pairs overwrite, find_duplicates.py:60-66)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id1", "id2")
+          .orderBy(when(col("kind") === "dob", 0).otherwise(1))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
   }
 
   final case class Merge(survivor: Long, absorbed: Seq[Long],

@@ -39,7 +39,11 @@ object MatchNames {
     * @return matches (year, chamber, name, member_id, method), plus the
     *         unmatched residue on both sides
     */
-  def run(spark: SparkSession, voterNames: DataFrame, roster: DataFrame): Result = {
+  /** Hard cap on pass-2 residue rows pulled to the driver; see [[run]]. */
+  val DefaultMaxResidue = 100000
+
+  def run(spark: SparkSession, voterNames: DataFrame, roster: DataFrame,
+          maxResidue: Int = DefaultMaxResidue): Result = {
     val probes = voterNames
       .withColumn("_p", parseProbe(col("name")))
       .withColumn("_block", lower(col("_p._3")))
@@ -88,21 +92,37 @@ object MatchNames {
       fuzzyMatches.select(col("year"), col("chamber"), col("member_id")),
       Seq("year", "chamber", "member_id"), "left_anti")
 
-    // ---- pass 2: substring fixed point on the driver (match_names.py:139-156)
-    val missingRows = missing1.select("year", "chamber", "name").collect()
+    // ---- pass 2: substring fixed point on the driver (match_names.py:139-156).
+    // The residue is per-group tiny under the reference's data model, but a
+    // degraded pass 1 (e.g. a broken blocking key matching nothing) would
+    // make these collects unbounded — head(cap+1) bounds driver memory and
+    // the require fails loudly with a diagnosis instead of OOMing.
+    val missingRows = missing1.select("year", "chamber", "name").head(maxResidue + 1)
+    require(missingRows.length <= maxResidue,
+      s"MatchNames pass 2: unmatched voter-name residue exceeds $maxResidue rows — " +
+        "pass 1 has degraded (check the blocking key / roster join); refusing " +
+        "the driver-side fixed point")
     val unmatchedRows = unmatched1
       .select(col("year"), col("chamber"), col("member_id"),
         upper(coalesce(col("last"), lit(""))).as("last_u"))
-      .collect()
+      .head(maxResidue + 1)
+    require(unmatchedRows.length <= maxResidue,
+      s"MatchNames pass 2: unmatched roster residue exceeds $maxResidue rows — " +
+        "pass 1 has degraded (check the blocking key / roster join); refusing " +
+        "the driver-side fixed point")
 
     val extra = Vector.newBuilder[Row]
     val groups = (missingRows.map(r => (r.getInt(0), r.getInt(1))) ++
       unmatchedRows.map(r => (r.getInt(0), r.getInt(1)))).distinct
+    // group the residue once; the previous shape rescanned both arrays per
+    // (year, chamber)
+    val missingByGroup = missingRows.toIndexedSeq.groupBy(r => (r.getInt(0), r.getInt(1)))
+    val unmatchedByGroup = unmatchedRows.toIndexedSeq.groupBy(r => (r.getInt(0), r.getInt(1)))
     for ((y, c) <- groups) {
       val missingNames = collection.mutable.LinkedHashSet[String](
-        missingRows.collect { case r if r.getInt(0) == y && r.getInt(1) == c => r.getString(2) }.toIndexedSeq: _*)
+        missingByGroup.getOrElse((y, c), IndexedSeq.empty).map(_.getString(2)): _*)
       val unmatchedByLast = collection.mutable.LinkedHashMap[String, List[Long]]()
-      for (r <- unmatchedRows if r.getInt(0) == y && r.getInt(1) == c)
+      for (r <- unmatchedByGroup.getOrElse((y, c), IndexedSeq.empty))
         unmatchedByLast(r.getString(3)) = unmatchedByLast.getOrElse(r.getString(3), Nil) :+ r.getLong(2)
 
       var changed = true

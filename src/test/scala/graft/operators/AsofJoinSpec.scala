@@ -35,6 +35,22 @@ class AsofJoinSpec extends SparkSpec {
       "d" -> Some(200.0), "e" -> None))
   }
 
+  test("null right times never match (NULL >= comparison semantics)") {
+    // a null-time right row would sort nulls-first in the carry window and
+    // leak its payload into left rows preceding any timestamped right row
+    val quotes = Seq(
+      (1L, None: Option[Timestamp], 666.0),
+      (1L, Option(ts("2024-01-01 11:00:00")), 110.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "early"), // precedes all real quotes → null
+      (1L, ts("2024-01-01 12:00:00"), "late")   // → 110, never 666
+    ).toDF("key", "tts", "trade")
+    val out = AsofJoin(trades, quotes, "key", "tts", "qts", Seq("price"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out === Map("early" -> None, "late" -> Some(110.0)))
+  }
+
   test("null right payloads carry through; null keys never match") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("a")),

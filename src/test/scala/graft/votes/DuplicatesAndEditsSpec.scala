@@ -36,9 +36,39 @@ class DuplicatesAndEditsSpec extends SparkSpec {
     val pairs = FindDuplicates.candidatePairs(members, service)
       .select("id1", "id2", "kind").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    assert(pairs.contains((1L, 2L, "service"))) // Mike/Michael Jones, same block
+    // Mike/Michael Jones hit BOTH blocks (same service block AND same dob);
+    // the dob kind wins deterministically (reference overwrite order)
+    assert(pairs.contains((1L, 2L, "dob")))
     assert(pairs.contains((4L, 5L, "dob")))     // same dob, suffix-lenient
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // Jane ≠ Mike/Michael
+  }
+
+  test("pair hit by both blocks resolves to dob deterministically; service-only stays") {
+    // 6/7: service block only (dob differs) → kind=service
+    // 8/9: overlapping service AND same dob → dob must win every run
+    val m2 = Seq(
+      (6L, Option(60L), None: Option[Long], None: Option[Long], None: Option[Long],
+        "Bob", null, "Stone", null, Option(Date.valueOf("1955-03-03"))),
+      (7L, None: Option[Long], Option(70L), None: Option[Long], None: Option[Long],
+        "Robert", null, "Stone", null, None: Option[Date]),
+      (8L, Option(80L), None: Option[Long], None: Option[Long], None: Option[Long],
+        "Tim", null, "Reed", null, Option(Date.valueOf("1966-06-06"))),
+      (9L, None: Option[Long], Option(90L), None: Option[Long], None: Option[Long],
+        "Timothy", null, "Reed", null, Option(Date.valueOf("1966-06-06")))
+    ).toDF("id", "house_archive_id", "house_current_id", "senate_archive_id",
+      "senate_current_id", "first", "middle", "last", "suffix", "dob")
+    val s2 = Seq(
+      (6L, 2020, Chamber.HOUSE, 2, "Democrat"),
+      (7L, 2020, Chamber.HOUSE, 2, "Democrat"),
+      (8L, 2020, Chamber.HOUSE, 4, "Democrat"),
+      (9L, 2020, Chamber.HOUSE, 4, "Democrat")
+    ).toDF("member_id", "year", "chamber", "district", "party")
+    val got = FindDuplicates.candidatePairs(m2, s2)
+      .select("id1", "id2", "kind").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got((6L, 7L)) == "service")
+    assert(got((8L, 9L)) == "dob")
+    assert(got.size == 2, "one row per pair after deterministic dedup")
   }
 
   test("merge keeps survivor with merged name, inherited ids, deduped service") {

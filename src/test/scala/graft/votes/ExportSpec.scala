@@ -152,6 +152,22 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("writeAll computes the long plan once, not once per group") {
+    import org.apache.spark.sql.functions.udf
+    val acc = spark.sparkContext.longAccumulator("export_scan_rows")
+    val tick = udf { (s: String) => acc.add(1); s }
+    val counted = long.withColumn("roll_name", tick($"roll_name"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_writeall_").toString
+    Export.writeAll(spark, counted, dir)
+    val n = long.count()
+    // persist means ≤ one UDF call per row (2n allows a re-materialization
+    // under cache eviction; the unpersisted shape was ≥ (groups+1) × n)
+    assert(acc.value <= 2 * n,
+      s"long plan recomputed per group: ${acc.value} UDF calls for $n rows")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "2023", "House.csv")))
+  }
+
   test("export bytes include conditional District/Party rows") {
     val csv = new String(VoteMatrix.toCsvBytes(long))
     val lines = csv.split("\r\n")

@@ -24,6 +24,16 @@ class MatchNamesSpec extends SparkSpec {
     names.map(n => (2023, Chamber.HOUSE, n))
       .toDF("year", "chamber", "name")
 
+  test("pass-2 residue over maxResidue fails loudly instead of OOMing the driver") {
+    // three unmatchable probes → residue 3 > cap 2; the guard must trip
+    // before the driver-side fixed point starts
+    val e = intercept[IllegalArgumentException] {
+      MatchNames.run(spark, namesDf("ZZZXA", "ZZZXB", "ZZZXC"), roster,
+        maxResidue = 2)
+    }
+    assert(e.getMessage.contains("residue exceeds"))
+  }
+
   test("bare last name matches when unique in block") {
     val r = MatchNames.run(spark, namesDf("HARKINS", "MERSKI"), roster)
     val m = r.matches.collect().map(x => x.getString(2) -> x.getLong(3)).toMap
