@@ -64,4 +64,116 @@ object LandingZone {
         explode(parseCalendarDays(col("value"))).as("md"))
       .select(col("year"), col("md._1").as("month"), col("md._2").as("day"))
       .withColumn("date", make_date(col("year"), col("month"), col("day")))
+
+  // ---- roll-call DataTable rows (crawl.py:151-167) ----------------------
+
+  /** page text → array of roll-call rows. The reference walks
+    * `table.DataTable > tbody > tr`, takes each row's FIRST link (asserting
+    * its id starts with RCLink), and reads the roll identity from the
+    * link's query params. Rows whose first link is not an RCLink are
+    * skipped here rather than crashing the job (the reference asserts;
+    * conscious fix — one malformed row must not kill a distributed parse).
+    */
+  val parseRollRows: UserDefinedFunction = udf { (page: String) =>
+    if (page == null) Array.empty[(Int, Int, Int, Int, String)]
+    else (for {
+      table <- MiniHtml.find(page, "table", MiniHtml.byClass("DataTable")).toSeq
+      tbody <- MiniHtml.find(table.inner, "tbody").toSeq
+      tr <- MiniHtml.findAll(tbody.inner, "tr")
+      a <- MiniHtml.findAll(tr.inner, "a").headOption
+        .filter(_.attrs.getOrElse("id", "").startsWith("RCLink")).toSeq
+      q = MiniHtml.queryParams(a.attrs.getOrElse("href", ""))
+      nbr <- q.get("rc_nbr").flatMap(_.toIntOption)
+      yr <- q.get("sess_yr").flatMap(_.toIntOption)
+      ind <- q.get("sess_ind").flatMap(_.toIntOption)
+      body <- q.get("rc_body")
+    } yield (nbr, yr, ind, graft.votes.Chamber.fromLetter(body),
+      a.text.trim)).toArray
+  }
+
+  /** Landing zone of per-day floor-vote pages (`.../<day_id>.html`) → one
+    * row per roll call, same schema as the `roll_calls` ingest.
+    */
+  def rollCalls(spark: SparkSession, dir: String): DataFrame =
+    readPages(spark, dir)
+      .withColumn("day_id",
+        regexp_extract(col("page_path"), """(\d+)\.html""", 1).cast("long"))
+      .select(col("day_id"), explode(parseRollRows(col("value"))).as("r"))
+      .select(col("day_id"), col("r._1").as("number"),
+        col("r._2").as("session_year"), col("r._3").as("session_index"),
+        col("r._4").as("chamber"), col("r._5").as("name"))
+
+  // ---- roll-page vote divs + time stamp (crawl.py:188-218) --------------
+
+  /** page text → array of (name, vote) pairs. The reference iterates every
+    * descendant div of `.RollCalls-ListContainer`, skips formatting divs
+    * (class starting "Column"), and for the rest reads child 1 (an
+    * element) as the vote letter and child 2 (a text node) as the name.
+    */
+  val parseVoteDivs: UserDefinedFunction = udf { (page: String) =>
+    if (page == null) Array.empty[(String, Int)]
+    else MiniHtml.find(page, "div", MiniHtml.byClass("RollCalls-ListContainer"))
+      .toArray.flatMap { container =>
+        MiniHtml.findAll(container.inner, "div")
+          .filterNot(_.classes.headOption.exists(_.startsWith("Column")))
+          .flatMap { d =>
+            val kids = MiniHtml.children(d.inner)
+            (kids.lift(1), kids.lift(2)) match {
+              case (Some(e: MiniHtml.Elem), Some(MiniHtml.Text(name))) =>
+                graft.votes.VoteCode.fromLetterOption(e.text.trim)
+                  .map(v => (name.trim, v))
+              case _ => None
+            }
+          }
+      }
+  }
+
+  /** page text → roll-call time stamp, or null when the side column does
+    * not carry the three info sections (crawl.py:208-218). The reference
+    * feeds `"{date} {time}"` to a permissive parser; the pages carry
+    * `MM/DD/YYYY` + `hh:mm a` (with a possible weekday prefix on the date).
+    */
+  val parseRollStamp: UserDefinedFunction = udf { (page: String) =>
+    if (page == null) null
+    else (for {
+      side <- MiniHtml.find(page, "div", MiniHtml.byClass("Column-OneFourth"))
+      sections = MiniHtml.children(side.inner).collect {
+        case e: MiniHtml.Elem if e.tag == "div" => e
+      }
+      info <- sections.lift(1)
+      infoSections = MiniHtml.children(info.inner).collect {
+        case e: MiniHtml.Elem if e.tag == "div" => e
+      }
+      if infoSections.length == 3
+      stamp <- parseUsStamp(
+        s"${infoSections(0).text.trim} ${infoSections(1).text.trim}")
+    } yield stamp).orNull
+  }
+
+  private[sources] def parseUsStamp(s: String): Option[java.sql.Timestamp] = {
+    // strip a leading weekday name if present ("Monday, 06/05/2023")
+    val cleaned = s.replaceAll("^[A-Za-z]+,\\s*", "").trim
+    val fmts = Seq("M/d/yyyy h:mm a", "M/d/yyyy H:mm", "M/d/yyyy h:mm:ss a")
+    fmts.iterator.flatMap { f =>
+      try {
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(f,
+          java.util.Locale.US)
+        Some(java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.parse(cleaned, fmt)))
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    }.nextOption()
+  }
+
+  /** Landing zone of per-roll pages (`.../<roll_id>.html`) → one row per
+    * individual vote plus the roll's stamp: the `votes` ingest.
+    */
+  def rollVotes(spark: SparkSession, dir: String): DataFrame =
+    readPages(spark, dir)
+      .withColumn("roll_id",
+        regexp_extract(col("page_path"), """(\d+)\.html""", 1).cast("long"))
+      .withColumn("stamp", parseRollStamp(col("value")))
+      .select(col("roll_id"), col("stamp"),
+        explode(parseVoteDivs(col("value"))).as("v"))
+      .select(col("roll_id"), col("v._1").as("name"), col("v._2").as("vote"),
+        col("stamp"))
 }

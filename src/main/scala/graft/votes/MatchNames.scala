@@ -173,6 +173,51 @@ object MatchNames {
         floor(lit(100) * col("n_matched") / (col("n_matched") + col("n_missing"))))
   }
 
+  /** The curator-facing diagnostic listing (match_names.py:192-221): for
+    * every group with unresolved residue, one row per finding —
+    *
+    *  - `ambiguous`: a vote name that EQUALS an unmatched member's
+    *    upper(last) yet stayed unresolved; one row per candidate member
+    *    (the listing a curator acts on, match_names.py:195-200);
+    *  - `unmatched_member`: an unmatched member whose upper(last) no
+    *    missing vote name claims (match_names.py:202-205);
+    *  - `unmatched_name`: a missing vote name matching no member's last
+    *    (match_names.py:216-217).
+    *
+    * `member_name` is the dict_to_name display ("First Middle Last
+    * Suffix"); null for `unmatched_name` rows.
+    */
+  def ambiguityReport(r: Result): DataFrame = {
+    val display = concat_ws(" ",
+      Seq("first", "middle", "last", "suffix").map(c => coalesce(col(c), lit(""))): _*)
+    // both frames share the Result's lineage — alias before the self-ish
+    // joins so attribute references stay unambiguous
+    val um = r.unmatchedMembers
+      .select(col("year"), col("chamber"), col("member_id"),
+        upper(coalesce(col("last"), lit(""))).as("_name"),
+        trim(regexp_replace(display, " +", " ")).as("member_name"))
+      .as("um")
+    val missing = r.missingNames.select("year", "chamber", "name").as("ms")
+    val onName = col("ms.year") === col("um.year") &&
+      col("ms.chamber") === col("um.chamber") && col("ms.name") === col("um._name")
+
+    val ambiguous = missing.join(um, onName)
+      .select(col("ms.year").as("year"), col("ms.chamber").as("chamber"),
+        col("ms.name").as("name"), lit("ambiguous").as("status"),
+        col("um.member_id").as("member_id"), col("um.member_name").as("member_name"))
+    val unmatchedMember = um.join(missing, onName, "left_anti")
+      .select(col("year"), col("chamber"), col("_name").as("name"),
+        lit("unmatched_member").as("status"), col("member_id"), col("member_name"))
+    val unmatchedName = missing.join(um, onName, "left_anti")
+      .select(col("year"), col("chamber"), col("name"),
+        lit("unmatched_name").as("status"),
+        lit(null).cast("long").as("member_id"),
+        lit(null).cast("string").as("member_name"))
+
+    ambiguous.unionByName(unmatchedMember).unionByName(unmatchedName)
+      .orderBy("year", "chamber", "name", "member_id")
+  }
+
   /** Write-back (S9, match_names.py:168-188): fill votes.member_id from the
     * matches, but only for (year, chamber) groups that resolved completely
     * (zero missing names AND zero unmatched members).

@@ -39,6 +39,10 @@ object VoteCode {
   private val fromLetterMap = toLetterMap.map(_.swap)
   def toLetter(v: Int): String = toLetterMap(v)
   def fromLetter(s: String): Int = fromLetterMap(s)
+  /** None for an unknown letter (the reference's Vote.from_letter raises;
+    * page parsers skip the row instead of killing a distributed job).
+    */
+  def fromLetterOption(s: String): Option[Int] = fromLetterMap.get(s)
   /** column codecs (F2); blank/NULL ↔ NULL */
   def fromLetterCol(c: Column): Column =
     when(c === "Y", YEA).when(c === "N", NAY)

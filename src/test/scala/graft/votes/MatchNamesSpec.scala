@@ -24,6 +24,27 @@ class MatchNamesSpec extends SparkSpec {
     names.map(n => (2023, Chamber.HOUSE, n))
       .toDF("year", "chamber", "name")
 
+  test("ambiguity report lists candidates per unresolved name, per reference roles") {
+    // SMITH is ambiguous (two Smith members, bare last can't resolve);
+    // DELROSSO never appears as a vote name → unmatched_member;
+    // NOSUCH matches nobody → unmatched_name. HARKINS resolves and must
+    // not appear at all.
+    val r = MatchNames.run(spark,
+      namesDf("HARKINS", "SMITH", "NOSUCH"),
+      roster.filter($"member_id".isin(1L, 4L, 5L, 8L)))
+    val rows = MatchNames.ambiguityReport(r).collect()
+      .map(x => (x.getString(2), x.getString(3), Option(x.get(4)),
+        Option(x.getAs[String]("member_name"))))
+
+    val ambiguous = rows.filter(_._2 == "ambiguous")
+    assert(ambiguous.map(_._3.get).toSet == Set(4L, 5L))
+    assert(ambiguous.map(_._4.get).toSet == Set("Michael Smith", "Jane Smith"))
+    assert(rows.filter(_._2 == "unmatched_member").map(t => (t._1, t._4.get)).toSeq ==
+      Seq(("DELROSSO", "Carrie A. Lewis DelRosso")))
+    assert(rows.filter(_._2 == "unmatched_name").map(_._1).toSeq == Seq("NOSUCH"))
+    assert(!rows.exists(_._1 == "HARKINS"))
+  }
+
   test("pass-2 residue over maxResidue fails loudly instead of OOMing the driver") {
     // three unmatchable probes → residue 3 > cap 2; the guard must trip
     // before the driver-side fixed point starts
