@@ -48,21 +48,32 @@ object Dedup {
     singles.unionByName(verified)
   }
 
+  /** (doc_id, distinct-shingle ARRAY): the per-document shingle set as one
+    * scalar column. `array_distinct` dedupes map-side — a global
+    * `(id, shingle)` DISTINCT would shuffle the whole shingled corpus to
+    * reach the same set (shingles never cross documents), which was the
+    * dominant cost of the exact Jaccard at bench scale.
+    */
+  def shingleSets(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    docs.where(size(words) >= n)
+      .select(col(idCol),
+        array_distinct(transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle_set"))
+  }
+
   /** (doc_id, shingle) pairs: distinct word n-grams per document,
     * expressed with native array functions (no UDF in the scan path).
     * Documents with fewer than n words produce NO shingles (only full
     * windows count) — same outcome as the DuckDB oracle, whose
     * out-of-range concatenation yields a NULL shingle that never joins.
+    * No shuffle: per-document dedup IS global (id, shingle) dedup.
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
-    val words = split(col(textCol), " ")
-    docs.where(size(words) >= n)
-      .select(col(idCol),
-        explode(transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
-      .distinct()
-  }
+               textCol: String = "text"): DataFrame =
+    shingleSets(docs, n, idCol, textCol)
+      .select(col(idCol), explode(col("shingle_set")).as("shingle"))
 
   /** All-pairs n-gram Jaccard over an equi-join on shared shingles.
     * Exact but quadratic in bucket size — the verifier for LSH and the
@@ -71,8 +82,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol)
-    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("_n"))
+    val sets = shingleSets(docs, n, idCol, textCol)
+    val sh = sets.select(col(idCol), explode(col("shingle_set")).as("shingle"))
+    // per-doc set size is a scalar of the set column — no aggregation pass
+    val counts = sets.select(col(idCol), size(col("shingle_set")).cast("long").as("_n"))
     // Inverted-index pair generation: group ids per shingle and expand the
     // ordered pairs from each posting list. One aggregation instead of a
     // shingle self-join — singleton shingles (the vast majority on web

@@ -70,6 +70,39 @@ object TextStats {
       size(expr(s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
         .as("bpe_ish_tokens"))
 
+  /** Gopher-style repetition signals, entirely as scalar array
+    * expressions — no explode, no shuffle, whole-stage-codegen friendly:
+    *
+    *  - `dup_word_frac`:  1 − |distinct words| / |words|
+    *  - `dup_2gram_frac`, `dup_3gram_frac`: duplicate n-gram fraction via
+    *    the same windowed-transform shingling as [[Dedup.shingleSets]]
+    *  - `top_word_frac`: share of the single most frequent word (computed
+    *    per-row over the distinct-word array — O(u·n) per doc, bounded by
+    *    document length, still cheaper than an explode+groupBy shuffle at
+    *    corpus scale)
+    *
+    * Ratios are exact integer divisions rounded to 6 digits for
+    * engine-portability.
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    def ngrams(n: Int): Column =
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " "))
+    def dupFrac(arr: Column): Column =
+      round(lit(1.0) - size(array_distinct(arr)) / size(arr).cast("double"), 6)
+    val topCount = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    docs.where(size(ws) >= 3).select(
+      col(idCol),
+      size(ws).as("n_words"),
+      dupFrac(ws).as("dup_word_frac"),
+      dupFrac(ngrams(2)).as("dup_2gram_frac"),
+      dupFrac(ngrams(3)).as("dup_3gram_frac"),
+      round(topCount / size(ws).cast("double"), 6).as("top_word_frac"))
+  }
+
   /** Winnowing document fingerprint: minimum of rolling polynomial k-gram
     * hashes per window — robust to small edits; UDF by design (stateful
     * rolling loop), one call per document.

@@ -19,13 +19,15 @@ object PipelineOps {
   /** Fan a small scan out to the cluster's parallelism. A table that
     * arrives as a handful of parquet splits (one, for the local test files)
     * would otherwise serialize every downstream per-row computation —
-    * shingling, hashing, fingerprinting — into as many tasks. No-op when
-    * the source already has enough splits, so it costs nothing at scale.
+    * shingling, hashing, fingerprinting — into as many tasks. The split
+    * count comes from the FILES (cheap listing), not `df.rdd` — asking the
+    * RDD would force a full physical plan per call.
     */
   private def fanOut(s: org.apache.spark.sql.SparkSession,
                      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val splits = df.inputFiles.length
+    if (splits > 0 && splits < par) df.repartition(par) else df
   }
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -184,6 +186,27 @@ object PipelineOps {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
         |FROM documents""".stripMargin) { (s, dir) =>
       TextStats.tokenCounts(docs(s, dir))
+    },
+
+    // ---- X5: Gopher-style repetition signals — scalar array math only,
+    //      no explode/shuffle; the per-doc filters any quality pipeline
+    //      applies before training (dup-ngram and top-word fractions) ----
+    "x5_repetition" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws,
+        |  list_transform(generate_series(0, len(ws) - 2),
+        |                 i -> array_to_string(list_slice(ws, i + 1, i + 2), ' ')) AS g2,
+        |  list_transform(generate_series(0, len(ws) - 3),
+        |                 i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) AS g3
+        |  FROM w WHERE len(ws) >= 3)
+        |SELECT doc_id, len(ws) AS n_words,
+        |  round(1.0 - len(list_distinct(ws)) / len(ws)::DOUBLE, 6) AS dup_word_frac,
+        |  round(1.0 - len(list_distinct(g2)) / len(g2)::DOUBLE, 6) AS dup_2gram_frac,
+        |  round(1.0 - len(list_distinct(g3)) / len(g3)::DOUBLE, 6) AS dup_3gram_frac,
+        |  round(list_max(list_transform(list_distinct(ws),
+        |        w -> len(list_filter(ws, x -> x = w)))) / len(ws)::DOUBLE, 6) AS top_word_frac
+        |FROM g""".stripMargin) { (s, dir) =>
+      TextStats.repetition(docs(s, dir))
     },
 
     // ---- X4: winnowing document fingerprint (rolling hash) -------------

@@ -109,4 +109,27 @@ class LlmSpec extends SparkSpec {
       col("stopword_ratio") > 1.0 || col("n_distinct_words") > col("n_words"))
     assert(bad.count() === 0)
   }
+
+  test("repetition signals on known degenerate and clean texts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),             // fully repeated
+      (2L, "one two three four"),  // fully distinct
+      (3L, "x y x y x y"),         // repeated 2-gram pattern
+      (4L, "ab")                   // < 3 words → dropped
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetition(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(4L))
+    assert(r(1L).getAs[Double]("dup_word_frac") === 0.75)      // 1 - 1/4
+    assert(r(1L).getAs[Double]("dup_2gram_frac") === round6(1 - 1.0 / 3))
+    assert(r(1L).getAs[Double]("top_word_frac") === 1.0)
+    assert(r(2L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(r(2L).getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(r(2L).getAs[Double]("top_word_frac") === 0.25)
+    assert(r(3L).getAs[Double]("dup_2gram_frac") === 0.6)      // 2 distinct of 5
+    assert(r(3L).getAs[Double]("dup_3gram_frac") === 0.5)      // 2 distinct of 4
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }
