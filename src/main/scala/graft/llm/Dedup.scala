@@ -111,6 +111,25 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Benchmark decontamination: per training document, the number of
+    * distinct word n-grams it shares with ANY benchmark document, plus a
+    * contamination flag at `minOverlap`. Eval sets are tiny next to a
+    * training corpus, so the benchmark shingle set broadcasts and the scan
+    * over the corpus stays shuffle-free until the final per-doc count
+    * (map-side combinable).
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int,
+                    minOverlap: Long, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val ds = shingles(docs, n, idCol, textCol)
+    val bs = broadcast(
+      shingles(bench, n, idCol, textCol).select("shingle").distinct())
+    ds.join(bs, "shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** Deterministic rehash family: the i-th hash of a base 64-bit hash is
     * xxhash64(base, i) — index-derived, no RNG, and no overflow under ANSI
     * arithmetic (an affine `a*h + b` family would overflow long multiply).

@@ -1,0 +1,39 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for data mixing: every sampling decision is a
+  * pure function of the row id, so a sample is reproducible across runs,
+  * engines and partitionings — no RNG state, no seed plumbing, and an
+  * external oracle can verify the exact membership.
+  */
+object Sampling {
+
+  /** 31-bit LCG step of the id — the portable stand-in for a hash that
+    * both Spark and a SQL oracle evaluate identically with plain integer
+    * arithmetic (no overflow at any realistic id).
+    */
+  def detHash(id: Column): Column =
+    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483648L))
+
+  /** Bernoulli-style sample: keep ids whose hash falls in the lowest
+    * `rate` fraction of the hash space. Map-only — no shuffle at all.
+    */
+  def hashSample(df: DataFrame, rate: Double, idCol: String = "doc_id"): DataFrame =
+    df.where(detHash(col(idCol)) < lit((rate * 2147483648.0).toLong))
+
+  /** Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
+    * deterministic reservoir-style stratified sampling. One shuffle on the
+    * stratum key; skewed strata cost what their size costs (the window is
+    * a per-group top-k, which Spark runs as a partial sort).
+    */
+  def stratified(df: DataFrame, strataCol: String, k: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+}

@@ -103,6 +103,29 @@ object TextStats {
       round(topCount / size(ws).cast("double"), 6).as("top_word_frac"))
   }
 
+  /** PII scrubbing for training corpora: redact emails, North-American
+    * phone numbers and IPv4 addresses with typed placeholder tokens, and
+    * count redactions per document. Pure regexp expressions in the scan
+    * path (codegen; RE2/Java-compatible patterns so an external oracle can
+    * reproduce them exactly).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipv4Re, "<IP>")
+        .as("clean_text"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(phoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(t, lit(ipv4Re), lit(0))).as("n_ips"))
+  }
+
   /** Winnowing document fingerprint: minimum of rolling polynomial k-gram
     * hashes per window — robust to small edits; UDF by design (stateful
     * rolling loop), one call per document.

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables.t
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Components, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,54 @@ object PipelineOps {
         |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // ---- D7: connected components over the near-dup pair graph — the
+    //      pairs→clusters step (distributed min-label propagation; oracle
+    //      = DuckDB recursive CTE over the SAME jaccard pair graph) ------
+    "d7_dedup_components" -> Q(
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |e AS (SELECT id1, id2 FROM p JOIN n n1 ON n1.doc_id = id1
+        |      JOIN n n2 ON n2.doc_id = id2
+        |      WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6),
+        |sym AS (SELECT id1 AS src, id2 AS dst FROM e
+        |        UNION SELECT id2, id1 FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+        |cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT component AS survivor,
+        |       list_sort(list(id)) AS members,
+        |       count(*) AS n_members
+        |FROM cc GROUP BY component""".stripMargin) { (s, dir) =>
+      Components.dedupClusters(
+        Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.6)
+          .select("id1", "id2"))
+    },
+
+    // ---- D6: benchmark decontamination — shared-shingle counts of every
+    //      training doc vs a (broadcast) benchmark subset ----------------
+    "d6_contamination" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |t AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, count(*) AS n_overlap, count(*) >= 5 AS contaminated
+        |FROM t JOIN b USING (s) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val all = docs(s, dir)
+      Dedup.contamination(
+        all.where(col("doc_id") % 50 =!= 0),
+        all.where(col("doc_id") % 50 === 0),
+        n = 3, minOverlap = 5)
     },
 
     // ---- D3: MinHash-LSH near-dup (scale path; validated vs D2 in specs)
@@ -207,6 +255,49 @@ object PipelineOps {
         |        w -> len(list_filter(ws, x -> x = w)))) / len(ws)::DOUBLE, 6) AS top_word_frac
         |FROM g""".stripMargin) { (s, dir) =>
       TextStats.repetition(docs(s, dir))
+    },
+
+    // ---- X6: PII scrubbing — deterministic synthetic PII is injected
+    //      into each doc (the corpus has none), then redacted + counted.
+    //      Both engines build and scrub the identical string. -------------
+    "x6_pii_scrub" -> Q(
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or 555-867-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' from 10.0.' || doc_id % 256 || '.1' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS clean_text,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
+        |FROM d""".stripMargin) { (s, dir) =>
+      val injected = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".1")).as("text"))
+      TextStats.piiScrub(injected)
+    },
+
+    // ---- X7: deterministic stratified sampling (data mixing): exactly
+    //      min(k, |stratum|) docs per source, membership a pure function
+    //      of doc_id — reproducible across runs/engines/partitionings ----
+    "x7_stratified_sample" -> Q(
+      """WITH h AS (SELECT doc_id, source,
+        |  (doc_id * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      Sampling.stratified(
+        docs(s, dir).select("doc_id", "source"), "source", k = 20)
     },
 
     // ---- X4: winnowing document fingerprint (rolling hash) -------------

@@ -132,4 +132,51 @@ class LlmSpec extends SparkSpec {
   }
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("PII scrub redacts emails, phones, IPs and counts them") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or call 555-123-4567"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 no mail"),
+      (3L, "clean text only")
+    ).toDF("doc_id", "text")
+    val r = TextStats.piiScrub(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("clean_text") ==
+      "mail me at <EMAIL> or call <PHONE>")
+    assert(r(1L).getAs[Int]("n_emails") == 1)
+    assert(r(1L).getAs[Int]("n_phones") == 1)
+    assert(r(2L).getAs[String]("clean_text") == "server <IP> and <IP> no mail")
+    assert(r(2L).getAs[Int]("n_ips") == 2)
+    assert(r(3L).getAs[String]("clean_text") == "clean text only")
+  }
+
+  test("stratified sampling is deterministic, exact-k, and partitioning-independent") {
+    val base = docs.select(col("doc_id"), col("source"))
+    val s1 = Sampling.stratified(base, "source", k = 10)
+    val s2 = Sampling.stratified(base.repartition(7), "source", k = 10)
+    val m1 = s1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(m1 == s2.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    val counts = s1.groupBy("source").count().collect()
+    assert(counts.forall(_.getLong(1) <= 10))
+    // rate sampling is a strict subset relation as rate grows
+    val a = Sampling.hashSample(base, 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(base, 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(b))
+    assert(a.nonEmpty && b.size > a.size)
+  }
+
+  test("contamination flags planted benchmark overlap and nothing else") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon other words here"), // 3 shared 3-grams
+      (2L, "totally different words with no overlap at all"),
+      (3L, "alpha beta gamma tail")                            // 1 shared 3-gram
+    ).toDF("doc_id", "text")
+    val r = Dedup.contamination(train, bench, n = 3, minOverlap = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == ((3L, true)))
+    assert(r(3L) == ((1L, false)))
+    assert(!r.contains(2L))
+  }
 }
