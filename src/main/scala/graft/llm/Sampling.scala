@@ -36,4 +36,20 @@ object Sampling {
       .where(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Data mixing under a per-stratum TOKEN budget: walk each stratum in
+    * deterministic hash order and keep documents while the running token
+    * total stays within `budget` — the "take ~N tokens per source" step of
+    * corpus assembly. A document that straddles the boundary is kept
+    * (budgets are soft); everything after it is dropped. Same single
+    * shuffle as [[stratified]].
+    */
+  def tokenBudget(df: DataFrame, strataCol: String, tokensCol: String,
+                  budget: Long, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+      .where(col("_cum") - col(tokensCol) < budget)
+      .drop("_cum")
+  }
 }

@@ -117,6 +117,18 @@ object Extras {
         .filter(col("n") > 0)
     },
 
+    // ---- S11: JSONL sink + source roundtrip — the interchange format
+    //      LLM corpora actually ship in; schema-on-read, one doc per line.
+    //      Oracle = the source-of-truth table (roundtrip must be exact). --
+    "s11_jsonl_roundtrip" -> Q(
+      """SELECT doc_id, text, lang, source FROM documents""".stripMargin) { (s, dir) =>
+      val tmp = scratchDir("graft_s11")
+      t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+        .json(tmp)
+    },
+
     // ---- S10 (scale layout): partitioned parquet sink + pruned read ----
     //      The 100 TB fact layout: write partitioned by the pruning key,
     //      read back with a partition filter → only matching directories

@@ -300,6 +300,21 @@ object PipelineOps {
         docs(s, dir).select("doc_id", "source"), "source", k = 20)
     },
 
+    // ---- X8: per-source token-budget mixing — deterministic hash-order
+    //      walk, keep docs while the running word total is under budget --
+    "x8_token_budget" -> Q(
+      """WITH h AS (SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
+        |  (doc_id * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY hh, doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        |SELECT doc_id, source, toks FROM c WHERE cum - toks < 2000""".stripMargin) { (s, dir) =>
+      Sampling.tokenBudget(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "source", "toks", budget = 2000)
+    },
+
     // ---- X4: winnowing document fingerprint (rolling hash) -------------
     "x4_fingerprint" -> Q.rowsOnly { (s, dir) =>
       docs(s, dir)

@@ -165,6 +165,21 @@ class LlmSpec extends SparkSpec {
     assert(a.nonEmpty && b.size > a.size)
   }
 
+  test("token budget keeps hash-order prefix incl. the straddling doc, per stratum") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), (4L, "a", 40L),
+      (10L, "b", 500L))
+      .toDF("doc_id", "source", "toks")
+    val kept = Sampling.tokenBudget(d, "source", "toks", budget = 100)
+      .collect().map(r => r.getLong(0)).toSet
+    // stratum a: hash order of ids 1..4; cumulative 40/80/120 → first THREE
+    // kept (third straddles), fourth dropped. stratum b: single 500-token
+    // doc straddles an empty budget → kept (soft budget).
+    val order = Seq(1L, 2L, 3L, 4L).sortBy(i => (1103515245L * i + 12345L) % 2147483648L)
+    assert(kept == Set(order(0), order(1), order(2), 10L))
+  }
+
   test("contamination flags planted benchmark overlap and nothing else") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
