@@ -13,10 +13,16 @@ object Sampling {
 
   /** 31-bit LCG step of the id — the portable stand-in for a hash that
     * both Spark and a SQL oracle evaluate identically with plain integer
-    * arithmetic (no overflow at any realistic id).
+    * arithmetic. The id is reduced mod 2^31 BEFORE the multiply so the
+    * product stays ≤ ~2.4e18 < Long.MaxValue for ANY 64-bit id (the raw
+    * `id * a` form overflows — an ANSI ARITHMETIC_OVERFLOW — above
+    * ~8.4e9). Ids are expected non-negative; for negative ids Spark's
+    * pmod and a SQL oracle's `%` disagree on sign, so membership would
+    * diverge from the oracle (pmod keeps the Spark side well-defined).
     */
   def detHash(id: Column): Column =
-    pmod(id * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    pmod(pmod(id, lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
 
   /** Bernoulli-style sample: keep ids whose hash falls in the lowest
     * `rate` fraction of the hash space. Map-only — no shuffle at all.
@@ -31,6 +37,8 @@ object Sampling {
     */
   def stratified(df: DataFrame, strataCol: String, k: Int,
                  idCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "column name _rn is reserved by Sampling.stratified")
     val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
@@ -46,6 +54,8 @@ object Sampling {
     */
   def tokenBudget(df: DataFrame, strataCol: String, tokensCol: String,
                   budget: Long, idCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.contains("_cum"),
+      "column name _cum is reserved by Sampling.tokenBudget")
     val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(tokensCol)).over(w))

@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Quantize a float-array embedding to exact integer milli-units
-    * (as doubles, so downstream arithmetic is still exact).
+    * (as doubles, so downstream arithmetic is still exact). The component
+    * is promoted to double BEFORE scaling: float×1000 in float precision
+    * can land on the other side of a .5 boundary than the oracle's double
+    * path and flip the quantized integer (seen once at sf0.1).
     */
-  def quantized(c: Column): Column = transform(c, x => round(x * 1000))
+  def quantized(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000))
 
   /** Exact dot product of two quantized vectors. Uses the native codegen
     * [[graft.functions.DotProduct]] when [[graft.plans.GraftExtensions]] is

@@ -27,7 +27,10 @@ object PipelineOps {
                      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val par = s.sparkContext.defaultParallelism
     val splits = df.inputFiles.length
-    if (splits > 0 && splits < par) df.repartition(par) else df
+    // < 2×par, not < par: Spark packs small files into fewer partitions
+    // than files (openCostInBytes), so `files == cores` can still plan as
+    // 1-2 tasks. Beyond 2×par the scan has real parallelism without help.
+    if (splits > 0 && splits < 2 * par) df.repartition(par) else df
   }
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -156,7 +159,7 @@ object PipelineOps {
     //      close" tail rather than true dups) ---------------------------
     "d5_embedding_neardup" -> Q(
       """WITH v AS (SELECT vec_id,
-        |            list_transform(embedding, x -> round(x * 1000)::DOUBLE) AS qv
+        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
         |           FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |       round(list_dot_product(a.qv, b.qv) /
@@ -172,10 +175,10 @@ object PipelineOps {
     // ---- E1: brute-force cosine top-k (exact ANN baseline) -------------
     "e1_ann_topk" -> Q(
       """WITH q AS (SELECT vec_id AS qid,
-        |            list_transform(embedding, x -> round(x * 1000)::DOUBLE) AS qv
+        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS cid,
-        |       list_transform(embedding, x -> round(x * 1000)::DOUBLE) AS cv
+        |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
         |      FROM embeddings),
         |sc AS (SELECT qid, cid,
         |        list_dot_product(qv, cv) /
@@ -291,7 +294,7 @@ object PipelineOps {
     //      of doc_id — reproducible across runs/engines/partitionings ----
     "x7_stratified_sample" -> Q(
       """WITH h AS (SELECT doc_id, source,
-        |  (doc_id * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
+        |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
         |r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
         |  FROM h)
@@ -304,7 +307,7 @@ object PipelineOps {
     //      walk, keep docs while the running word total is under budget --
     "x8_token_budget" -> Q(
       """WITH h AS (SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
-        |  (doc_id * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
+        |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
         |c AS (SELECT doc_id, source, toks,
         |  sum(toks) OVER (PARTITION BY source ORDER BY hh, doc_id
         |                  ROWS UNBOUNDED PRECEDING) AS cum FROM h)

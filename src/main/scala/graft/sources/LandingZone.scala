@@ -58,8 +58,10 @@ object LandingZone {
     */
   def calendarDays(spark: SparkSession, dir: String): DataFrame =
     readPages(spark, dir)
-      .withColumn("year",
-        regexp_extract(col("page_path"), """(\d{4})\.html""", 1).cast("int"))
+      .withColumn("year", {
+        val ex = regexp_extract(col("page_path"), """(\d{4})\.html""", 1)
+        when(ex =!= "", ex.cast("int"))
+      })
       .select(col("year"),
         explode(parseCalendarDays(col("value"))).as("md"))
       .select(col("year"), col("md._1").as("month"), col("md._2").as("day"))
@@ -86,9 +88,16 @@ object LandingZone {
       nbr <- q.get("rc_nbr").flatMap(_.toIntOption)
       yr <- q.get("sess_yr").flatMap(_.toIntOption)
       ind <- q.get("sess_ind").flatMap(_.toIntOption)
-      body <- q.get("rc_body")
-    } yield (nbr, yr, ind, graft.votes.Chamber.fromLetter(body),
-      a.text.trim)).toArray
+      ch <- q.get("rc_body").flatMap(graft.votes.Chamber.fromLetterOption)
+    } yield (nbr, yr, ind, ch, a.text.trim)).toArray
+  }
+
+  /** ANSI-safe numeric id from a page path: null (not a cast error) when
+    * the file name carries no digits before ".html".
+    */
+  private[sources] def idFromPath(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ex = regexp_extract(pathCol, """(\d+)\.html""", 1)
+    when(ex =!= "", ex.cast("long"))
   }
 
   /** Landing zone of per-day floor-vote pages (`.../<day_id>.html`) → one
@@ -97,7 +106,7 @@ object LandingZone {
   def rollCalls(spark: SparkSession, dir: String): DataFrame =
     readPages(spark, dir)
       .withColumn("day_id",
-        regexp_extract(col("page_path"), """(\d+)\.html""", 1).cast("long"))
+        idFromPath(col("page_path")))
       .select(col("day_id"), explode(parseRollRows(col("value"))).as("r"))
       .select(col("day_id"), col("r._1").as("number"),
         col("r._2").as("session_year"), col("r._3").as("session_index"),
@@ -170,7 +179,7 @@ object LandingZone {
   def rollVotes(spark: SparkSession, dir: String): DataFrame =
     readPages(spark, dir)
       .withColumn("roll_id",
-        regexp_extract(col("page_path"), """(\d+)\.html""", 1).cast("long"))
+        idFromPath(col("page_path")))
       .withColumn("stamp", parseRollStamp(col("value")))
       .select(col("roll_id"), col("stamp"),
         explode(parseVoteDivs(col("value"))).as("v"))

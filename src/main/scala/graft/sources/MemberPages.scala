@@ -34,13 +34,24 @@ object MemberPages {
       (a.trim.toInt to b.drop(1).trim.toInt).toSeq
     }
 
+  /** Chamber from the page FILE NAME (house_*.html / senate_*.html) — the
+    * basename only, never the full path: an ancestor directory containing
+    * "house" (e.g. a warehouse dir) must not reclassify every page.
+    */
+  private def chamberFromPath(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = element_at(split(pathCol, "/"), -1)
+    when(base.startsWith("house"), Chamber.HOUSE)
+      .when(base.startsWith("senate"), Chamber.SENATE)
+  }
+
   // ---- current member list (crawl.py:378-506) ---------------------------
 
   /** Selected SessYear option text (`\xa0` → space like crawl.py:401) →
     * the service year range for every member on the page.
     */
   val parseSessYears: UserDefinedFunction = udf { (page: String) =>
-    (for {
+    if (page == null) Array.empty[Int]
+    else (for {
       dropdown <- MiniHtml.find(page, "select", MiniHtml.byId("SessYear"))
       selected <- MiniHtml.findAll(dropdown.inner, "option")
         .find(_.attrs.contains("selected"))
@@ -97,9 +108,7 @@ object MemberPages {
   def memberList(spark: SparkSession, dir: String): DataFrame = {
     def n(c: String) = when(col(c) === "", lit(null)).otherwise(col(c))
     LandingZone.readPages(spark, dir)
-      .withColumn("chamber",
-        when(col("page_path").contains("house"), Chamber.HOUSE)
-          .when(col("page_path").contains("senate"), Chamber.SENATE))
+      .withColumn("chamber", chamberFromPath(col("page_path")))
       .withColumn("_years", parseSessYears(col("value")))
       .select(col("chamber"), col("_years"),
         explode(parseMemberList(col("value"))).as("m"))
@@ -150,9 +159,7 @@ object MemberPages {
   def archiveList(spark: SparkSession, dir: String): DataFrame = {
     def n(c: String) = when(col(c) === "", lit(null)).otherwise(col(c))
     LandingZone.readPages(spark, dir)
-      .withColumn("chamber",
-        when(col("page_path").contains("house"), Chamber.HOUSE)
-          .when(col("page_path").contains("senate"), Chamber.SENATE))
+      .withColumn("chamber", chamberFromPath(col("page_path")))
       .withColumn("_w_id",
         when(col("chamber") === Chamber.HOUSE, "portfolioPaginationWrapper")
           .otherwise(lit(null: String)))
@@ -232,11 +239,8 @@ object MemberPages {
     */
   def bioService(spark: SparkSession, dir: String): DataFrame =
     LandingZone.readPages(spark, dir)
-      .withColumn("chamber",
-        when(col("page_path").contains("house"), Chamber.HOUSE)
-          .when(col("page_path").contains("senate"), Chamber.SENATE))
-      .withColumn("archive_id",
-        regexp_extract(col("page_path"), """(\d+)\.html""", 1).cast("long"))
+      .withColumn("chamber", chamberFromPath(col("page_path")))
+      .withColumn("archive_id", LandingZone.idFromPath(col("page_path")))
       .withColumn("_bio", parseBio(col("value"), col("chamber")))
       .filter(col("_bio").isNotNull)
       .select(col("chamber"), col("archive_id"),
@@ -298,11 +302,13 @@ object Resolutions {
     val joined = members
       .withColumn("_abs_url", concat(lit(baseUrl), col(hrefCol)))
       .join(broadcast(resolutions), col("_abs_url") === col("url"), "left")
+    val idStr = regexp_extract(col("resolved"), """[?&]ID=(\d+)""", 1)
     joined
+      // the ID-param presence check matters: regexp_extract yields "" on a
+      // miss, and casting "" throws under ANSI instead of producing null
       .withColumn("archive_id",
-        when(col("resolved").contains("archives"),
-          regexp_extract(col("resolved"), """[?&]ID=(\d+)""", 1))
-          .cast("int"))
+        when(col("resolved").contains("archives") && idStr =!= "",
+          idStr.cast("int")))
       .drop("_abs_url", "url", "resolved")
   }
 }

@@ -53,25 +53,33 @@ object MiniHtml {
     val attrs = parseAttrs(if (tagEnd < 0) "" else head.substring(tagEnd))
     if (head.endsWith("/") || voidTags(tag))
       return Some((Elem(tag, attrs, ""), headEnd + 1))
-    // find the matching close tag, counting nested same-tag opens
+    // find the matching close tag, counting nested same-tag opens. A hit
+    // must be a real tag boundary, not a prefix (<tr vs <track) — false
+    // hits are SKIPPED AND RESCANNED, never allowed to short-circuit the
+    // other branch (a `<br` prefix hit before a genuine nested `<b>` must
+    // not make the scanner take the close-tag branch early).
+    def boundary(at: Int, len: Int): Boolean = {
+      val j = at + len
+      j < html.length && (html.charAt(j) == '>' || html.charAt(j) == '/' ||
+        html.charAt(j).isWhitespace)
+    }
+    def nextHit(needle: String, from: Int, skipLen: Int): Int = {
+      var at = html.indexOf(needle, from)
+      while (at >= 0 && !boundary(at, skipLen)) at = html.indexOf(needle, at + 1)
+      at
+    }
     var depth = 1
     var i = headEnd + 1
     while (depth > 0) {
-      val open = html.indexOf(s"<$tag", i)
-      val close = html.indexOf(s"</$tag", i)
+      val open = nextHit(s"<$tag", i, 1 + tag.length)
+      val close = nextHit(s"</$tag", i, 2 + tag.length)
       if (close < 0) return None
-      // an open hit must be a real tag boundary, not a prefix (e.g. <tr vs <track)
-      def boundary(at: Int, len: Int): Boolean = {
-        val j = at + len
-        j < html.length && (html.charAt(j) == '>' || html.charAt(j) == '/' ||
-          html.charAt(j).isWhitespace)
-      }
-      if (open >= 0 && open < close && boundary(open, 1 + tag.length)) {
+      if (open >= 0 && open < close) {
         depth += 1; i = open + 1
-      } else if (close >= 0 && boundary(close, 2 + tag.length)) {
+      } else {
         depth -= 1
         i = html.indexOf('>', close) match { case -1 => return None; case e => e + 1 }
-      } else i = close + 1
+      }
     }
     val innerEnd = html.lastIndexOf('<', i - 1)
     Some((Elem(tag, attrs, html.substring(headEnd + 1, innerEnd)), i))

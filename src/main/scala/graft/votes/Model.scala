@@ -8,6 +8,14 @@ import org.apache.spark.sql.types._
 object Chamber {
   val HOUSE = 1
   val SENATE = 2
+  /** None for anything else (page parsers skip the row; the strict
+    * [[fromLetter]] mirrors the reference's fatal codec).
+    */
+  def fromLetterOption(s: String): Option[Int] =
+    if (s == null) None
+    else if (s.toUpperCase.startsWith("H")) Some(HOUSE)
+    else if (s.toUpperCase.startsWith("S")) Some(SENATE)
+    else None
   def fromLetter(s: String): Int =
     if (s.toUpperCase.startsWith("H")) HOUSE
     else if (s.toUpperCase.startsWith("S")) SENATE

@@ -19,6 +19,15 @@ class MiniHtmlSpec extends AnyFunSuite {
     assert(MiniHtml.findAll(html, "td").map(_.inner) == Vector("1", "2"))
   }
 
+  test("false-prefix open hit before a real nested open does not truncate") {
+    // <br matches the "<b" needle: the scanner must skip it AND still see
+    // the genuine nested <b> that follows, closing at the SECOND </b>
+    val html = "<b>x<br>y<b>z</b>w</b>tail"
+    val e = MiniHtml.find(html, "b").get
+    assert(e.inner == "x<br>y<b>z</b>w")
+    assert(MiniHtml.findAll(html, "b").map(_.inner) == Vector("x<br>y<b>z</b>w", "z"))
+  }
+
   test("children interleaves elements with non-blank text nodes") {
     val kids = MiniHtml.children("""<input type="c"/><span>Y</span> ADAMS """)
     assert(kids.length == 3)
