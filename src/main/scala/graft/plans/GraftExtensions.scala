@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // free necessary-condition guard for levenshtein thresholds (see rule)
+    ext.injectOptimizerRule(_ => new LevenshteinPrefilter)
   }
 }
