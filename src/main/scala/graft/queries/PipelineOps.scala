@@ -394,6 +394,36 @@ object PipelineOps {
       drained.groupBy("user_id").agg(count(lit(1)).as("n_unique"))
     },
 
+    // ---- T8 (streaming ingest pipeline): quality-gate → watermarked
+    //      content dedup → per-source counts. The llm quality signals are
+    //      scalar expressions, so they run unchanged on a stream; the
+    //      doubled input makes the dedup state do real work (batch oracle:
+    //      doubling + exact dedup = the original set). ------------------
+    "t8_stream_quality" -> Q(
+      """SELECT source, count(*) AS n_docs FROM documents
+        |WHERE len(string_split(text, ' ')) >= 20
+        |  AND 1.0 - len(list_distinct(string_split(text, ' ')))
+        |        / len(string_split(text, ' '))::DOUBLE <= 0.8
+        |GROUP BY source""".stripMargin) { (s, dir) =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = ss.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .parquet(s"$dir/{documents.parquet}")
+      val ws = split(col("text"), " ")
+      val one = stream
+        .withColumn("ts",
+          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id"))))
+        .where(size(ws) >= 20 &&
+          (lit(1.0) - size(array_distinct(ws)) / size(ws).cast("double")) <= 0.8)
+      val doubled = one.unionByName(one)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("text")
+      val drained = EventStream.runToMemory(doubled,
+        s"t8_stream_${streamSeq.incrementAndGet()}", mode = "append")
+      drained.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,
