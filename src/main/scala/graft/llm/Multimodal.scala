@@ -72,4 +72,49 @@ object Multimodal {
         it.map { case (id, data) => decodeStub(data).copy(media_id = id) }
       }
   }
+
+  final case class Frame(media_id: Long, frame_idx: Int, offset: Long,
+                         frame_sum: Long)
+
+  /** Frame sampling (the video path): fixed-stride windows over the
+    * payload, one output row per sampled frame — a flatMap inside the same
+    * partition-batched stage, so the row explosion happens DISTRIBUTED
+    * (never a driver loop) and a real frame decoder drops into the window
+    * loop unchanged. Only full windows are emitted. `frame_sum` stands in
+    * for per-frame features.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int,
+                   maxFrames: Int, targetPartitions: Int = 0): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, data) =>
+          Iterator.range(0, maxFrames)
+            .map(i => (i, i.toLong * stride))
+            .takeWhile { case (_, off) => off + frameSize <= data.length }
+            .map { case (i, off) =>
+              var s = 0L
+              var j = off.toInt
+              while (j < off + frameSize) { s += data(j) & 0xFF; j += 1 }
+              Frame(id, i, off, s)
+            }
+        }
+      }
+  }
+
+  /** Resize stub (the image path): keep every `factor`-th byte — the
+    * stage shape of a real resize (smaller binary out, metadata updated in
+    * place, same batched stage). */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    val shrink = udf { (data: Array[Byte]) =>
+      Array.tabulate(data.length / factor)(i => data(i * factor))
+    }
+    media.withColumn("data", shrink(col("data")))
+      .withColumn("meta", struct(length(col("data")).cast("long").as("n_bytes"),
+        col("meta.source").as("source")))
+  }
 }

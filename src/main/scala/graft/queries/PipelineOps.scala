@@ -338,6 +338,20 @@ object PipelineOps {
         .toDF()
     },
 
+    // ---- M2: multimodal frame sampling (video path) — stride windows
+    //      over the payload, exploded distributed inside the batch stage -
+    "m2_frame_sample" -> Q(
+      """SELECT doc_id AS media_id, i AS frame_idx, i * 32 AS "offset",
+        |       list_sum(list_transform(generate_series(i * 32 + 1, i * 32 + 16),
+        |                p -> ascii(substr(text, p, 1))))::BIGINT AS frame_sum
+        |FROM documents, unnest(generate_series(0, 3)) AS u(i)
+        |WHERE i * 32 + 16 <= strlen(text)""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocs(docs(s, dir)),
+        frameSize = 16, stride = 32, maxFrames = 4, targetPartitions = 8)
+        .toDF()
+    },
+
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
     "t2_stream_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
