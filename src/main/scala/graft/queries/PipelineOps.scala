@@ -414,7 +414,7 @@ object PipelineOps {
     //      doubled input makes the dedup state do real work (batch oracle:
     //      doubling + exact dedup = the original set). ------------------
     "t8_stream_quality" -> Q(
-      """SELECT source, count(*) AS n_docs FROM documents
+      """SELECT source, count(DISTINCT text) AS n_docs FROM documents
         |WHERE len(string_split(text, ' ')) >= 20
         |  AND 1.0 - len(list_distinct(string_split(text, ' ')))
         |        / len(string_split(text, ' '))::DOUBLE <= 0.8
@@ -430,9 +430,12 @@ object PipelineOps {
           to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id"))))
         .where(size(ws) >= 20 &&
           (lit(1.0) - size(array_distinct(ws)) / size(ws).cast("double")) <= 0.8)
+      // dedup on (source, text), not text alone: the corpus plants dup
+      // texts ACROSS sources, and text-only dedup would attribute the
+      // surviving row to whichever source arrived first (nondeterministic)
       val doubled = one.unionByName(one)
         .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("text")
+        .dropDuplicatesWithinWatermark("source", "text")
       val drained = EventStream.runToMemory(doubled,
         s"t8_stream_${streamSeq.incrementAndGet()}", mode = "append")
       drained.groupBy("source").agg(count(lit(1)).as("n_docs"))

@@ -180,6 +180,25 @@ class LlmSpec extends SparkSpec {
     assert(kept == Set(order(0), order(1), order(2), 10L))
   }
 
+  test("frame sampling emits only full windows; resize shrinks payload and meta") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocs(Seq(
+      (1L, "a" * 100, "en", "s"),   // frames at 0,32,64 fit; 96+16 > 100
+      (2L, "b" * 10, "en", "s")     // shorter than one frame → none
+    ).toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length($"text")))
+    val frames = Multimodal.sampleFrames(media, frameSize = 16, stride = 32,
+      maxFrames = 4).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.offset)).toSet ==
+      Set((1L, 0, 0L), (1L, 1, 32L), (1L, 2, 64L)))
+    assert(frames.forall(_.frame_sum == 16L * 'a'.toInt))
+
+    val resized = Multimodal.resizeStub(media, factor = 4)
+      .select("media_id", "data", "meta.n_bytes").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1).length, r.getLong(2))).toMap
+    assert(resized(1L) == ((25, 25L)))
+    assert(resized(2L) == ((2, 2L)))
+  }
+
   test("contamination flags planted benchmark overlap and nothing else") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
