@@ -210,6 +210,22 @@ object Extras {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
     },
 
+    // ---- A14: cube (all grouping-set combinations) ---------------------
+    "a14_cube" -> Q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       cast(sum(cast(round(l_quantity) AS bigint)) AS bigint) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+    },
+
     // ---- A13: rollup (hierarchical subtotals) --------------------------
     "a13_rollup" -> Q(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
