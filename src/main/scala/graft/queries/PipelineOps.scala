@@ -340,14 +340,21 @@ object PipelineOps {
 
     // ---- M2: multimodal frame sampling (video path) — stride windows
     //      over the payload, exploded distributed inside the batch stage -
+    //      The oracle reads CHARS (substr/ascii) while the engine reads
+    //      BYTES, so both sides restrict to ASCII docs (strlen = length ⟺
+    //      no multi-byte chars) — exact for any future corpus, total on
+    //      this one. No fanOut here: sampleFrames repartitions itself, and
+    //      stacking a second shuffle would move every payload byte twice.
     "m2_frame_sample" -> Q(
       """SELECT doc_id AS media_id, i AS frame_idx, i * 32 AS "offset",
         |       list_sum(list_transform(generate_series(i * 32 + 1, i * 32 + 16),
         |                p -> ascii(substr(text, p, 1))))::BIGINT AS frame_sum
         |FROM documents, unnest(generate_series(0, 3)) AS u(i)
-        |WHERE i * 32 + 16 <= strlen(text)""".stripMargin) { (s, dir) =>
+        |WHERE i * 32 + 16 <= strlen(text) AND strlen(text) = length(text)""".stripMargin) { (s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.mediaFromDocs(docs(s, dir)),
+        Multimodal.mediaFromDocs(
+          t(s, dir, "documents")
+            .where(octet_length(col("text")) === length(col("text")))),
         frameSize = 16, stride = 32, maxFrames = 4, targetPartitions = 8)
         .toDF()
     },
@@ -425,9 +432,13 @@ object PipelineOps {
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .parquet(s"$dir/{documents.parquet}")
       val ws = split(col("text"), " ")
+      // ts spread bounded to 30 min — UNDER the 1-hour watermark — so the
+      // (source, text) duplicates stay within the dedup window no matter
+      // how the file source batches (a full-corpus ts spread only works
+      // while everything drains in one micro-batch)
       val one = stream
         .withColumn("ts",
-          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id"))))
+          to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id") % 1800)))
         .where(size(ws) >= 20 &&
           (lit(1.0) - size(array_distinct(ws)) / size(ws).cast("double")) <= 0.8)
       // dedup on (source, text), not text alone: the corpus plants dup

@@ -75,7 +75,11 @@ object MiniHtml {
       val close = nextHit(s"</$tag", i, 2 + tag.length)
       if (close < 0) return None
       if (open >= 0 && open < close) {
-        depth += 1; i = open + 1
+        // a self-closing same-tag child (<div/>) has no close tag and must
+        // not increment depth — it would orphan the real close
+        val he = html.indexOf('>', open)
+        if (he > 0 && html.charAt(he - 1) == '/') i = he + 1
+        else { depth += 1; i = open + 1 }
       } else {
         depth -= 1
         i = html.indexOf('>', close) match { case -1 => return None; case e => e + 1 }

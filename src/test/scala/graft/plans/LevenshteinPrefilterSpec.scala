@@ -34,11 +34,24 @@ class LevenshteinPrefilterSpec extends SparkSpec {
     val joined = customer.join(nation, expr("levenshtein(c_name, n_name) <= 5"))
     val joinPlan = joined.queryExecution.optimizedPlan.toString
     assert(joinPlan.contains("abs("), s"no guard in join plan:\n$joinPlan")
-    // semantics: guard never removes a row the predicate would keep
-    val k = 20
-    val withRule = customer.join(nation, expr(s"levenshtein(c_name, n_name) <= $k")).count()
-    val manual = customer.crossJoin(nation)
-      .filter(expr(s"levenshtein(c_name, n_name, $k) <= $k")).count()
+    // semantics: the guarded join keeps exactly the pairs a reference
+    // edit-distance computed OUTSIDE Spark keeps (a 3-arg levenshtein
+    // oracle would be tautological: it returns -1 above the threshold)
+    val k = 1
+    val c2 = customer.select(col("c_name").as("c2_name"))
+    val withRule = customer.join(c2, expr(s"levenshtein(c_name, c2_name) <= $k")).count()
+    val names = customer.select("c_name").collect().map(_.getString(0))
+    val nnames = names
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val manual = (for (a <- names; b <- nnames if lev(a, b) <= k) yield 1).size
+    assert(manual > 0 && manual < names.length.toLong * nnames.length,
+      "oracle must be non-trivial (some pairs in, some out)")
     assert(withRule == manual)
   }
 

@@ -28,6 +28,12 @@ class MiniHtmlSpec extends AnyFunSuite {
     assert(MiniHtml.findAll(html, "b").map(_.inner) == Vector("x<br>y<b>z</b>w", "z"))
   }
 
+  test("self-closing same-tag child does not break depth counting") {
+    val html = """<div class="outer"><div/><span>x</span></div>"""
+    val e = MiniHtml.find(html, "div", MiniHtml.byClass("outer")).get
+    assert(e.inner == "<div/><span>x</span>")
+  }
+
   test("children interleaves elements with non-blank text nodes") {
     val kids = MiniHtml.children("""<input type="c"/><span>Y</span> ADAMS """)
     assert(kids.length == 3)
