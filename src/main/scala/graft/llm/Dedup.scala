@@ -238,4 +238,44 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Chunk-level (paragraph) dedup: split each document into fixed
+    * non-overlapping word chunks, drop every chunk whose text occurs in at
+    * least `minDocs` distinct documents, and reassemble the surviving
+    * chunks in document order. Returns (id, clean_text, n_removed). This is
+    * the sub-document pass of a web-corpus pipeline — boilerplate and
+    * mirrored passages repeat across pages that are NOT near-duplicates as
+    * whole documents, so document-level dedup (exact/MinHash) never sees
+    * them.
+    *
+    * Scale shape: one shuffle keyed by chunk text for the document-
+    * frequency count (the shuffle payload is the corpus, once — the
+    * canonical cost of paragraph dedup), a same-key frequency join that
+    * reuses that exchange's partitioning, then one groupBy id to
+    * reassemble. No driver-side state, no all-pairs step, and frequency
+    * counting is map-side combinable.
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int, minDocs: Long,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nChunks = greatest(
+      ceil(size(ws) / lit(chunkWords.toDouble)).cast("int"), lit(1))
+    val chunks = docs
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))))
+      .toDF(idCol, "idx", "chunk")
+    val dupChunks = chunks.groupBy("chunk")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("chunk"), lit(1).as("_dup"))
+    chunks.join(dupChunks, Seq("chunk"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_dup").isNull, struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"),
+        count(col("_dup")).as("n_removed"))
+  }
 }

@@ -267,6 +267,49 @@ object Extras {
           sum(round(col("o_totalprice") * 100).cast("long")).over(wRun).as("run_cents"))
     },
 
+    // ---- W5: frame-bounded window family — moving average, quartile
+    //      buckets, distribution ranks, first/last in partition. Ordered
+    //      by event_id (unique) so Spark's µs and DuckDB's ns views of the
+    //      nanos timestamps can't order ties differently. ----------------
+    "w5_frame_windows" -> Q(
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            cast(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |       avg(cents) OVER (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mov_avg3,
+        |       cast(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS prk,
+        |       cume_dist() OVER w AS cd,
+        |       first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+        |       last_value(event_type) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_type
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val wMov = w.rowsBetween(-1, 1)
+      val wHead = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTail = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          avg(col("cents")).over(wMov).as("mov_avg3"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("event_type")).over(wHead).as("first_type"),
+          last_value(col("event_type")).over(wTail).as("last_type"))
+    },
+
+    // ---- S12: ORC sink + source roundtrip — the second columnar
+    //      interchange format; schema preserved, values exact. Oracle =
+    //      the source-of-truth table. ------------------------------------
+    "s12_orc_roundtrip" -> Q(
+      """SELECT doc_id, text, lang, source FROM documents""".stripMargin) { (s, dir) =>
+      val tmp = scratchDir("graft_s12")
+      t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    },
+
     // ---- F18: semi-structured JSON extraction (events.props) -----------
     "f18_json_extract" -> Q(
       """SELECT user_id,

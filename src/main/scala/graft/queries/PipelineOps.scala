@@ -142,6 +142,63 @@ object PipelineOps {
         n = 3, minOverlap = 5)
     },
 
+    // ---- D8: chunk-level (paragraph) dedup — drop every 8-word chunk
+    //      that repeats across >= 2 documents, reassemble the survivors.
+    //      The sub-document pass document-level dedup can't do. ----------
+    "d8_chunk_dedup" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, i - 1 AS idx,
+        |        array_to_string(list_slice(ws, (i - 1) * 8 + 1, least(i * 8, len(ws))), ' ') AS chunk
+        |      FROM w, unnest(generate_series(1, greatest(cast(ceil(len(ws) / 8.0) AS BIGINT), 1))) AS u(i)),
+        |f AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT c.*, c.chunk IN (SELECT chunk FROM f) AS dup FROM c)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
+        |       count(CASE WHEN dup THEN 1 END) AS n_removed
+        |FROM m GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.chunkDedup(docs(s, dir), chunkWords = 8, minDocs = 2)
+    },
+
+    // ---- D9: end-to-end dedup selection — near-dup pairs → connected
+    //      components → keep one survivor (min id) per cluster, emit the
+    //      surviving corpus. The step that actually SHRINKS the dataset. --
+    "d9_dedup_select" -> Q(
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |e AS (SELECT id1, id2 FROM p JOIN n n1 ON n1.doc_id = id1
+        |      JOIN n n2 ON n2.doc_id = id2
+        |      WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6),
+        |sym AS (SELECT id1 AS src, id2 AS dst FROM e
+        |        UNION SELECT id2, id1 FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+        |cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       d.doc_id IN (SELECT component FROM cc) AS cluster_rep
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val labels = Components.connectedComponents(
+        Dedup.jaccardPairs(d, n = 3, threshold = 0.6).select("id1", "id2"))
+      val removed = labels.where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val reps = labels.where(col("id") === col("component"))
+        .select(col("id").as("doc_id"), lit(true).as("_rep"))
+      d.select("doc_id", "source", "n_chars")
+        .join(removed, Seq("doc_id"), "left_anti")
+        .join(reps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(col("_rep"), lit(false)).as("cluster_rep"))
+    },
+
     // ---- D3: MinHash-LSH near-dup (scale path; validated vs D2 in specs)
     "d3_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, numHashes = 64,

@@ -199,6 +199,43 @@ class LlmSpec extends SparkSpec {
     assert(resized(2L) == ((2, 2L)))
   }
 
+  test("chunk dedup drops cross-doc repeats, keeps order, empties all-dup docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d u1 u2"),   // chunk "a b" and "c d" shared, tail unique
+      (2L, "a b c d v1 v2"),
+      (3L, "w1 w2 w3")         // fully unique, odd word count (partial chunk)
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(d, chunkWords = 2, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == (("u1 u2", 2L)))            // order kept, 2 chunks removed
+    assert(r(2L) == (("v1 v2", 2L)))
+    assert(r(3L) == (("w1 w2 w3", 0L)))         // partial tail chunk survives
+    // a doc that is ALL repeats reassembles to the empty string, not null
+    val all = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val e = Dedup.chunkDedup(all, chunkWords = 2, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(e(1L) == "" && e(2L) == "")
+    // within-doc repetition alone (one doc) does not count as cross-doc
+    val self = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val s2 = Dedup.chunkDedup(self, chunkWords = 2, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(s2(1L) == "a b a b")
+  }
+
+  test("dedup selection keeps exactly one survivor per near-dup cluster") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6).select("id1", "id2")
+    val labels = Components.connectedComponents(pairs)
+    val clustered = labels.count()                       // docs in any cluster
+    val clusters = labels.filter(col("id") === col("component")).count()
+    val total = docs.count()
+    // kept = untouched docs + one representative per cluster
+    val kept = total - clustered + clusters
+    val sel = graft.SparkEntry.queries("d9_dedup_select")(spark, dir)
+    assert(sel.count() === kept)
+    assert(sel.filter(col("cluster_rep")).count() === clusters)
+  }
+
   test("contamination flags planted benchmark overlap and nothing else") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
