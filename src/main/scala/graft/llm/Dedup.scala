@@ -250,10 +250,14 @@ object Dedup {
     *
     * Scale shape: one shuffle keyed by chunk text for the document-
     * frequency count (the shuffle payload is the corpus, once — the
-    * canonical cost of paragraph dedup), a same-key frequency join that
-    * reuses that exchange's partitioning, then one groupBy id to
-    * reassemble. No driver-side state, no all-pairs step, and frequency
-    * counting is map-side combinable.
+    * canonical cost of paragraph dedup). The flagging join's build side is
+    * only the chunks that PASSED the >= minDocs filter — a small fraction
+    * of the corpus, so it broadcasts (AQE falls back to a shuffle join if
+    * boilerplate volume is genuinely huge), and reassembly is one groupBy
+    * id. The corpus is chunked twice (frequency side + flag side) rather
+    * than persisted — recompute of a narrow map stage is cheaper than
+    * materializing the exploded corpus. No driver-side state, no
+    * all-pairs step, and frequency counting is map-side combinable.
     */
   def chunkDedup(docs: DataFrame, chunkWords: Int, minDocs: Long,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

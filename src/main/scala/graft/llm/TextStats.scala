@@ -70,6 +70,34 @@ object TextStats {
       size(expr(s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
         .as("bpe_ish_tokens"))
 
+  /** Self-trained unigram document-frequency score: the mean, over a
+    * document's token occurrences, of the fraction of corpus documents
+    * containing that token. High = built from corpus-common vocabulary;
+    * low = rare/garbage tokens. The zeroth-order analog of a
+    * perplexity-based quality filter, trained on the corpus itself — no
+    * external model. Exact integer sums with a single final division keep
+    * the double bit-identical across partitionings and engines.
+    *
+    * Scale: one token-keyed shuffle to build the document-frequency
+    * (vocabulary) table, one token-keyed join back — vocabulary is
+    * Zipf-small next to the corpus, so AQE broadcasts it when it fits —
+    * then one groupBy doc. The corpus size joins as a broadcast single
+    * row, never a driver-side collect.
+    */
+  def dfScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(words(col(textCol))).as("tok"))
+    val dfTab = tok.groupBy("tok").agg(count_distinct(col(idCol)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("_n")))
+    tok.join(dfTab, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("df").as("_sumdf"))
+      .crossJoin(nDocs)
+      .select(col(idCol), col("n_tokens"),
+        (col("_sumdf").cast("double") / (col("n_tokens") * col("_n")))
+          .as("df_score"))
+  }
+
   /** Gopher-style repetition signals, entirely as scalar array
     * expressions — no explode, no shuffle, whole-stage-codegen friendly:
     *

@@ -296,6 +296,21 @@ object PipelineOps {
       TextStats.tokenCounts(docs(s, dir))
     },
 
+    // ---- X9: self-trained unigram document-frequency quality score —
+    //      the zeroth-order, no-external-model analog of a perplexity
+    //      filter (mean doc-frequency of the doc's token occurrences) ----
+    "x9_df_quality" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, u.t AS tok FROM w, unnest(ws) AS u(t)),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |nd AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       cast(sum(df) AS BIGINT) * 1.0 / (count(*) * (SELECT n FROM nd)) AS df_score
+        |FROM tok JOIN df USING (tok)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.dfScore(docs(s, dir))
+    },
+
     // ---- X5: Gopher-style repetition signals — scalar array math only,
     //      no explode/shuffle; the per-doc filters any quality pipeline
     //      applies before training (dup-ngram and top-word fractions) ----
