@@ -210,6 +210,21 @@ object Extras {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
     },
 
+    // ---- A15: sketch aggregates — HLL++ distinct count and quantile-
+    //      sketch percentile. The constant-memory path when exact
+    //      distinct/percentile state would blow up at corpus scale; no
+    //      DuckDB-portable oracle (different sketch families), so the
+    //      error bounds vs the exact aggregates are asserted in
+    //      PropertiesSpec. ------------------------------------------------
+    "a15_approx_sketches" -> Q.rowsOnly { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- A14: cube (all grouping-set combinations) ---------------------
     "a14_cube" -> Q(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

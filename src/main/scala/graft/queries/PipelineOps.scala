@@ -161,7 +161,11 @@ object PipelineOps {
 
     // ---- D9: end-to-end dedup selection — near-dup pairs → connected
     //      components → keep one survivor (min id) per cluster, emit the
-    //      surviving corpus. The step that actually SHRINKS the dataset. --
+    //      surviving corpus. The step that actually SHRINKS the dataset.
+    //      Pairs here come from the EXACT jaccard op so the recursive-CTE
+    //      oracle sees the same graph; at corpus scale the drop-in pair
+    //      source is minhashLshPairs (d3), which LlmSpec shows reproduces
+    //      the exact pair set with high recall. ---------------------------
     "d9_dedup_select" -> Q(
       """WITH RECURSIVE
         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

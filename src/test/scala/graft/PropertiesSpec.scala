@@ -98,4 +98,28 @@ class PropertiesSpec extends SparkSpec {
         new String(bytes, StandardCharsets.UTF_8), s"case $ci not a fixed point")
     }
   }
+
+  test("sketch aggregates stay within error bounds of the exact aggregates") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = Tables.t(spark, dir, "events")
+    val approx = SparkEntry.queries("a15_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (u, p50)) <- exact) {
+      val (au, ap50) = approx(k)
+      // HLL++ default rsd is 5%; 3σ-ish slack
+      assert(math.abs(au - u) <= math.max(3, 0.15 * u),
+        s"$k: approx_users $au vs exact $u")
+      // percentile_approx at accuracy 10000 on ~20k rows/group: tight
+      val spread = ev.filter(col("event_type") === k)
+        .agg(expr("percentile(value, 0.55)") - expr("percentile(value, 0.45)"))
+        .head().getDouble(0)
+      assert(math.abs(ap50 - p50) <= math.max(1e-6, spread),
+        s"$k: p50 $ap50 vs exact $p50")
+    }
+  }
 }
