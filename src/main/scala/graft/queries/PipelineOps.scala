@@ -528,6 +528,29 @@ object PipelineOps {
       drained.groupBy("source").agg(count(lit(1)).as("n_docs"))
     },
 
+    // ---- T9 (streaming sink pattern): incremental materialized view —
+    //      update-mode agg merged into a versioned parquet store via
+    //      foreachBatch + Upsert; the streaming form of the reference's
+    //      crawl-upsert loop. Oracle: the batch aggregation the store
+    //      must converge to. ----------------------------------------------
+    "t9_stream_materialize" -> Q(
+      """SELECT user_id, event_type, count(*) AS n,
+        |       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // fresh store+checkpoint per call: a reused checkpoint would make
+      // AvailableNow see no new files and run zero batches
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_t9_store")
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      EventStream.materializedCounts(ss, dir, root.toString)
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,

@@ -46,4 +46,40 @@ class CheckpointSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).count() === 150)
   }
+
+  test("foreachBatch materialized view merges across genuine micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = Files.createTempDirectory("mat_src_").toString
+    val store = Files.createTempDirectory("mat_store_").toString
+    // three files × maxFilesPerTrigger=1 → three micro-batches, so the
+    // upsert path genuinely merges (a single batch would never exercise it)
+    Seq((1L, "a", 10L), (1L, "b", 5L)).toDF("k", "g", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, "a", 20L), (2L, "a", 7L)).toDF("k", "g", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, "a", 30L), (2L, "b", 1L)).toDF("k", "g", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    val agg = ss.readStream
+      .schema("k BIGINT, g STRING, v BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .groupBy("k", "g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val result = EventStream.materialize(agg, Seq("k", "g"), s"$store/root")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // final store == batch aggregation over all three files
+    assert(result === Map(
+      (1L, "a") -> ((3L, 60L)),
+      (1L, "b") -> ((1L, 5L)),
+      (2L, "a") -> ((1L, 7L)),
+      (2L, "b") -> ((1L, 1L))))
+    // the store went through >1 version (several micro-batches merged)
+    val versions = new java.io.File(s"$store/root").listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length > 1, s"expected multiple store versions, got ${versions.toSeq}")
+  }
 }
