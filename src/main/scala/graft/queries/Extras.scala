@@ -28,7 +28,39 @@ object Extras {
     p.toString
   }
 
+  /** One SQL text, two engines: the `spark.sql` frontend entry runs this
+    * string verbatim on Spark over temp views AND as its own DuckDB
+    * oracle — portability of the dialect subset (ANSI joins, CTE, window,
+    * HAVING-free cents-exact aggregation) is itself the assertion. The
+    * only dialect guards: explicit BIGINT casts where DuckDB widens
+    * (HUGEINT sums, BIGINT rank).
+    */
+  private val sql1Text: String =
+    """WITH rev AS (
+      |  SELECT n_name, year(o_orderdate) AS o_year,
+      |         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |         count(*) AS n_items
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, year(o_orderdate)
+      |)
+      |SELECT n_name, o_year, rev_cents, n_items,
+      |       cast(rank() OVER (PARTITION BY o_year ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rk
+      |FROM rev""".stripMargin
+
   val entries: Map[String, Q] = Map(
+
+    // ---- SQL1: the spark.sql entry point — temp views + the same SQL
+    //      text the oracle runs. Catalyst plans it identically to the
+    //      DataFrame form (broadcast dims, partial aggs), which is the
+    //      point: SQL is a frontend, not a different engine. -------------
+    "sql1_frontend" -> Q(sql1Text) { (s, dir) =>
+      Seq("lineitem", "orders", "customer", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sql1Text)
+    },
 
     // ---- F1: chamber letter ↔ int codec (pa_legislature.py:7-23) -------
     "f1_chamber_codec" -> Q(

@@ -272,6 +272,38 @@ object PipelineOps {
         .select("query_id", "neighbor_id", "rank")
     },
 
+    // ---- E4: per-label centroid aggregation — the class-prototype /
+    //      IVF-training primitive. Quantize to integers first so the
+    //      elementwise mean is sum_int/count — exact under any partition
+    //      or accumulation order (a float sum would be order-dependent).
+    //      Distributed shape: posexplode to (label, pos, q) — dim×rows,
+    //      map-side combinable — one shuffle on (label, pos), reassemble
+    //      per label. ----------------------------------------------------
+    "e4_label_centroids" -> Q(
+      """WITH v AS (SELECT label,
+        |            list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |u AS (SELECT label, i - 1 AS pos, qv[i] AS q
+        |      FROM v, unnest(generate_series(1, len(qv))) AS t(i)),
+        |c AS (SELECT label, pos, cast(sum(q) AS BIGINT) * 1.0 / count(*) AS m,
+        |             count(*) AS n
+        |      FROM u GROUP BY 1, 2)
+        |SELECT label, list(m ORDER BY pos) AS centroid, min(n) AS n_vecs
+        |FROM c GROUP BY label""".stripMargin) { (s, dir) =>
+      fanOut(s, t(s, dir, "embeddings"))
+        .select(col("label"), posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long"))))
+        .toDF("label", "pos", "q")
+        .groupBy("label", "pos")
+        .agg((sum("q").cast("double") / count(lit(1))).as("m"),
+          count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("centroid"),
+          min("n").as("n_vecs"))
+    },
+
     // ---- X1: language ID (stopword-marker heuristic) -------------------
     "x1_langid" -> Q(langIdOracle) { (s, dir) =>
       docs(s, dir)
