@@ -228,6 +228,66 @@ object Extras {
         .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
     },
 
+    // ---- J11: co-bucketed shuffle-free join — both sides persisted as
+    //      same-bucketed managed tables, so the sort-merge join reads
+    //      co-located buckets with ZERO exchanges (require()d on the
+    //      plan: verify fails loudly on regression). The layout answer
+    //      to "this fact-fact join shuffles 100 TB nightly". ------------
+    "j11_bucketed_join" -> Q(
+      """SELECT o_orderstatus, count(*) AS n,
+        |       cast(sum(cast(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import graft.sources.PartitionedStore
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      PartitionedStore.writeBucketed(o, "j11_orders", 8, Seq("o_orderkey"))
+      PartitionedStore.writeBucketed(li, "j11_lineitem", 8, Seq("o_orderkey"))
+      val joined = PartitionedStore.bucketedJoin(
+        s, "j11_orders", "j11_lineitem", Seq("o_orderkey"))
+      require(PartitionedStore.shuffleFree(joined),
+        "bucketed join must plan without exchanges")
+      joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+    },
+
+    // ---- U5: EXCEPT ALL / INTERSECT ALL (multiset semantics — bag
+    //      difference keeps multiplicity, unlike U1's anti-join) ---------
+    "u5_except_all" -> Q(
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+        |EXCEPT ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_returnflag") === "N").select("l_orderkey")
+        .exceptAll(li.filter(col("l_linestatus") === "F").select("l_orderkey"))
+    },
+
+    // ---- F20: higher-order array functions in the scan path — the
+    //      codegen-friendly alternative to a UDF for per-row array math
+    //      (aggregate/reduce, zip_with, filter, exists) -----------------
+    "f20_higher_order" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |       cast(list_sum(list_transform(ws, x -> strlen(x))) AS BIGINT) AS total_chars,
+        |       len(list_filter(ws, x -> strlen(x) > 4)) AS n_long,
+        |       list_has_any(ws, ['spark', 'table']) AS mentions_engine,
+        |       cast(list_sum(list_transform(generate_series(1, len(ws)),
+        |            i -> CASE WHEN ws[i] = ws[len(ws) - i + 1] THEN 1 ELSE 0 END)) AS BIGINT) AS n_palindrome_pos
+        |FROM w""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(transform(ws, x => length(x)), lit(0L),
+            (acc, x) => acc + x).as("total_chars"),
+          size(filter(ws, x => length(x) > 4)).as("n_long"),
+          exists(ws, x => x === "spark" || x === "table").as("mentions_engine"),
+          aggregate(zip_with(ws, reverse(ws),
+              (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L),
+            (acc, x) => acc + x).as("n_palindrome_pos"))
+    },
+
     // ---- A12: ordered-set aggregates (exact percentiles / median) ------
     "a12_percentiles" -> Q(
       """SELECT l_returnflag,
