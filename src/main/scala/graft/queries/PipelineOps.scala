@@ -347,6 +347,25 @@ object PipelineOps {
       TextStats.dfScore(docs(s, dir))
     },
 
+    // ---- X10: text normalization — the canonical pre-dedup stage
+    //      (lowercase, strip punctuation/digits, collapse whitespace) so
+    //      near-dup hashing keys on content, not formatting. Pure scalar
+    //      scan-path expressions; Dedup.exact then keys on the normalized
+    //      column (its engine-internal xxhash64 has no DuckDB analog, so
+    //      the oracle checks the normalized TEXT, the portable part). ----
+    "x10_normalize" -> Q(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS norm,
+        |  strlen(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+        |       ' +', ' ', 'g'))) AS n_chars_norm
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " "))
+      docs(s, dir).select(col("doc_id"), norm.as("norm"),
+        length(norm).as("n_chars_norm"))
+    },
+
     // ---- X5: Gopher-style repetition signals — scalar array math only,
     //      no explode/shuffle; the per-doc filters any quality pipeline
     //      applies before training (dup-ngram and top-word fractions) ----
