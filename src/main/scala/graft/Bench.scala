@@ -37,7 +37,9 @@ object Bench {
     // (graft.TimeOne) at 0.46s / ~1.0s warm — host noisy-neighbor window,
     // not plan cost; nation auto-broadcasts in j3 (25 rows << threshold).
     val notes = "\"best-of-2 per query; multi-second host noise spikes possible; " +
-      "j3/j5 isolated warm times 0.46s/1.0s (TimeOne)\""
+      "j3/j5 isolated warm times 0.46s/1.0s (TimeOne); slowest entries " +
+      "(d2/d7/d9) are the deliberately-exact dedup verifiers + iterative " +
+      "connected components — their scale paths are d3 (LSH) and d8\""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"notes":$notes,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -264,6 +264,23 @@ object Extras {
         .exceptAll(li.filter(col("l_linestatus") === "F").select("l_orderkey"))
     },
 
+    // ---- U6: LEFT SEMI join as a first-class query — the existence
+    //      filter the library uses internally (Completeness gate, d1
+    //      dedup verify, e2 recall) surfaced with an EXISTS oracle.
+    //      Semi-join never duplicates or widens the probe side, so at
+    //      100 TB it shuffles only the join keys of the build side. ----
+    "u6_semi_join" -> Q(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val keys = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(keys, Seq("c_custkey"), "left_semi").select("c_custkey", "c_name")
+    },
+
     // ---- F20: higher-order array functions in the scan path — the
     //      codegen-friendly alternative to a UDF for per-row array math
     //      (aggregate/reduce, zip_with, filter, exists) -----------------

@@ -29,6 +29,22 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("filter and projection push down to the parquet scan") {
+    // The scan, not a downstream Filter node, must do the work: a plan
+    // that reads all columns for a 2-column projection is wrong at 100 TB.
+    val li = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = li.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.replaceAll("\\s", "").contains("GreaterThan(l_quantity"),
+      s"predicate not pushed to parquet:\n$scan")
+    val readSchema = "ReadSchema:.*".r.findFirstIn(scan).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && !readSchema.contains("l_comment"),
+      s"scan should read only projected columns, got: $readSchema")
+  }
+
   test("co-bucketed tables join with zero shuffle exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
