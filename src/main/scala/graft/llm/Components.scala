@@ -20,7 +20,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Each round is one shuffle join + one aggregation; intermediate labels
   * are persisted and the lineage cut per round (localCheckpoint) so the
-  * plan doesn't grow exponentially with iterations.
+  * plan doesn't grow exponentially with iterations. Convergence detection
+  * rides the same aggregation: each node's own row carries its previous
+  * label through the min-agg, so "did anything change" is a filter+count
+  * over the checkpointed round output — no second O(V) join per round.
   */
 object Components {
 
@@ -41,15 +44,21 @@ object Components {
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        // min over the closed neighborhood: own label ∪ neighbors' labels
+        // min over the closed neighborhood: own label ∪ neighbors' labels.
+        // Own rows carry their current label in `old` (neighbors carry a
+        // typed null, which min() ignores), so the previous label survives
+        // the aggregation and change detection is a local filter+count.
+        val own = labels.select(col("id"), col("component"),
+          col("component").as("old"))
         val viaEdges = sym.join(labels, sym("dst") === labels("id"))
-          .select(col("src").as("id"), col("component"))
-        val next = labels.unionByName(viaEdges)
-          .groupBy("id").agg(min(col("component")).as("component"))
+          .select(col("src").as("id"), col("component"),
+            when(lit(false), col("component")).as("old"))
+        val next = own.unionByName(viaEdges)
+          .groupBy("id")
+          .agg(min(col("component")).as("component"), min(col("old")).as("old"))
           .localCheckpoint(true)
-        val changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.component") =!= col("o.component")).count()
-        labels = next
+        val changed = next.filter(col("component") =!= col("old")).count()
+        labels = next.select("id", "component")
         converged = changed == 0
         iter += 1
       }
