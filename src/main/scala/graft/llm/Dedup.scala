@@ -130,6 +130,46 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-prefiltered decontamination — identical results to
+    * [[contamination]], different scale shape. [[contamination]] broadcasts
+    * the benchmark shingle STRINGS and probes them with a join; once the
+    * benchmark side grows past broadcast size (dozens of eval suites), the
+    * confirm join becomes a shuffle whose corpus side is EVERY shingle in
+    * the training set. The fix is semi-join reduction: build a Bloom filter
+    * over the benchmark shingle hashes on the driver (a few bits per
+    * shingle at 1% fpp — orders of magnitude smaller than the strings),
+    * probe it map-side over the corpus scan, and let only might-match
+    * shingles reach the shuffle. The exact confirm join on the shingle
+    * string then removes Bloom false positives (and xxhash64 collisions),
+    * so the output is bit-identical to the exact operator: the shuffle
+    * payload drops from |corpus shingles| to |overlap| + fpp·|corpus|.
+    */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame, n: Int,
+                         minOverlap: Long, fpp: Double = 0.01,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // persisted: the benchmark shingle set feeds three consumers (count,
+    // bloom build, confirm join) — without the cache each would re-shingle
+    // the benchmark corpus. Stays cached for the life of the returned
+    // plan (it is one of its inputs); bounded by the eval-set size.
+    val benchSh = shingles(bench, n, idCol, textCol)
+      .select("shingle").distinct().persist()
+    // eval sets are bounded, so the count + driver-side build are cheap
+    val nBench = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter(xxhash64(col("shingle")), nBench, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    // the probe is a UDF because Spark exposes no public might_contain
+    // (BloomFilterMightContain is internal to runtime row filtering); it
+    // tests a 64-bit hash, never the string
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val survivors = shingles(docs, n, idCol, textCol)
+      .where(mightContain(xxhash64(col("shingle"))))
+    survivors.join(benchSh, "shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** Deterministic rehash family: the i-th hash of a base 64-bit hash is
     * xxhash64(base, i) — index-derived, no RNG, and no overflow under ANSI
     * arithmetic (an affine `a*h + b` family would overflow long multiply).

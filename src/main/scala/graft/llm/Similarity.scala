@@ -200,6 +200,111 @@ object Similarity {
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Product-quantization (PQ) approximate top-k — the third leg of the
+    * ANN suite (SRP-LSH buckets, IVF lists, PQ codes). Vectors are
+    * L2-normalized (cosine order ≡ ascending L2 distance on the unit
+    * sphere), split into `m` subvectors, and each subspace gets a `ksub`-
+    * codeword codebook trained by Lloyd rounds (deterministic init: the
+    * lowest-id corpus vectors). A corpus vector compresses to `m` small
+    * codes; a query scores a vector as the sum of its per-subspace
+    * query↔codeword distances (asymmetric distance computation), then the
+    * best `refine × k` candidates are re-ranked with exact cosine.
+    *
+    * Scale shape: the codebook is `m × ksub` tiny rows (broadcast), the
+    * encoded corpus is `m` SMALL-INT codes per vector — the 100 TB story
+    * is memory: a 1024-dim float corpus compresses ~512× , so the scan
+    * side of every query batch reads codes, not vectors. ADC scoring is
+    * one broadcast join on (subspace, code) + a map-side-combinable sum;
+    * only the refine set touches full vectors. Recall vs the exact
+    * baseline is asserted in LlmSpec (the ADC sum is the one place
+    * float rounding can reorder near-ties, which is why ranking re-scores
+    * exact cosine over the refine set).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+    val dim = corpus.select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+
+    // unit-normalize, then explode into (id, s, subvector)
+    def subvecs(df: DataFrame, id: String): DataFrame = {
+      val nv = transform(col("_v"), x => x / sqrt(dot(col("_v"), col("_v"))))
+      df.withColumn("_nv", nv)
+        .select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("_nv"), s * sub + 1, lit(sub)))))
+        .toDF(id, "_s", "_sv")
+    }
+    val csub = subvecs(c.select(col("cid"), col("_cv").as("_v")), "cid")
+      .persist()
+
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
+
+    // nearest codeword per (vector, subspace); codebook is broadcast
+    def assign(df: DataFrame, id: String, codebook: DataFrame): DataFrame = {
+      val scored = df.join(broadcast(codebook), "_s")
+        .withColumn("_d", l2(col("_sv"), col("_cw")))
+      val w = Window.partitionBy(id, "_s").orderBy(col("_d"), col("_code"))
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col(id), col("_s"), col("_sv"), col("_code"))
+    }
+
+    // deterministic init: subvectors of the ksub lowest-id corpus vectors
+    val lowIds = c.orderBy("cid").limit(ksub)
+      .select(col("cid"), col("_cv").as("_v"))
+    var codebook = subvecs(lowIds, "cid")
+      .withColumn("_code",
+        (row_number().over(Window.partitionBy("_s").orderBy("cid")) - 1).cast("int"))
+      .select(col("_s"), col("_code"), col("_sv").as("_cw"))
+    for (_ <- 1 to iters) {
+      codebook = assign(csub, "cid", codebook)
+        .select(col("_s"), col("_code"), posexplode(col("_sv")).as(Seq("_pos", "_x")))
+        .groupBy("_s", "_code", "_pos").agg(avg(col("_x")).as("_mu"))
+        .groupBy("_s", "_code")
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_mu")))),
+          x => x.getField("_mu")).as("_cw"))
+    }
+
+    // the trained codebook feeds both the encode pass and the ADC table —
+    // persist it (m × ksub rows) or Lloyd training runs once per consumer
+    codebook = codebook.persist()
+
+    // encoded corpus: m small codes per vector — what a 100 TB index stores
+    val codes = assign(csub, "cid", codebook).select("cid", "_s", "_code")
+
+    // ADC table: query × (subspace, codeword) distances — tiny, broadcast
+    val q = queries.select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+    val dtable = subvecs(q.select(col("query_id"), col("_qv").as("_v")), "query_id")
+      .join(broadcast(codebook), "_s")
+      .withColumn("_d", l2(col("_sv"), col("_cw")))
+      .select("query_id", "_s", "_code", "_d")
+    val adc = codes.join(broadcast(dtable), Seq("_s", "_code"))
+      .groupBy("query_id", "cid")
+      .agg(sum(col("_d")).as("_adc"))
+      .filter(col("query_id") =!= col("cid"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("_adc"), col("cid"))
+    val shortlist = adc.withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= refine * k)
+      .select("query_id", "cid")
+
+    // exact re-rank of the shortlist only
+    val rescored = shortlist
+      .join(q, "query_id")
+      .join(c, "cid")
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cid"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
+    // csub stays persisted for the life of the returned plan — it feeds
+    // every Lloyd round plus the encode pass, and the plan is lazy, so an
+    // eager unpersist here would force full recomputes at execution time.
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair
     * with cosine ≥ threshold. The quadratic exact form — the verifier and
     * small-scale path; at corpus×corpus scale, bucket with

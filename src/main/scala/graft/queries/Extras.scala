@@ -3,7 +3,9 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.Tables.t
+import graft.functions.{Scored, TopKAgg}
 import graft.votes.NameUdfs
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +51,15 @@ object Extras {
       |SELECT n_name, o_year, rev_cents, n_items,
       |       cast(rank() OVER (PARTITION BY o_year ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rk
       |FROM rev""".stripMargin
+
+  /** Same SQL text on both engines (the sql1 pattern): NOT IN under
+    * three-valued logic. Probe-side NULLs (every 97th order) must vanish.
+    */
+  private val u7Text: String =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders
+      |WHERE (CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END)
+      |      NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin
 
   val entries: Map[String, Q] = Map(
 
@@ -421,6 +432,87 @@ object Extras {
           cume_dist().over(w).as("cd"),
           first_value(col("event_type")).over(wHead).as("first_type"),
           last_value(col("event_type")).over(wTail).as("last_type"))
+    },
+
+    // ---- W7: grouped top-k via a bounded typed Aggregator — map-side
+    //      combinable (each task forwards ≤ k rows per group), so the
+    //      shuffle is (groups × k × tasks), not the table. The window
+    //      formulation w4 uses (the oracle here) shuffles and sorts every
+    //      row of every group — fine for ranking ALL rows, wasteful when
+    //      only the top k survive. ---------------------------------------
+    "w7_grouped_topk" -> Q(
+      """WITH s AS (SELECT o_orderpriority,
+        |            cast(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey,
+        |            row_number() OVER (PARTITION BY o_orderpriority
+        |              ORDER BY cast(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rk
+        |           FROM orders)
+        |SELECT o_orderpriority, cast(rk AS BIGINT) AS rank, cents, o_orderkey
+        |FROM s WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val topk = udaf(new TopKAgg(3), Encoders.product[Scored])
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("score"),
+          col("o_orderkey").cast("long").as("id"))
+        .groupBy("o_orderpriority")
+        .agg(topk(col("score"), col("id")).as("_topk"))
+        .select(col("o_orderpriority"), posexplode(col("_topk")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").as("cents"), col("col.id").as("o_orderkey"))
+    },
+
+    // ---- W6: unpivot (wide→long melt as a native operator) — the inverse
+    //      of W1's pivot, and the first step of every wide-artifact ingest
+    //      (S7 does it by hand over dynamic columns; this is the static-
+    //      schema form Spark 3.4+ expresses directly). -------------------
+    "w6_unpivot" -> Q(
+      """SELECT p_partkey, metric, val FROM
+        |  (SELECT p_partkey, cast(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+        |  UNPIVOT (val FOR metric IN (p_size, p_retailprice))""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "val")
+    },
+
+    // ---- U7: NOT IN with NULLs — null-aware anti join. Three-valued
+    //      logic makes `x NOT IN (set)` UNKNOWN (row dropped) when x is
+    //      NULL, which a plain left-anti join gets WRONG (it would keep
+    //      the row); Catalyst plans the single-column case as a broadcast
+    //      null-aware anti join. Same SQL text on both engines. ----------
+    "u7_notin_null" -> Q(u7Text) { (s, dir) =>
+      Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(u7Text)
+    },
+
+    // ---- F21: URL parse + canonicalization — the crawl-frontier dedup
+    //      prep (lowercased host, fragment dropped) the reference's page
+    //      cache does implicitly by file name (crawl.py:36-45). Spark side
+    //      uses native parse_url; the oracle re-derives the components
+    //      with regexes. --------------------------------------------------
+    "f21_url_canonicalize" -> Q(
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.Example.COM/docs/' || doc_id ||
+        |  '?lang=' || lang || '#sec' || doc_id % 5 AS url FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '//([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '//[^/]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+        |  'https://' || lower(regexp_extract(url, '//([^/]+)/', 1)) ||
+        |    regexp_extract(url, '//[^/]+(/[^?#]*)', 1) || '?' ||
+        |    regexp_extract(url, '\?([^#]*)', 1) AS canonical
+        |FROM u""".stripMargin) { (s, dir) =>
+      val url = concat(lit("https://"), col("source"), lit(".Example.COM/docs/"),
+        col("doc_id"), lit("?lang="), col("lang"), lit("#sec"), col("doc_id") % 5)
+      t(s, dir, "documents")
+        .withColumn("url", url)
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"),
+          concat(lit("https://"), lower(expr("parse_url(url, 'HOST')")),
+            expr("parse_url(url, 'PATH')"), lit("?"),
+            expr("parse_url(url, 'QUERY')")).as("canonical"))
     },
 
     // ---- S12: ORC sink + source roundtrip — the second columnar

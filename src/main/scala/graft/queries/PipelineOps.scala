@@ -142,6 +142,28 @@ object PipelineOps {
         n = 3, minOverlap = 5)
     },
 
+    // ---- D10: bloom-prefiltered decontamination — same answer as the
+    //      exact join (the confirm join removes bloom false positives),
+    //      but only might-match shingles reach the shuffle. The scale path
+    //      for d6 once the benchmark side outgrows a broadcast. Different
+    //      split/threshold than d6 so the two entries verify independently.
+    "d10_bloom_decontaminate" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 0),
+        |t AS (SELECT doc_id, s FROM sh WHERE doc_id % 40 <> 0)
+        |SELECT doc_id, count(*) AS n_overlap, count(*) >= 3 AS contaminated
+        |FROM t JOIN b USING (s) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      // fan out the train side only, AFTER its filter — fanning the bench
+      // side would shuffle the whole text column to feed a 2.5% slice
+      val raw = t(s, dir, "documents")
+      Dedup.contaminationBloom(
+        fanOut(s, raw.where(col("doc_id") % 40 =!= 0)),
+        raw.where(col("doc_id") % 40 === 0),
+        n = 3, minOverlap = 3)
+    },
+
     // ---- D8: chunk-level (paragraph) dedup — drop every 8-word chunk
     //      that repeats across >= 2 documents, reassemble the survivors.
     //      The sub-document pass document-level dedup can't do. ----------
@@ -269,6 +291,16 @@ object PipelineOps {
       val emb = fanOut(s, t(s, dir, "embeddings"))
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
         nlist = 16, nprobe = 6)
+        .select("query_id", "neighbor_id", "rank")
+    },
+
+    // ---- E5: product-quantization ANN (codebooks + ADC + exact refine;
+    //      recall vs E1 in specs). The compressed-index leg: the scan side
+    //      of a query batch reads m small codes per vector, not floats. --
+    "e5_ann_pq" -> Q.rowsOnly { (s, dir) =>
+      val emb = fanOut(s, t(s, dir, "embeddings"))
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        m = 8, ksub = 16)
         .select("query_id", "neighbor_id", "rank")
     },
 

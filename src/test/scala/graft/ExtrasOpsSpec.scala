@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the Extras entries whose point is a subtle
+  * behavior: three-valued NOT IN (u7), unpivot as pivot's inverse (w6),
+  * and parse_url canonicalization (f21). The DuckDB oracle hash-checks
+  * values at verify time; these pin WHY the shapes are what they are.
+  */
+class ExtrasOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("u7: NOT IN drops NULL probes; plain left_anti would keep them") {
+    val r = SparkEntry.queries("u7_notin_null")(spark, dir)
+    val rows = r.collect().map(_.getLong(0)).toSet
+    // NULL probe rows (o_orderkey % 97 == 0) must vanish under 3VL
+    assert(rows.forall(_ % 97 != 0))
+    // reference computation, driver-side
+    val neg = Tables.t(spark, dir, "customer")
+      .where(col("c_acctbal") < 0).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .filter(o => o.getLong(0) % 97 != 0 && !neg.contains(o.getLong(1)))
+      .map(_.getLong(0)).toSet
+    assert(rows === expected)
+    // a naive left_anti keeps the NULL probes — the difference is exactly them
+    val naive = Tables.t(spark, dir, "orders")
+      .withColumn("probe",
+        when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")))
+      .join(Tables.t(spark, dir, "customer").where(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("probe")),
+        Seq("probe"), "left_anti")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert((naive -- rows).forall(_ % 97 == 0) && (naive -- rows).nonEmpty)
+    // planned as an anti join, not a cartesian scan
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(500))
+  }
+
+  test("u7: a NULL in the subquery empties the result entirely") {
+    Seq("orders", "customer").foreach(n =>
+      Tables.t(spark, dir, n).createOrReplaceTempView(n))
+    val n = spark.sql(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END FROM customer)""".stripMargin)
+      .count()
+    assert(n === 0)
+  }
+
+  test("w6: unpivot is the inverse of pivot on the part metrics") {
+    val orig = Tables.t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+    val long = SparkEntry.queries("w6_unpivot")(spark, dir)
+    assert(long.count() === orig.count() * 2)
+    val back = long.groupBy("p_partkey")
+      .pivot("metric", Seq("p_size", "p_retailprice")).agg(first("val"))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("f21: canonical URL lowercases host, keeps query, drops fragment") {
+    val r = SparkEntry.queries("f21_url_canonicalize")(spark, dir)
+      .where(col("doc_id") === 1).collect().head
+    val lang = Tables.t(spark, dir, "documents")
+      .where(col("doc_id") === 1).select("lang").collect().head.getString(0)
+    val source = Tables.t(spark, dir, "documents")
+      .where(col("doc_id") === 1).select("source").collect().head.getString(0)
+    assert(r.getAs[String]("host") === s"$source.Example.COM")
+    assert(r.getAs[String]("path") === "/docs/1")
+    assert(r.getAs[String]("lang_param") === lang)
+    assert(r.getAs[String]("canonical") ===
+      s"https://${source.toLowerCase}.example.com/docs/1?lang=$lang")
+  }
+}

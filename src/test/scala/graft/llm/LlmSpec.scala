@@ -62,6 +62,16 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("PQ ANN recall against exact brute-force top-k") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.pqTopK(queries, emb, k = 5, m = 8, ksub = 16)
+    assert(approx.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    val recall = Similarity.recallAtK(approx, exact)
+    assert(recall >= 0.5, s"PQ recall $recall below 0.5")
+  }
+
   test("ANN ranks are dense and cosine is within [-1, 1]") {
     val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
     assert(topk.count() === 15)
@@ -249,5 +259,19 @@ class LlmSpec extends SparkSpec {
     assert(r(1L) == ((3L, true)))
     assert(r(3L) == ((1L, false)))
     assert(!r.contains(2L))
+  }
+
+  test("bloom-prefiltered decontamination is bit-identical to the exact join") {
+    val bench = docs.where(col("doc_id") % 25 === 0)
+    val train = docs.where(col("doc_id") % 25 =!= 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    val exact = toMap(Dedup.contamination(train, bench, n = 3, minOverlap = 2))
+    // fpp high enough that false positives certainly occur at this scale —
+    // the confirm join must still remove every one of them
+    val bloom = toMap(Dedup.contaminationBloom(train, bench, n = 3,
+      minOverlap = 2, fpp = 0.2))
+    assert(exact.nonEmpty, "split should produce real overlap")
+    assert(bloom === exact)
   }
 }
