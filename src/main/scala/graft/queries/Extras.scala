@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.Tables.t
 import graft.functions.{Scored, TopKAgg}
+import graft.operators.SkewJoin
 import graft.votes.NameUdfs
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
@@ -60,6 +61,49 @@ object Extras {
       |FROM orders
       |WHERE (CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END)
       |      NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin
+
+  /** Recursive CTE, same text both engines: a hierarchy walk over
+    * synthetic parent links (id → 2·id — the doc table has no real
+    * hierarchy; the recursion operator is what's under test). UNION ALL,
+    * not UNION: Spark 4 supports only UNION ALL in recursive CTEs, and
+    * the id-doubling graph is acyclic so recursion terminates without
+    * dedup. Spark executes this as an iterative loop of joins (the same
+    * machinery as graft.llm.Components, declared in SQL).
+    */
+  private val u8Text: String =
+    """WITH RECURSIVE chain(root, id, depth) AS (
+      |  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 97 = 1
+      |  UNION ALL
+      |  SELECT c.root, d.doc_id, c.depth + 1
+      |  FROM chain c JOIN documents d ON d.doc_id = c.id * 2
+      |)
+      |SELECT root, max(depth) AS max_depth, count(*) AS n_nodes,
+      |       cast(sum(id) AS BIGINT) AS sum_ids
+      |FROM chain GROUP BY root""".stripMargin
+
+  /** Correlated scalar subquery, same text both engines. Catalyst
+    * decorrelates it into an aggregate + left outer join (one pass over
+    * lineitem), not 15k point lookups; orders with no lineitems surface
+    * the subquery's NULL.
+    */
+  private val u9Text: String =
+    """SELECT o_orderkey,
+      |  (SELECT max(l_linenumber) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey) AS max_line
+      |FROM orders""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 lineitems
+    * per order), same text both engines. Catalyst decorrelates the limit
+    * into a partitioned window — the declarative form of w7's grouped
+    * top-k, bound per outer row.
+    */
+  private val j13Text: String =
+    """SELECT o_orderkey, l.l_linenumber, l.cents
+      |FROM orders,
+      |LATERAL (SELECT l_linenumber,
+      |                cast(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |         FROM lineitem WHERE l_orderkey = o_orderkey
+      |         ORDER BY cents DESC, l_linenumber LIMIT 2) l""".stripMargin
 
   val entries: Map[String, Q] = Map(
 
@@ -485,6 +529,24 @@ object Extras {
       s.sql(u7Text)
     },
 
+    // ---- U8: recursive CTE (hierarchy walk, Spark 4 recursion) ---------
+    "u8_recursive_cte" -> Q(u8Text) { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(u8Text)
+    },
+
+    // ---- U9: correlated scalar subquery (decorrelated to agg + join) ---
+    "u9_scalar_subquery" -> Q(u9Text) { (s, dir) =>
+      Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(u9Text)
+    },
+
+    // ---- J13: LATERAL top-n per outer row (decorrelated to a window) ---
+    "j13_lateral_topk" -> Q(j13Text) { (s, dir) =>
+      Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(j13Text)
+    },
+
     // ---- F21: URL parse + canonicalization — the crawl-frontier dedup
     //      prep (lowercased host, fragment dropped) the reference's page
     //      cache does implicitly by file name (crawl.py:36-45). Spark side
@@ -513,6 +575,29 @@ object Extras {
           concat(lit("https://"), lower(expr("parse_url(url, 'HOST')")),
             expr("parse_url(url, 'PATH')"), lit("?"),
             expr("parse_url(url, 'QUERY')")).as("canonical"))
+    },
+
+    // ---- J12: salted skew join — every order lands on one of 10 hot
+    //      keys by construction, the worst case for a shuffle join. The
+    //      operator salts the fact side deterministically and replicates
+    //      the dim ×8, so each hot key spreads over 8 reducers; results
+    //      identical to the plain join (the oracle). -----------------------
+    "j12_salted_skew_join" -> Q(
+      """WITH f AS (SELECT o_orderkey, o_custkey % 10 AS hot_key,
+        |            cast(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT n_nationkey % 10 AS hot_key, min(n_name) AS grp
+        |      FROM nation GROUP BY 1)
+        |SELECT grp, count(*) AS n, cast(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN d USING (hot_key) GROUP BY grp""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 10).as("hot_key"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val d = t(s, dir, "nation")
+        .groupBy((col("n_nationkey") % 10).as("hot_key"))
+        .agg(min("n_name").as("grp"))
+      SkewJoin.salted(f, d, "hot_key", salt = 8)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     },
 
     // ---- S12: ORC sink + source roundtrip — the second columnar

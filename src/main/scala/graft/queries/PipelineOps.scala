@@ -634,6 +634,52 @@ object PipelineOps {
       EventStream.materializedCounts(ss, dir, root.toString)
     },
 
+    // ---- T10 (streaming): stream-static join — the enrichment shape
+    //      (stream facts against a batch dimension). No watermark needed:
+    //      the static side is fully available every micro-batch, so no
+    //      join state accumulates — unlike the stream-stream t6. ----------
+    "t10_stream_static_join" -> Q(
+      """SELECT c_mktsegment AS segment, count(*) AS n_events,
+        |       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val static = graft.Tables.t(ss, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = EventStream.readEvents(ss, dir)
+        .join(static, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      EventStream.runToMemory(joined, s"t10_stream_${streamSeq.incrementAndGet()}")
+    },
+
+    // ---- T11: native session windows (batch form) — the declarative
+    //      twin of t5's flatMapGroupsWithState: groupBy(session_window)
+    //      merges events closer than the gap. Sessions split at diff >=
+    //      gap ([ts, ts+gap) windows), hence the >= oracle where t5's
+    //      hand-rolled state uses >. -------------------------------------
+    "t11_session_window" -> Q(
+      """WITH e AS (SELECT user_id, ts,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |       CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |            THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id,
+        |       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |c AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session
+        |FROM c GROUP BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n").as("longest_session"))
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,

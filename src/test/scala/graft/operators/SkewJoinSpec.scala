@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val fact = (1L to 1000L)
+    .map(i => (i, i % 3, s"p$i")).toDF("id", "k", "payload")
+  private lazy val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two"))
+    .toDF("k", "name")
+
+  test("salted join equals the plain join") {
+    val plain = fact.join(dim, "k")
+      .select("k", "id", "payload", "name")
+    val salted = SkewJoin.salted(fact, dim, "k", salt = 8)
+      .select("k", "id", "payload", "name")
+    assert(salted.count() === 1000)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("join runs on (key, salt), spreading each hot key") {
+    val salted = SkewJoin.salted(fact, dim, "k", salt = 8)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan.take(600))
+    // salt values actually spread: every (key, salt) bucket is < the full
+    // hot-key row count
+    val spread = fact.withColumn("_salt",
+        pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
+      .groupBy("k", "_salt").count()
+    assert(spread.count() === 24)              // 3 keys × 8 salts all hit
+    assert(spread.agg(max("count")).head.getLong(0) < 334)
+  }
+
+  test("salting is deterministic across runs (same rows, same salts)") {
+    val a = fact.withColumn("_s", pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
+    val b = fact.repartition(13)
+      .withColumn("_s", pmod(xxhash64(fact.columns.map(col): _*), lit(8L)))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("reserved column name is rejected") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(fact.withColumnRenamed("payload", "_salt"), dim, "k", 4)
+    }
+  }
+}
