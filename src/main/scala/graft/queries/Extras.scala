@@ -600,6 +600,32 @@ object Extras {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     },
 
+    // ---- S13: snapshot diff (CDC change-set extraction) — old and new
+    //      versions are simulated from orders: every 10th key deleted,
+    //      every (10k+1)th inserted, every 7th status rewritten. Output is
+    //      bounded by churn, not table size. -----------------------------
+    "s13_snapshot_diff" -> Q(
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS v FROM orders
+        |           WHERE o_orderkey % 10 <> 0),
+        |n AS (SELECT o_orderkey AS k,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE o_orderstatus END AS v
+        |      FROM orders WHERE o_orderkey % 10 <> 1)
+        |SELECT coalesce(o.k, n.k) AS k,
+        |       CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+        |            ELSE 'U' END AS op,
+        |       o.v AS old_v, n.v AS new_v
+        |FROM o FULL JOIN n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders.where(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v"))
+      val newSnap = orders.where(col("o_orderkey") % 10 =!= 1)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, "Z")
+            .otherwise(col("o_orderstatus")).as("v"))
+      graft.ops.SnapshotDiff.diff(oldSnap, newSnap, Seq("k"))
+    },
+
     // ---- S12: ORC sink + source roundtrip — the second columnar
     //      interchange format; schema preserved, values exact. Oracle =
     //      the source-of-truth table. ------------------------------------
