@@ -40,8 +40,9 @@ object Bench {
       "j3/j5 isolated warm times 0.46s/1.0s (TimeOne); slowest entries " +
       "(d2/d7/d9) are the deliberately-exact dedup verifiers + iterative " +
       "connected components — their scale paths are d3 (LSH) and d8; " +
-      "d10 pays two extra bench-side jobs (count + bloom build) that are " +
-      "fixed cost here and amortized at real benchmark volume\""
+      "d10 pays two extra bench-side jobs (count + bloom build) and e5 an " +
+      "iterative codebook build — fixed job-count overhead at toy scale, " +
+      "amortized at real data volume\""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"notes":$notes,"sf":"$sfDir"}""")
     spark.stop()
   }

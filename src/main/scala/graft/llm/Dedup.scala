@@ -148,12 +148,13 @@ object Dedup {
                          minOverlap: Long, fpp: Double = 0.01,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    // persisted: the benchmark shingle set feeds three consumers (count,
-    // bloom build, confirm join) — without the cache each would re-shingle
-    // the benchmark corpus. Stays cached for the life of the returned
-    // plan (it is one of its inputs); bounded by the eval-set size.
+    // Eager localCheckpoint: the benchmark shingle set feeds three
+    // consumers (count, bloom build, confirm join) — without it each would
+    // re-shingle the benchmark corpus. Bounded by the eval-set size, and
+    // unlike persist() the blocks are GC-released with the plan instead of
+    // pinning cache for the session lifetime.
     val benchSh = shingles(bench, n, idCol, textCol)
-      .select("shingle").distinct().persist()
+      .select("shingle").distinct().localCheckpoint(true)
     // eval sets are bounded, so the count + driver-side build are cheap
     val nBench = math.max(benchSh.count(), 1L)
     val bloom = benchSh.stat.bloomFilter(xxhash64(col("shingle")), nBench, fpp)

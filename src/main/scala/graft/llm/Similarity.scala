@@ -102,6 +102,28 @@ object Similarity {
       when(dot(vec, plane) >= 0, 1).otherwise(0)
     }: _*)
 
+  /** One tiny driver-side lookup pinning the vector dimension (first
+    * non-empty vector wins; an empty corpus yields 0). Shared by the
+    * index builders that need the dimension at plan time.
+    */
+  private def vecDim(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Element-wise mean vector per group (the centroid update of both the
+    * IVF coarse quantizer and the PQ codebooks): posexplode to
+    * (group, pos, x) — map-side combinable — one shuffle on (group, pos),
+    * reassemble in pos order.
+    */
+  private def meanVector(df: DataFrame, groupCols: Seq[String],
+                         vecCol: String, outCol: String): DataFrame =
+    df.select(groupCols.map(col) :+ posexplode(col(vecCol)).as(Seq("_pos", "_x")): _*)
+      .groupBy((groupCols :+ "_pos").map(col): _*)
+      .agg(avg(col("_x")).as("_mu"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_mu")))),
+        x => x.getField("_mu")).as(outCol))
+
   /** LSH-bucketed approximate top-k: band the SRP signature, join on
     * buckets, then rank by exact cosine WITHIN the candidate set. Recall
     * rises with bands; cost is bounded by bucket occupancy instead of the
@@ -112,14 +134,11 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes % bands == 0)
     val rows = planes / bands
-    // One tiny driver-side lookup pins the dimension so the hyperplanes
-    // become plan-time literal arrays (srpSignatureFast). First non-null,
-    // non-empty vector wins; an empty corpus yields dim 0 (and an empty
-    // join). Null vectors are excluded on both sides — with no dimension
-    // they would all share one bucket and degrade the join to a cross
-    // product.
-    val dim = corpus.select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    // The dimension probe pins the hyperplanes as plan-time literal arrays
+    // (srpSignatureFast). Null vectors are excluded on both sides — with
+    // no dimension they would all share one bucket and degrade the join to
+    // a cross product.
+    val dim = vecDim(corpus, vecCol)
     def withBuckets(df: DataFrame, side: String): DataFrame = {
       val q = df.filter(col(vecCol).isNotNull)
         .select(col(idCol).as(s"${side}_id"),
@@ -166,9 +185,25 @@ object Similarity {
                         n: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(centroids))
         .withColumn("_cc", cosine(col(vec), col("_centroid")))
-      val w = Window.partitionBy(df.columns.head).orderBy(col("_cc").desc, col("_cl"))
-      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n)
-        .drop("_cc", "_rn", "_centroid")
+      if (n == 1) {
+        // argmax as ONE map-side-combinable aggregation: max on the
+        // (cosine, -label) struct ≡ orderBy(_cc desc, _cl asc) rank 1.
+        // The window alternative shuffles AND sorts corpus × nlist rows
+        // per assignment pass — the dominant cost of index training.
+        // first(payload) is deterministic: every row of a (key) group
+        // carries the same payload value.
+        val key = df.columns.head
+        val payload = df.columns.tail.toSeq
+        scored.groupBy(col(key))
+          .agg(max(struct(col("_cc"), (-col("_cl")).as("_nl"))).as("_b"),
+            payload.map(c => first(col(c)).as(c)): _*)
+          .select(col(key) +: payload.map(col) :+
+            (-col("_b").getField("_nl")).cast("long").as("_cl"): _*)
+      } else {
+        val w = Window.partitionBy(df.columns.head).orderBy(col("_cc").desc, col("_cl"))
+        scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n)
+          .drop("_cc", "_rn", "_centroid")
+      }
     }
 
     // row_number over cid keeps labels deterministic regardless of how the
@@ -179,12 +214,7 @@ object Similarity {
         (row_number().over(Window.orderBy("cid")) - 1).cast("long").as("_cl"))
     for (_ <- 1 to iters) {
       val assigned = nearestCentroid(c, "_cv", centroids, 1)
-      centroids = assigned
-        .select(col("_cl"), posexplode(col("_cv")).as(Seq("_pos", "_x")))
-        .groupBy("_cl", "_pos").agg(avg(col("_x")).as("_m"))
-        .groupBy("_cl")
-        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
-          s => s.getField("_m")).as("_centroid"))
+      centroids = meanVector(assigned, Seq("_cl"), "_cv", "_centroid")
     }
 
     val lists = nearestCentroid(c, "_cv", centroids, 1)
@@ -224,34 +254,48 @@ object Similarity {
              m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-    val dim = corpus.select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
 
-    // unit-normalize, then explode into (id, s, subvector)
-    def subvecs(df: DataFrame, id: String): DataFrame = {
-      val nv = transform(col("_v"), x => x / sqrt(dot(col("_v"), col("_v"))))
-      df.withColumn("_nv", nv)
+    // unit-normalize, then explode into (id, s, subvector). The norm is
+    // hoisted into its own column: dividing inside the transform lambda
+    // would re-evaluate the O(dim) dot product once per ELEMENT (no
+    // common-subexpression elimination across lambda iterations) — O(dim²)
+    // per vector on the corpus-wide build.
+    def subvecs(df: DataFrame, id: String): DataFrame =
+      df.withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+        .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
         .select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("_nv"), s * sub + 1, lit(sub)))))
         .toDF(id, "_s", "_sv")
-    }
+    // Eager localCheckpoint, not persist: it feeds every Lloyd round plus
+    // the encode pass (each would otherwise re-shingle the corpus into
+    // subvectors), the lineage is cut, and the blocks are released by the
+    // ContextCleaner once the result plan is dropped — a persist() here
+    // would pin corpus-sized cache blocks for the session lifetime. (On a
+    // multi-executor cluster prefer persist + caller-side unpersist:
+    // localCheckpoint blocks are lost with an executor.)
     val csub = subvecs(c.select(col("cid"), col("_cv").as("_v")), "cid")
-      .persist()
+      .localCheckpoint(true)
 
     val l2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, v) => acc + v)
 
-    // nearest codeword per (vector, subspace); codebook is broadcast
-    def assign(df: DataFrame, id: String, codebook: DataFrame): DataFrame = {
-      val scored = df.join(broadcast(codebook), "_s")
+    // Nearest codeword per (vector, subspace); codebook is broadcast.
+    // Argmin is min on the (distance, code) struct — one map-side-
+    // combinable aggregation, not a window sort over corpus × m × ksub
+    // rows. first(_sv) is deterministic: all rows of a (id, _s) group
+    // carry the same subvector.
+    def assign(df: DataFrame, id: String, codebook: DataFrame): DataFrame =
+      df.join(broadcast(codebook), "_s")
         .withColumn("_d", l2(col("_sv"), col("_cw")))
-      val w = Window.partitionBy(id, "_s").orderBy(col("_d"), col("_code"))
-      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col(id), col("_s"), col("_sv"), col("_code"))
-    }
+        .groupBy(col(id), col("_s"))
+        .agg(min(struct(col("_d"), col("_code"))).as("_b"),
+          first(col("_sv")).as("_sv"))
+        .select(col(id), col("_s"), col("_sv"),
+          col("_b").getField("_code").as("_code"))
 
     // deterministic init: subvectors of the ksub lowest-id corpus vectors
     val lowIds = c.orderBy("cid").limit(ksub)
@@ -261,17 +305,15 @@ object Similarity {
         (row_number().over(Window.partitionBy("_s").orderBy("cid")) - 1).cast("int"))
       .select(col("_s"), col("_code"), col("_sv").as("_cw"))
     for (_ <- 1 to iters) {
-      codebook = assign(csub, "cid", codebook)
-        .select(col("_s"), col("_code"), posexplode(col("_sv")).as(Seq("_pos", "_x")))
-        .groupBy("_s", "_code", "_pos").agg(avg(col("_x")).as("_mu"))
-        .groupBy("_s", "_code")
-        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_mu")))),
-          x => x.getField("_mu")).as("_cw"))
+      codebook = meanVector(assign(csub, "cid", codebook),
+        Seq("_s", "_code"), "_sv", "_cw")
     }
 
     // the trained codebook feeds both the encode pass and the ADC table —
-    // persist it (m × ksub rows) or Lloyd training runs once per consumer
-    codebook = codebook.persist()
+    // cut the training lineage once (m × ksub rows) or Lloyd training
+    // runs once per consumer; localCheckpoint for the same GC semantics
+    // as csub
+    codebook = codebook.localCheckpoint(true)
 
     // encoded corpus: m small codes per vector — what a 100 TB index stores
     val codes = assign(csub, "cid", codebook).select("cid", "_s", "_code")
@@ -300,9 +342,6 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
-    // csub stays persisted for the life of the returned plan — it feeds
-    // every Lloyd round plus the encode pass, and the plan is lazy, so an
-    // eager unpersist here would force full recomputes at execution time.
   }
 
   /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair

@@ -21,13 +21,23 @@ object SkewJoin {
 
   /** Inner equi-join of `fact` and `dim` on `key`, salted `salt` ways.
     * Output columns = fact ++ (dim minus key), like a plain `join(dim, key)`.
+    *
+    * @param saltOn fact columns to hash for the salt. Defaults to all fact
+    *               columns; pass an explicit high-cardinality subset when
+    *               the fact side is wide (hashing a large payload per row
+    *               buys no extra spread) or contains map-typed columns
+    *               (xxhash64 rejects MapType).
     */
-  def salted(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
+  def salted(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
+             saltOn: Seq[String] = Seq.empty): DataFrame = {
     require(salt > 0, s"salt must be positive: $salt")
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "_salt is reserved")
+    val hashCols = if (saltOn.nonEmpty) saltOn else fact.columns.toSeq
+    val missing = hashCols.filterNot(fact.columns.contains)
+    require(missing.isEmpty, s"saltOn columns not in fact: ${missing.mkString(",")}")
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+      pmod(xxhash64(hashCols.map(col): _*), lit(salt.toLong)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

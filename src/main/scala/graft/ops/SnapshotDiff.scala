@@ -29,6 +29,13 @@ object SnapshotDiff {
     require(oldDf.columns.sameElements(newDf.columns),
       s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    // the output/internal namespace must be free, or the final select
+    // resolves ambiguously (same contract as SkewJoin's _salt guard)
+    val reserved = Set("op", "_in_old", "_in_new") ++
+      keys.map(k => s"_nk_$k") ++
+      valueCols.flatMap(c => Seq(s"old_$c", s"new_$c"))
+    val clash = oldDf.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"reserved column name(s) in input: ${clash.mkString(",")}")
     val o = oldDf.select(
       keys.map(col) ++ valueCols.map(c => col(c).as(s"old_$c")) :+
         lit(true).as("_in_old"): _*)

@@ -50,6 +50,19 @@ class ExtrasOpsSpec extends SparkSpec {
     assert(n === 0)
   }
 
+  test("u9/j13: correlated subqueries decorrelate (no per-row nested loop)") {
+    val u9 = SparkEntry.queries("u9_scalar_subquery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // scalar subquery → one aggregate + outer join, never a loop join
+    assert(!u9.contains("NestedLoop") && !u9.contains("CartesianProduct"), u9.take(800))
+    assert(u9.contains("Aggregate"), u9.take(800))
+    val j13 = SparkEntry.queries("j13_lateral_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // LATERAL ORDER BY/LIMIT → rank-limit window, not a per-row subquery
+    assert(j13.contains("WindowGroupLimit"), j13.take(800))
+    assert(!j13.contains("CartesianProduct"), j13.take(800))
+  }
+
   test("w6: unpivot is the inverse of pivot on the part metrics") {
     val orig = Tables.t(spark, dir, "part")
       .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),

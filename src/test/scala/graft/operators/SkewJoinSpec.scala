@@ -41,6 +41,16 @@ class SkewJoinSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("explicit saltOn subset gives the same join, skipping payload hashing") {
+    val narrow = SkewJoin.salted(fact, dim, "k", salt = 8, saltOn = Seq("id"))
+      .select("k", "id", "payload", "name")
+    val plain = fact.join(dim, "k").select("k", "id", "payload", "name")
+    assert(narrow.exceptAll(plain).isEmpty && plain.exceptAll(narrow).isEmpty)
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(fact, dim, "k", 8, saltOn = Seq("nope"))
+    }
+  }
+
   test("reserved column name is rejected") {
     intercept[IllegalArgumentException] {
       SkewJoin.salted(fact.withColumnRenamed("payload", "_salt"), dim, "k", 4)
