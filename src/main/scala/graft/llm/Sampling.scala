@@ -62,4 +62,33 @@ object Sampling {
       .where(col("_cum") - col(tokensCol) < budget)
       .drop("_cum")
   }
+
+  /** Training-sequence packing — the concat-and-chop step that turns a
+    * corpus into fixed-`seqLen`-token LM training sequences: documents are
+    * laid out in deterministic hash order and the token stream is chopped
+    * every `seqLen` tokens, so a document occupies sequences
+    * [start_seq, end_seq] starting at `offset` tokens into start_seq
+    * (documents straddle boundaries, the standard pre-training layout —
+    * no padding, every sequence except the stratum's last is exactly
+    * full).
+    *
+    * Packing is per `strataCol` so the running-total window stays
+    * partitioned: one shuffle on the stratum key, never a global
+    * single-partition sort. At corpus scale, strata are sources or
+    * hash-buckets (any deterministic partition of the corpus packs
+    * independently by construction).
+    */
+  def packSequences(df: DataFrame, strataCol: String, tokensCol: String,
+                    seqLen: Long, idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(!df.columns.contains("_cum"),
+      "column name _cum is reserved by Sampling.packSequences")
+    val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+      .select(col(idCol), col(strataCol), col(tokensCol),
+        floor((col("_cum") - col(tokensCol)) / seqLen).as("start_seq"),
+        floor((col("_cum") - 1) / seqLen).as("end_seq"),
+        ((col("_cum") - col(tokensCol)) % seqLen).as("offset"))
+  }
 }

@@ -477,6 +477,27 @@ object PipelineOps {
         "source", "toks", budget = 2000)
     },
 
+    // ---- X11: training-sequence packing — concat-and-chop the token
+    //      stream into fixed 512-token sequences per source (documents
+    //      straddle boundaries; no padding). The layout step between
+    //      corpus assembly (x7/x8) and the trainer. ----------------------
+    "x11_sequence_pack" -> Q(
+      """WITH h AS (SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
+        |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY hh, doc_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        |SELECT doc_id, source, toks,
+        |       (cum - toks) // 512 AS start_seq,
+        |       (cum - 1) // 512 AS end_seq,
+        |       (cum - toks) % 512 AS "offset"
+        |FROM c""".stripMargin) { (s, dir) =>
+      Sampling.packSequences(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "source", "toks", seqLen = 512)
+    },
+
     // ---- X4: winnowing document fingerprint (rolling hash) -------------
     "x4_fingerprint" -> Q.rowsOnly { (s, dir) =>
       docs(s, dir)

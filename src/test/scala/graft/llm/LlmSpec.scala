@@ -190,6 +190,25 @@ class LlmSpec extends SparkSpec {
     assert(kept == Set(order(0), order(1), order(2), 10L))
   }
 
+  test("sequence packing chops each source's token stream without gaps") {
+    val L = 128L
+    val packed = Sampling.packSequences(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks")),
+      "source", "toks", seqLen = L)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    for ((_, rows) <- packed.groupBy(_._1)) {
+      var pos = 0L
+      for ((_, toks, startSeq, endSeq, offset) <- rows.sortBy(r => (r._3, r._5, r._2))) {
+        // each doc starts exactly where the stream stands: no gaps, no overlap
+        assert(startSeq * L + offset === pos)
+        assert(endSeq === (pos + toks - 1) / L)
+        pos += toks
+      }
+    }
+  }
+
   test("frame sampling emits only full windows; resize shrinks payload and meta") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocs(Seq(
