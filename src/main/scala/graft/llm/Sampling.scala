@@ -30,6 +30,13 @@ object Sampling {
   def hashSample(df: DataFrame, rate: Double, idCol: String = "doc_id"): DataFrame =
     df.where(detHash(col(idCol)) < lit((rate * 2147483648.0).toLong))
 
+  /** The ONE deterministic walk order every stratified op shares (and the
+    * contract the DuckDB oracles' `hh` formula mirrors): per stratum, by
+    * (detHash(id), id). Centralized so the three consumers cannot drift.
+    */
+  private def hashOrder(strataCol: String, idCol: String) =
+    Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
+
   /** Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
     * deterministic reservoir-style stratified sampling. One shuffle on the
     * stratum key; skewed strata cost what their size costs (the window is
@@ -39,8 +46,7 @@ object Sampling {
                  idCol: String = "doc_id"): DataFrame = {
     require(!df.columns.contains("_rn"),
       "column name _rn is reserved by Sampling.stratified")
-    val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
+    df.withColumn("_rn", row_number().over(hashOrder(strataCol, idCol)))
       .where(col("_rn") <= k)
       .drop("_rn")
   }
@@ -56,7 +62,7 @@ object Sampling {
                   budget: Long, idCol: String = "doc_id"): DataFrame = {
     require(!df.columns.contains("_cum"),
       "column name _cum is reserved by Sampling.tokenBudget")
-    val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
+    val w = hashOrder(strataCol, idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(tokensCol)).over(w))
       .where(col("_cum") - col(tokensCol) < budget)
@@ -81,9 +87,11 @@ object Sampling {
   def packSequences(df: DataFrame, strataCol: String, tokensCol: String,
                     seqLen: Long, idCol: String = "doc_id"): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
-    require(!df.columns.contains("_cum"),
-      "column name _cum is reserved by Sampling.packSequences")
-    val w = Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
+    val reserved = Set("_cum", "start_seq", "end_seq", "offset")
+    val clash = Seq(idCol, strataCol, tokensCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input column name(s) collide with packSequences output: ${clash.mkString(",")}")
+    val w = hashOrder(strataCol, idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(tokensCol)).over(w))
       .select(col(idCol), col(strataCol), col(tokensCol),

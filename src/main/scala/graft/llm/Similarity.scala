@@ -187,17 +187,18 @@ object Similarity {
         .withColumn("_cc", cosine(col(vec), col("_centroid")))
       if (n == 1) {
         // argmax as ONE map-side-combinable aggregation: max on the
-        // (cosine, -label) struct ≡ orderBy(_cc desc, _cl asc) rank 1.
-        // The window alternative shuffles AND sorts corpus × nlist rows
-        // per assignment pass — the dominant cost of index training.
-        // first(payload) is deterministic: every row of a (key) group
-        // carries the same payload value.
+        // (cosine, -label, payload…) struct ≡ orderBy(_cc desc, _cl asc)
+        // rank 1. The window alternative shuffles AND sorts corpus × nlist
+        // rows per assignment pass — the dominant cost of index training.
+        // The payload rides INSIDE the ordered struct so the winning row
+        // is atomic — a separate first(payload) could pair the max score
+        // with another row's payload if the key column ever has dups.
         val key = df.columns.head
         val payload = df.columns.tail.toSeq
         scored.groupBy(col(key))
-          .agg(max(struct(col("_cc"), (-col("_cl")).as("_nl"))).as("_b"),
-            payload.map(c => first(col(c)).as(c)): _*)
-          .select(col(key) +: payload.map(col) :+
+          .agg(max(struct(col("_cc") +: (-col("_cl")).as("_nl") +:
+            payload.map(col): _*)).as("_b"))
+          .select(col(key) +: payload.map(c => col(s"_b.$c").as(c)) :+
             (-col("_b").getField("_nl")).cast("long").as("_cl"): _*)
       } else {
         val w = Window.partitionBy(df.columns.head).orderBy(col("_cc").desc, col("_cl"))
@@ -284,17 +285,16 @@ object Similarity {
         lit(0.0d), (acc, v) => acc + v)
 
     // Nearest codeword per (vector, subspace); codebook is broadcast.
-    // Argmin is min on the (distance, code) struct — one map-side-
-    // combinable aggregation, not a window sort over corpus × m × ksub
-    // rows. first(_sv) is deterministic: all rows of a (id, _s) group
-    // carry the same subvector.
+    // Argmin is min on the (distance, code, subvector) struct — one
+    // map-side-combinable aggregation, not a window sort over corpus × m ×
+    // ksub rows; the subvector rides in the struct so the winner is atomic
+    // even under duplicate ids.
     def assign(df: DataFrame, id: String, codebook: DataFrame): DataFrame =
       df.join(broadcast(codebook), "_s")
         .withColumn("_d", l2(col("_sv"), col("_cw")))
         .groupBy(col(id), col("_s"))
-        .agg(min(struct(col("_d"), col("_code"))).as("_b"),
-          first(col("_sv")).as("_sv"))
-        .select(col(id), col("_s"), col("_sv"),
+        .agg(min(struct(col("_d"), col("_code"), col("_sv"))).as("_b"))
+        .select(col(id), col("_s"), col("_b").getField("_sv").as("_sv"),
           col("_b").getField("_code").as("_code"))
 
     // deterministic init: subvectors of the ksub lowest-id corpus vectors
