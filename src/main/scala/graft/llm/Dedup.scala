@@ -201,7 +201,14 @@ object Dedup {
                       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Eager localCheckpoint: the banded self-join below scans the
+    // signature table on BOTH sides, which would otherwise run the whole
+    // shingle→rehash→min pipeline twice. Signatures are numHashes longs
+    // per doc — tiny next to the corpus — so materializing them is the
+    // scale-correct trade (checkpointing the shingled corpus itself would
+    // not be; its recompute-over-materialize choice is deliberate).
     val sig = minhashSignatures(docs, n, numHashes, idCol, textCol)
+      .localCheckpoint(true)
     val banded = sig.select(col(idCol),
         posexplode(array((0 until bands).map(b =>
           xxhash64(concat_ws(",", slice(col("signature"), b * rows + 1, rows), lit(b)))): _*)))
@@ -212,11 +219,20 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-    // Verify with true Jaccard computed ONLY over the candidate set —
-    // linear in candidates × shingles-per-doc, never the all-pairs join
-    // (which would make the LSH pointless at scale).
-    val sh = shingles(docs, n, idCol, textCol)
-    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("_n"))
+    // Verify with true Jaccard computed ONLY over the candidate set — and
+    // only candidate DOCUMENTS are re-shingled: the corpus-wide shingle
+    // pass happens exactly once (inside the signature build). The
+    // candidate id set is tiny by LSH's design, so it broadcasts, the
+    // semi-join prunes the scan before the explode, and the candidate
+    // shingle sets checkpoint cheaply for their three consumers.
+    val candIds = cands.select(col("id1").as(idCol))
+      .union(cands.select(col("id2").as(idCol))).distinct()
+    val candSets = shingleSets(
+      docs.join(broadcast(candIds), Seq(idCol), "left_semi"), n, idCol, textCol)
+      .localCheckpoint(true)
+    val sh = candSets.select(col(idCol), explode(col("shingle_set")).as("shingle"))
+    val counts = candSets.select(col(idCol),
+      size(col("shingle_set")).cast("long").as("_n"))
     val common = cands
       .join(sh.select(col(idCol).as("id1"), col("shingle")), "id1")
       .join(sh.select(col(idCol).as("id2"), col("shingle")), Seq("id2", "shingle"))
@@ -264,7 +280,9 @@ object Dedup {
     // 1L << 64 wraps to 1 (shift counts are mod 64), which would zero the
     // mask for maxDist = 0 and collapse every doc into one bucket
     val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
-    val sh = simhash(docs, idCol, textCol)
+    // checkpointed for the same reason as the MinHash signatures: the
+    // chunk self-join reads fingerprints (8 bytes/doc) on both sides
+    val sh = simhash(docs, idCol, textCol).localCheckpoint(true)
     val chunked = sh.select(col(idCol), col("simhash"),
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("simhash"), c * bitsPer)
