@@ -1,0 +1,79 @@
+package graft
+
+import graft.llm.{Components, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Scale-simulation harness: compose the end-to-end dedup chain
+  * (normalize → MinHash-LSH candidates → connected components → survivor
+  * selection) over an N×-replicated corpus and print per-stage rows +
+  * wall time. Not a benchmark (Bench is) and not a test (the suite is) —
+  * this is the "would the composed pipeline still behave at 10× the
+  * bench corpus" probe: replicas of a document are near-dups of the
+  * original by construction (a deterministic word appended keeps them
+  * off exact-dup fast paths), so cluster count and survivor count have
+  * known expectations that are asserted, not eyeballed.
+  *
+  * Usage: runMain graft.Stress [replicas] [sfDir]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+
+    def stage[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    val base = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").repartition(32)
+    val nBase = base.count()
+    // replica k of doc d: id d + k*10^7, text + one marker word — a
+    // near-dup (jaccard just under 1), never an exact dup
+    val corpus = (0 until replicas).map { k =>
+      if (k == 0) base
+      else base.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        concat(col("text"), lit(s" replica$k")).as("text"))
+    }.reduce(_ unionByName _)
+    println(s"[stress] corpus: $nBase docs x $replicas replicas")
+
+    val normalized = corpus.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("text"))
+
+    val pairs = stage("minhash-lsh pairs") {
+      val p = Dedup.minhashLshPairs(normalized, n = 3, numHashes = 64,
+        bands = 16, threshold = 0.5).select("id1", "id2")
+        .localCheckpoint(true)
+      println(s"[stress]   pairs: ${p.count()}")
+      p
+    }
+    val labels = stage("connected components") {
+      val l = Components.connectedComponents(pairs).localCheckpoint(true)
+      println(s"[stress]   labeled nodes: ${l.count()}")
+      l
+    }
+    val survivors = stage("survivor selection") {
+      val removed = labels.where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val s = corpus.join(removed, Seq("doc_id"), "left_anti")
+      val n = s.count()
+      println(s"[stress]   surviving docs: $n")
+      n
+    }
+
+    // every replica group should collapse toward one survivor; allow LSH
+    // recall slack but fail loudly on gross under-merging
+    val expectedMax = (nBase * (1 + 0.1 * (replicas - 1))).toLong
+    require(survivors <= expectedMax,
+      s"under-merged: $survivors survivors > $expectedMax allowed " +
+        s"(recall collapse at $replicas x scale)")
+    println(s"[stress] OK: $survivors survivors from ${nBase * replicas} docs " +
+      s"(expected <= $expectedMax)")
+    spark.stop()
+  }
+}
