@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    require(replicas >= 1, s"replicas must be >= 1: $replicas")
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
@@ -32,11 +33,15 @@ object Stress {
     val base = Tables.t(spark, sfDir, "documents")
       .select("doc_id", "text").repartition(32)
     val nBase = base.count()
-    // replica k of doc d: id d + k*10^7, text + one marker word — a
+    // id stride comes from the data (max id + 1), not a constant — a
+    // hardcoded offset silently collides with base ids at larger scale
+    // factors and corrupts every id-keyed step downstream
+    val stride = base.agg(max("doc_id")).head.getLong(0) + 1
+    // replica k of doc d: id d + k·stride, text + one marker word — a
     // near-dup (jaccard just under 1), never an exact dup
     val corpus = (0 until replicas).map { k =>
       if (k == 0) base
-      else base.select((col("doc_id") + k * 10000000L).as("doc_id"),
+      else base.select((col("doc_id") + k * stride).as("doc_id"),
         concat(col("text"), lit(s" replica$k")).as("text"))
     }.reduce(_ unionByName _)
     println(s"[stress] corpus: $nBase docs x $replicas replicas")
@@ -66,14 +71,22 @@ object Stress {
       n
     }
 
-    // every replica group should collapse toward one survivor; allow LSH
-    // recall slack but fail loudly on gross under-merging
+    // Every replica group should collapse toward one survivor: an upper
+    // bound (with LSH recall slack) catches under-merging, and a lower
+    // bound catches catastrophic over-merge — a degenerate bucketing that
+    // collapses everything into one cluster must fail, not print OK.
+    // (Base docs may legitimately near-dup each other; half is safe
+    // slack — observed ~95% of base survives.)
     val expectedMax = (nBase * (1 + 0.1 * (replicas - 1))).toLong
+    val expectedMin = nBase / 2
     require(survivors <= expectedMax,
       s"under-merged: $survivors survivors > $expectedMax allowed " +
         s"(recall collapse at $replicas x scale)")
+    require(survivors >= expectedMin,
+      s"over-merged: $survivors survivors < $expectedMin — distinct " +
+        "documents are being collapsed together")
     println(s"[stress] OK: $survivors survivors from ${nBase * replicas} docs " +
-      s"(expected <= $expectedMax)")
+      s"(expected in [$expectedMin, $expectedMax])")
     spark.stop()
   }
 }

@@ -201,24 +201,31 @@ object Dedup {
                       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Eager localCheckpoint: the banded self-join below scans the
+    // Lazy localCheckpoint: the banded self-join below scans the
     // signature table on BOTH sides, which would otherwise run the whole
     // shingle→rehash→min pipeline twice. Signatures are numHashes longs
     // per doc — tiny next to the corpus — so materializing them is the
     // scale-correct trade (checkpointing the shingled corpus itself would
     // not be; its recompute-over-materialize choice is deliberate).
+    // eager = false: materialization happens on the caller's first action,
+    // so building the plan (graft.Explain, tests constructing queries)
+    // runs no jobs.
     val sig = minhashSignatures(docs, n, numHashes, idCol, textCol)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val banded = sig.select(col(idCol),
         posexplode(array((0 until bands).map(b =>
           xxhash64(concat_ws(",", slice(col("signature"), b * rows + 1, rows), lit(b)))): _*)))
       .toDF(idCol, "band_idx", "band_hash")
+    // checkpointed too (id pairs — tiny): cands feeds BOTH the candidate
+    // id set below and the final common-shingle join; without the cut the
+    // banded self-join + distinct would execute once per consumer
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
+      .localCheckpoint(false)
     // Verify with true Jaccard computed ONLY over the candidate set — and
     // only candidate DOCUMENTS are re-shingled: the corpus-wide shingle
     // pass happens exactly once (inside the signature build). The
@@ -229,7 +236,7 @@ object Dedup {
       .union(cands.select(col("id2").as(idCol))).distinct()
     val candSets = shingleSets(
       docs.join(broadcast(candIds), Seq(idCol), "left_semi"), n, idCol, textCol)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sh = candSets.select(col(idCol), explode(col("shingle_set")).as("shingle"))
     val counts = candSets.select(col(idCol),
       size(col("shingle_set")).cast("long").as("_n"))
@@ -282,7 +289,8 @@ object Dedup {
     val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     // checkpointed for the same reason as the MinHash signatures: the
     // chunk self-join reads fingerprints (8 bytes/doc) on both sides
-    val sh = simhash(docs, idCol, textCol).localCheckpoint(true)
+    // (lazy, so plan construction stays execution-free)
+    val sh = simhash(docs, idCol, textCol).localCheckpoint(false)
     val chunked = sh.select(col(idCol), col("simhash"),
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("simhash"), c * bitsPer)

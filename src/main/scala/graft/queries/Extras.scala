@@ -302,16 +302,21 @@ object Extras {
       // of this entry is the zero-exchange JOIN over an existing bucketed
       // layout (s10/s12 measure sinks); source data per dir is immutable
       // within a run, so the repeat invocation reuses the tables. Table
-      // names carry the dir hash so two dirs in one process never share
-      // (or clobber) a layout.
-      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      // names embed the sanitized dir path (full identity, not a 32-bit
+      // hash) so two dirs in one process can never share a layout, and
+      // the memo is recorded only AFTER a successful build — a failed
+      // write retries next invocation instead of poisoning the process.
+      // (Queries run sequentially in this harness; a concurrent runner
+      // would need the memo to hold a completed future instead.)
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val (ot, lt) = (s"j11_orders_$sfx", s"j11_lineitem_$sfx")
-      if (bucketedBuilt.putIfAbsent(dir, true).isEmpty) {
+      if (!bucketedBuilt.contains(dir)) {
         val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
         PartitionedStore.writeBucketed(o, ot, 8, Seq("o_orderkey"))
         PartitionedStore.writeBucketed(li, lt, 8, Seq("o_orderkey"))
+        bucketedBuilt.put(dir, true)
       }
       val joined = PartitionedStore.bucketedJoin(s, ot, lt, Seq("o_orderkey"))
       require(PartitionedStore.shuffleFree(joined),
