@@ -32,7 +32,7 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty, "test corpus should contain near-dups")
     assert(lsh.subsetOf(exact), "verification must kill false candidates")
     val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (${lsh.size}/${exact.size})")
+    assert(recall >= 0.95, s"LSH recall $recall below 0.95 (${lsh.size}/${exact.size})")
   }
 
   test("SimHash finds all exact duplicates at hamming distance 0") {
@@ -50,7 +50,7 @@ class LlmSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
     val approx = Similarity.lshTopK(queries, emb, k = 5, planes = 16, bands = 8)
     val recall = Similarity.recallAtK(approx, exact)
-    assert(recall >= 0.5, s"SRP recall $recall below 0.5")
+    assert(recall >= 0.8, s"SRP recall $recall below 0.8 (measured 0.94)")
   }
 
   test("IVF ANN recall against exact brute-force top-k") {
@@ -59,7 +59,7 @@ class LlmSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
     val approx = Similarity.ivfTopK(queries, emb, k = 5, nlist = 16, nprobe = 6)
     val recall = Similarity.recallAtK(approx, exact)
-    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 (measured 0.96)")
   }
 
   test("PQ ANN recall against exact brute-force top-k") {
