@@ -42,7 +42,9 @@ object Bench {
       "connected components — their scale paths are d3 (LSH) and d8; " +
       "d10 pays two extra bench-side jobs (count + bloom build) and e5 an " +
       "iterative codebook build — fixed job-count overhead at toy scale, " +
-      "amortized at real data volume\""
+      "amortized at real data volume; stateful streaming entries run on " +
+      "the RocksDB state store (production backend — fixed per-microbatch " +
+      "store open/commit cost here, bounded memory at real state volume)\""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"notes":$notes,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -562,8 +562,7 @@ object PipelineOps {
       // volume (tiny here) rather than the session's scan parallelism.
       // The override lives on a cloned session (own SQLConf, shared
       // SparkContext) so nothing concurrent on `s` ever observes it.
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ss = EventStream.statefulSession(s)
       val joined = EventStream.clickPurchaseJoin(EventStream.readEvents(ss, dir), 10)
       val drained = EventStream.runToMemory(joined,
         s"t6_stream_${streamSeq.incrementAndGet()}", mode = "append")
@@ -579,8 +578,7 @@ object PipelineOps {
         |            UNION ALL SELECT event_id, user_id, event_type FROM events))
         |SELECT user_id, count(*) AS n_unique FROM d GROUP BY user_id""".stripMargin) { (s, dir) =>
       // cloned session scopes the state-store partition override (see t6)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ss = EventStream.statefulSession(s)
       val ev = EventStream.readEvents(ss, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       // self-union the stream so there are real duplicates to drop.
@@ -606,8 +604,7 @@ object PipelineOps {
         |  AND 1.0 - len(list_distinct(string_split(text, ' ')))
         |        / len(string_split(text, ' '))::DOUBLE <= 0.8
         |GROUP BY source""".stripMargin) { (s, dir) =>
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ss = EventStream.statefulSession(s)
       val stream = ss.readStream
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .parquet(s"$dir/{documents.parquet}")
@@ -641,8 +638,7 @@ object PipelineOps {
       """SELECT user_id, event_type, count(*) AS n,
         |       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ss = EventStream.statefulSession(s)
       // fresh store+checkpoint per call: a reused checkpoint would make
       // AvailableNow see no new files and run zero batches
       val root = java.nio.file.Paths.get(
@@ -664,8 +660,7 @@ object PipelineOps {
         |       cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val ss = EventStream.statefulSession(s)
       val static = graft.Tables.t(ss, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       val joined = EventStream.readEvents(ss, dir)

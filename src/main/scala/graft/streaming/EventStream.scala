@@ -23,6 +23,23 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Session for stateful streaming queries: a clone (own SQLConf, shared
+    * SparkContext — nothing concurrent on the parent ever observes these
+    * settings) with shuffle partitions scoped to the state volume rather
+    * than the scan parallelism, and the RocksDB state store provider —
+    * the production backend whose state lives off-heap and spills to
+    * disk, so an unbounded key space degrades to disk instead of OOMing
+    * the executor (the default HDFS-backed store keeps every version of
+    * the state map on heap).
+    */
+  def statefulSession(parent: SparkSession, shufflePartitions: Int = 4): SparkSession = {
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss
+  }
+
   /** Streaming source over the events parquet with µs timestamps. The
     * file-stream source wants a directory or glob, not a bare file path —
     * a one-element glob (`{events.parquet}`) keeps it pointed at the
