@@ -42,9 +42,10 @@ object Bench {
       "connected components — their scale paths are d3 (LSH) and d8; " +
       "d10 pays two extra bench-side jobs (count + bloom build) and e5 an " +
       "iterative codebook build — fixed job-count overhead at toy scale, " +
-      "amortized at real data volume; stateful streaming entries run on " +
-      "the RocksDB state store (production backend — fixed per-microbatch " +
-      "store open/commit cost here, bounded memory at real state volume)\""
+      "amortized at real data volume; stateful streaming entries t6-t10 " +
+      "run on the RocksDB state store (production backend — fixed " +
+      "per-microbatch store open/commit cost here, bounded memory at real " +
+      "state volume; t2 stays on the default heap-backed provider)\""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"notes":$notes,"sf":"$sfDir"}""")
     spark.stop()
   }

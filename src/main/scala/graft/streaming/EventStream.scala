@@ -29,8 +29,9 @@ object EventStream {
     * than the scan parallelism, and the RocksDB state store provider —
     * the production backend whose state lives off-heap and spills to
     * disk, so an unbounded key space degrades to disk instead of OOMing
-    * the executor (the default HDFS-backed store keeps every version of
-    * the state map on heap).
+    * the executor (the default HDFS-backed store holds its retained
+    * versions — maxBatchesToRetainInMemory, each a full copy of the state
+    * map — entirely on heap with no spill path).
     */
   def statefulSession(parent: SparkSession, shufflePartitions: Int = 4): SparkSession = {
     val ss = parent.newSession()
