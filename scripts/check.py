@@ -9,6 +9,7 @@ stringified values. Usage:
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -45,6 +46,33 @@ def canon_val(v):
     return str(v)
 
 
+def lint_shapes(con, name, oracle_sql, parquet_files):
+    """Pre-flight shape lint: the DRIVER's comparator (unlike canon() here,
+    which stringifies) hashes typed values — DuckDB HUGEINT (any un-cast
+    sum()-derived output) hashes differently from Spark bigint even when
+    values are equal, and LIST/STRUCT cells crash its sort_values. This
+    bug class cost rounds 1 (a13/f16b/f18) and 2 (x11/d7/e4); fail loudly
+    here so it can't recur."""
+    import pyarrow as pa
+    problems = []
+    try:
+        for row in con.execute(f"DESCRIBE {oracle_sql}").fetchall():
+            cname, ctype = row[0], row[1]
+            t = ctype.upper()
+            if "HUGEINT" in t:
+                problems.append(f"oracle col {cname} is {ctype} (cast to BIGINT)")
+            elif "[]" in t or t.startswith(("STRUCT", "MAP", "LIST")):
+                problems.append(f"oracle col {cname} is {ctype} (serialize: array_to_string)")
+    except Exception as e:
+        problems.append(f"oracle DESCRIBE failed: {e}")
+    for f in parquet_files[:1]:
+        for field in pq.read_schema(f):
+            if pa.types.is_nested(field.type):
+                problems.append(
+                    f"spark col {field.name} is {field.type} (serialize: array_join)")
+    return problems
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -77,6 +105,10 @@ def main(sf_dir, out_dir):
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracles:
             results[name] = f"ROWS_ONLY({len(got)})" if len(got) > 0 else "ROWS_ONLY_EMPTY"
+            continue
+        shape_problems = lint_shapes(con, name, oracles[name], files)
+        if shape_problems:
+            results[name] = "SHAPE_LINT " + "; ".join(shape_problems)
             continue
         try:
             exp = con.execute(oracles[name]).df()

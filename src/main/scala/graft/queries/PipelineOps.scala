@@ -117,12 +117,18 @@ object PipelineOps {
         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
         |cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
         |SELECT component AS survivor,
-        |       list_sort(list(id)) AS members,
+        |       array_to_string(list_sort(list(id)), ',') AS members,
         |       count(*) AS n_members
         |FROM cc GROUP BY component""".stripMargin) { (s, dir) =>
+      // members serialized to a CSV string: the driver's comparator sorts
+      // raw pandas values and cannot order array cells (r2 harness error);
+      // the element order is already deterministic (sort_array/list_sort).
       Components.dedupClusters(
         Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.6)
           .select("id1", "id2"))
+        .select(col("survivor"),
+          array_join(transform(col("members"), _.cast("string")), ",").as("members"),
+          col("n_members"))
     },
 
     // ---- D6: benchmark decontamination — shared-shingle counts of every
@@ -310,29 +316,35 @@ object PipelineOps {
     //      or accumulation order (a float sum would be order-dependent).
     //      Distributed shape: posexplode to (label, pos, q) — dim×rows,
     //      map-side combinable — one shuffle on (label, pos), reassemble
-    //      per label. ----------------------------------------------------
+    //      per label. The checked centroid is serialized as a CSV of
+    //      micro-unit longs (round(mean_milli × 1e6)): the driver's
+    //      comparator cannot sort array cells, and both engines derive
+    //      the long from the SAME exact-integer sum/count via identical
+    //      IEEE double ops, so the strings match deterministically. ------
     "e4_label_centroids" -> Q(
       """WITH v AS (SELECT label,
         |            list_transform(embedding, x -> cast(round(x::DOUBLE * 1000) AS BIGINT)) AS qv
         |           FROM embeddings),
         |u AS (SELECT label, i - 1 AS pos, qv[i] AS q
         |      FROM v, unnest(generate_series(1, len(qv))) AS t(i)),
-        |c AS (SELECT label, pos, cast(sum(q) AS BIGINT) * 1.0 / count(*) AS m,
+        |c AS (SELECT label, pos,
+        |             cast(round(cast(sum(q) AS BIGINT) * 1.0 / count(*) * 1000000) AS BIGINT) AS mq,
         |             count(*) AS n
         |      FROM u GROUP BY 1, 2)
-        |SELECT label, list(m ORDER BY pos) AS centroid, min(n) AS n_vecs
+        |SELECT label, array_to_string(list(mq ORDER BY pos), ',') AS centroid,
+        |       min(n) AS n_vecs
         |FROM c GROUP BY label""".stripMargin) { (s, dir) =>
       fanOut(s, t(s, dir, "embeddings"))
         .select(col("label"), posexplode(transform(col("embedding"),
           x => round(x.cast("double") * 1000).cast("long"))))
         .toDF("label", "pos", "q")
         .groupBy("label", "pos")
-        .agg((sum("q").cast("double") / count(lit(1))).as("m"),
+        .agg(round(sum("q").cast("double") / count(lit(1)) * 1000000).cast("long").as("mq"),
           count(lit(1)).as("n"))
         .groupBy("label")
         .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).as("centroid"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("mq")))),
+            x => x.getField("mq").cast("string")), ",").as("centroid"),
           min("n").as("n_vecs"))
     },
 
@@ -486,11 +498,11 @@ object PipelineOps {
         |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
         |c AS (SELECT doc_id, source, toks,
         |  sum(toks) OVER (PARTITION BY source ORDER BY hh, doc_id
-        |                  ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+        |                  ROWS UNBOUNDED PRECEDING) AS cum FROM h WHERE toks > 0)
         |SELECT doc_id, source, toks,
-        |       (cum - toks) // 512 AS start_seq,
-        |       (cum - 1) // 512 AS end_seq,
-        |       (cum - toks) % 512 AS "offset"
+        |       cast((cum - toks) // 512 AS BIGINT) AS start_seq,
+        |       cast((cum - 1) // 512 AS BIGINT) AS end_seq,
+        |       cast((cum - toks) % 512 AS BIGINT) AS "offset"
         |FROM c""".stripMargin) { (s, dir) =>
       Sampling.packSequences(
         docs(s, dir).select(col("doc_id"), col("source"),
