@@ -83,6 +83,12 @@ object Sampling {
     * single-partition sort. At corpus scale, strata are sources or
     * hash-buckets (any deterministic partition of the corpus packs
     * independently by construction).
+    *
+    * Rows with a non-positive token count are dropped before the layout:
+    * a zero-token document occupies no tokens (its span would be the
+    * inverted `[start, start-1]`), and a negative count would corrupt the
+    * running total — and therefore the layout — of every later document
+    * in its stratum.
     */
   def packSequences(df: DataFrame, strataCol: String, tokensCol: String,
                     seqLen: Long, idCol: String = "doc_id"): DataFrame = {
@@ -93,7 +99,8 @@ object Sampling {
       s"input column name(s) collide with packSequences output: ${clash.mkString(",")}")
     val w = hashOrder(strataCol, idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+    df.filter(col(tokensCol) > 0)
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
       .select(col(idCol), col(strataCol), col(tokensCol),
         floor((col("_cum") - col(tokensCol)) / seqLen).as("start_seq"),
         floor((col("_cum") - 1) / seqLen).as("end_seq"),

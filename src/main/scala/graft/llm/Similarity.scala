@@ -254,7 +254,12 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+    // null vectors excluded (mirrors lshTopK); zero-norm vectors are
+    // dropped in subvecs — normalizing one yields all-NaN subvectors, and
+    // a single NaN assigned into a Lloyd cluster makes that codeword NaN,
+    // destroying it for the whole subspace.
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
@@ -266,6 +271,7 @@ object Similarity {
     // per vector on the corpus-wide build.
     def subvecs(df: DataFrame, id: String): DataFrame =
       df.withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+        .filter(col("_nrm") > 0)
         .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
         .select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("_nv"), s * sub + 1, lit(sub)))))
@@ -319,7 +325,8 @@ object Similarity {
     val codes = assign(csub, "cid", codebook).select("cid", "_s", "_code")
 
     // ADC table: query × (subspace, codeword) distances — tiny, broadcast
-    val q = queries.select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
     val dtable = subvecs(q.select(col("query_id"), col("_qv").as("_v")), "query_id")
       .join(broadcast(codebook), "_s")
       .withColumn("_d", l2(col("_sv"), col("_cw")))

@@ -21,11 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** @return one row per changed key: key columns, `op` ∈ {I, U, D}, and
+  /** PRECONDITION: `keys` must be unique within each snapshot — duplicate
+    * keys fan out through the full-outer join into a cross product of
+    * spurious U/changed rows with no error. Pass
+    * `assertUniqueKeys = true` to verify (runs one count job per side at
+    * construction — cheap next to the diff itself, but off by default so
+    * callers that already guarantee uniqueness, e.g. an upstream
+    * [[Upsert]] sink, don't pay it).
+    *
+    * @return one row per changed key: key columns, `op` ∈ {I, U, D}, and
     *         `old_<c>` / `new_<c>` for every non-key column `c`.
     */
-  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+           assertUniqueKeys: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
+    if (assertUniqueKeys) {
+      Seq("old" -> oldDf, "new" -> newDf).foreach { case (side, df) =>
+        val dups = df.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dups.isEmpty,
+          s"SnapshotDiff: duplicate key in $side snapshot: ${dups.head}")
+      }
+    }
     require(oldDf.columns.sameElements(newDf.columns),
       s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     val valueCols = oldDf.columns.filterNot(keys.contains).toSeq

@@ -302,13 +302,17 @@ object Extras {
       // of this entry is the zero-exchange JOIN over an existing bucketed
       // layout (s10/s12 measure sinks); source data per dir is immutable
       // within a run, so the repeat invocation reuses the tables. Table
-      // names embed the sanitized dir path (full identity, not a 32-bit
-      // hash) so two dirs in one process can never share a layout, and
+      // names embed the sanitized dir path plus a SHA-256 prefix of the
+      // RAW path — sanitizing alone is not injective (".../sf0.1" and
+      // ".../sf0_1" collide), and a collision would overwrite the first
+      // dir's tables while its memo entry still says "built" — and
       // the memo is recorded only AFTER a successful build — a failed
       // write retries next invocation instead of poisoning the process.
       // (Queries run sequentially in this harness; a concurrent runner
       // would need the memo to hold a completed future instead.)
-      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
       val (ot, lt) = (s"j11_orders_$sfx", s"j11_lineitem_$sfx")
       if (!bucketedBuilt.contains(dir)) {
         val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
