@@ -16,7 +16,7 @@ object Bench {
     // attributed to whichever query they landed on. A query that throws
     // reports -1 (NOT its time-to-throw, which would read as a speedup)
     // and is listed in "failures".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -28,6 +28,23 @@ object Bench {
       val (a, b) = (once(), once())
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    // Full-corpus export as a named entry (single run — IO-bound, and the
+    // golden-byte spec covers correctness): meltAll over the reference's
+    // 38 published CSVs → the complete writeAll dump. Makes export
+    // throughput regressions visible in the round-over-round bench JSON.
+    val exportSec = {
+      val t0 = System.nanoTime()
+      try {
+        val long = votes.VoteMatrix.meltAll(spark, "/root/reference/vote_data")
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_export_").toString
+        votes.Export.writeAll(spark, long, dir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] export_writeall failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val results = queryResults :+ ("export_writeall" -> exportSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

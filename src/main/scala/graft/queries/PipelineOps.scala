@@ -232,9 +232,27 @@ object PipelineOps {
     },
 
     // ---- D3: MinHash-LSH near-dup (scale path; validated vs D2 in specs)
-    "d3_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
+    // Oracle = the exact-Jaccard pair set (same SQL as d2): LSH output is
+    // candidates ∩ {exact jaccard ≥ τ} — the verify stage recomputes TRUE
+    // jaccard, so the only way d3 ≠ d2 is a candidate MISS. Banding is
+    // chosen to make that provably negligible: rows = 64/32 = 2 per band,
+    // P(miss | jaccard = 0.6) = (1 − 0.6²)³² = 0.64³² ≈ 6e-7 (and falling
+    // fast above τ). Production would trade looser recall for fewer
+    // candidates via fewer bands — the library function stays
+    // parameterized; this entry pins the oracle-equivalent config.
+    "d3_minhash_lsh" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2 FROM p
+        |JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, numHashes = 64,
-        bands = 16, threshold = 0.6)
+        bands = 32, threshold = 0.6)
         .select("id1", "id2")
     },
 

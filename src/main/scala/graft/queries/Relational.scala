@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.ops.{Completeness, Islands, Upsert}
+import graft.ops.{Completeness, Islands, PhraseIndexJoin, Upsert}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -263,6 +263,34 @@ object Relational {
         broadcast(d.select(col("doc_id").as("other_id"), col("text"))),
         col("text").contains(col("phrase")) && col("other_id") =!= col("doc_id"))
       m.groupBy("doc_id")
+        .agg(min(col("other_id")).as("matched_doc"), count(lit(1)).as("_n"))
+        .filter(col("_n") === 1)
+        .select("doc_id", "matched_doc")
+    },
+
+    // ---- J7b: the same containment join on the inverted-index scale
+    //      path (ops.PhraseIndexJoin) — same oracle; the broadcast nested
+    //      loop above stays as the small-scale verifier. Candidate
+    //      generation is an equi join on the phrase's inner token n-gram
+    //      (a necessary condition of character containment), residual
+    //      contains() runs on candidates only — the shape that survives a
+    //      corpus too big to broadcast. ----------------------------------
+    "j7b_phrase_index_match" -> Q(
+      """WITH ph AS (SELECT doc_id, array_to_string(string_split(text, ' ')[10:14], ' ') AS phrase
+        |            FROM documents),
+        |m AS (SELECT ph.doc_id, d.doc_id AS other_id
+        |      FROM ph JOIN documents d
+        |        ON contains(d.text, ph.phrase) AND d.doc_id <> ph.doc_id)
+        |SELECT doc_id, min(other_id) AS matched_doc FROM m
+        |GROUP BY doc_id HAVING count(*) = 1""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val ph = d.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 10, 5), " ").as("phrase"))
+      PhraseIndexJoin.containsJoin(ph,
+          d.select(col("doc_id").as("other_id"), col("text")),
+          "doc_id", "phrase", "other_id", "text")
+        .filter(col("other_id") =!= col("doc_id"))
+        .groupBy("doc_id")
         .agg(min(col("other_id")).as("matched_doc"), count(lit(1)).as("_n"))
         .filter(col("_n") === 1)
         .select("doc_id", "matched_doc")

@@ -72,6 +72,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall $recall below 0.5")
   }
 
+  test("PQ excludes null and zero-norm vectors without poisoning codebooks") {
+    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
+    val bad = spark.range(1).select(
+        lit(900001L).as("vec_id"), lit(null).cast("array<float>").as("embedding"))
+      .unionByName(spark.range(1).select(
+        lit(900002L).as("vec_id"), array_repeat(lit(0.0f), dim).as("embedding")))
+    val corpus = emb.select("vec_id", "embedding").unionByName(bad)
+    val queries = corpus.filter(col("vec_id") < 10 || col("vec_id") >= 900000L)
+    val res = Similarity.pqTopK(queries, corpus, k = 5, m = 8, ksub = 16)
+      .localCheckpoint(true)
+    assert(res.filter(col("query_id") >= 900000L).count() === 0,
+      "null/zero-norm queries must be dropped")
+    assert(res.filter(col("neighbor_id") >= 900000L).count() === 0,
+      "null/zero-norm corpus vectors must never be neighbors")
+    assert(res.filter(isnan(col("cosine"))).count() === 0,
+      "a NaN cosine means a codeword was poisoned")
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) === 5))
+  }
+
   test("ANN ranks are dense and cosine is within [-1, 1]") {
     val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
     assert(topk.count() === 15)
@@ -207,6 +226,21 @@ class LlmSpec extends SparkSpec {
         pos += toks
       }
     }
+  }
+
+  test("sequence packing drops non-positive token counts, layout unchanged otherwise") {
+    import spark.implicits._
+    val rows = Seq((1L, "s", 100L), (2L, "s", 0L), (3L, "s", -5L), (4L, "s", 60L),
+        (5L, "t", 30L)).toDF("doc_id", "source", "toks")
+    val got = Sampling.packSequences(rows, "source", "toks", seqLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val clean = Sampling.packSequences(rows.filter(col("toks") > 0),
+        "source", "toks", seqLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(!got.exists(t => t._1 == 2L || t._1 == 3L), "zero/negative-token docs dropped")
+    assert(got === clean, "dropped rows must not perturb later documents' spans")
+    // no inverted spans anywhere
+    assert(got.forall(t => t._3 >= t._2), s"inverted span in $got")
   }
 
   test("frame sampling emits only full windows; resize shrinks payload and meta") {
