@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** 8-bit 2-D Morton interleave as portable SQL text (bit j of x → bit
+    * 2j, of y → bit 2j+1) — the same arithmetic `ops.ZOrder.zvalue`
+    * builds with Column bit ops, so the s14 oracle is engine-exact.
+    */
+  private val zInterleaveSql: String = (0 until 8).flatMap(j => Seq(
+    s"(((x >> $j) & 1) << ${2 * j})",
+    s"(((y >> $j) & 1) << ${2 * j + 1})")).mkString(" | ")
+
   /** Stable scratch path under java.io.tmpdir, namespaced by pid so
     * concurrent JVMs (verify vs bench) never collide; reused across
     * invocations within a process (writers use overwrite mode).
@@ -236,6 +244,35 @@ object Extras {
         .filter(col("event_type").isin("click", "purchase"))
         .groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- S14 (scale layout): Z-order multi-dimensional clustering ------
+    //      The data-skipping layout for scans filtering on MORE than one
+    //      column (ops.ZOrder): interleave (custkey, order-day) bits →
+    //      contiguous z-ranges are close in BOTH dimensions, so per-file
+    //      min/max stats prune each dimension independently (a 1-D sort
+    //      prunes only its own key). The checked output is the per-z-block
+    //      stats themselves — count + min/max of both dims per 1024-wide
+    //      z bucket — pure integer bit arithmetic, identical in both
+    //      engines; the pruning-ratio claim (y-only filter touches ≤ 16/64
+    //      z partitions vs 64/64 for an x-sort) is asserted in ZOrderSpec.
+    "s14_zorder_stats" -> Q(
+      s"""WITH b AS (SELECT o_custkey % 256 AS x,
+         |            datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS y
+         |           FROM orders),
+         |z AS (SELECT x, y, $zInterleaveSql AS z FROM b)
+         |SELECT z >> 10 AS bucket, count(*) AS n,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1""".stripMargin) { (s, dir) =>
+      val b = t(s, dir, "orders").select(
+        (col("o_custkey") % 256).cast("long").as("x"),
+        (datediff(col("o_orderdate"), lit("1992-01-01")) % 256).cast("long").as("y"))
+      b.withColumn("z", graft.ops.ZOrder.zvalue(Seq(col("x"), col("y")), 8))
+        .groupBy(shiftright(col("z"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
     },
 
     // ---- J9: as-of join (latest order at or before each event, per
