@@ -91,8 +91,74 @@ object Export {
         VoteCode.toLetterCol(col("vote")).as("letter"))
   }
 
+  /** Column order [[csvBytesLocal]] expects — the [[VoteMatrix.longSchema]]
+    * fields minus the (year, chamber) grouping key.
+    */
+  private val matrixCols = Seq("row_idx", "roll_name", "roll_number",
+    "stamp_raw", "member_idx", "member_name", "district", "party", "letter")
+
+  /** Assemble one (year, chamber) matrix's CSV bytes from its long rows —
+    * the pure-Scala twin of [[VoteMatrix.toCsvBytes]] (byte-identical,
+    * asserted in ExportSpec), built to run INSIDE an executor task. Rows
+    * must follow [[matrixCols]] order; one group is bounded by the matrix
+    * itself (~1.6k rolls × ~210 legislators), so in-memory assembly is the
+    * output's own size.
+    */
+  private[votes] def csvBytesLocal(rows: Iterator[org.apache.spark.sql.Row]): Array[Byte] = {
+    val buf = rows.toArray
+    def s(r: org.apache.spark.sql.Row, i: Int): String =
+      Option(r.getString(i)).getOrElse("")
+    val roster = buf.map(r => (r.getInt(4), s(r, 5), s(r, 6), s(r, 7)))
+      .distinct.sortBy(_._1)
+    val idxs = roster.map(_._1)
+    val cells = new scala.collection.mutable.HashMap[(Int, Int), String]()
+    for (r <- buf) cells.getOrElseUpdate((r.getInt(0), r.getInt(4)), s(r, 8))
+    val rolls = buf.map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .distinct.sortBy(_._1)
+    val sb = new StringBuilder
+    sb ++= VoteMatrix.formatCsvRow("Name" +: "Number" +: "Date" +: roster.map(_._2).toSeq)
+    if (roster.exists(_._3.nonEmpty))
+      sb ++= VoteMatrix.formatCsvRow("District" +: "" +: "" +: roster.map(_._3).toSeq)
+    if (roster.exists(_._4.nonEmpty))
+      sb ++= VoteMatrix.formatCsvRow("Party" +: "" +: "" +: roster.map(_._4).toSeq)
+    for ((rowIdx, name, number, stamp) <- rolls)
+      sb ++= VoteMatrix.formatCsvRow(
+        name +: number.toString +: stamp +: idxs.map(i => cells.getOrElse((rowIdx, i), "")))
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Distributed full-corpus export: ONE shuffle keyed by (year, chamber),
+    * each group's CSV assembled inside its executor task, small finished
+    * byte arrays collected and written by the driver. Replaces a driver
+    * loop of per-group filter + distinct + pivot + collect jobs over the
+    * whole corpus (38 × multiple full scans) with a single pass — and is
+    * the shape that still works when the corpus no longer fits one scan
+    * per output file.
+    */
+  def writeAllDistributed(spark: SparkSession, long: DataFrame, root: String): Unit = {
+    import spark.implicits._
+    val ds = long.select(
+      (Seq("year", "chamber") ++ matrixCols).map(col): _*)
+    val files = ds
+      .groupByKey(r => (r.getInt(0), r.getInt(1)))
+      .mapGroups { (key, it) =>
+        // group rows carry (year, chamber) in front; strip to matrixCols order
+        val bytes = csvBytesLocal(it.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(2))))
+        (key._1, key._2, bytes)
+      }
+      .collect()
+    for ((y, c, bytes) <- files) {
+      val dir = java.nio.file.Paths.get(root, y.toString)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(Chamber.title(c) + ".csv"), bytes)
+    }
+  }
+
   /** Write every complete (year, chamber) group under `root` in the
-    * vote_data layout (dump.py:40-66).
+    * vote_data layout (dump.py:40-66). Small-scale verifier twin of
+    * [[writeAllDistributed]] (per-group Spark pivot via
+    * [[VoteMatrix.writeCsv]]; byte equivalence asserted in ExportSpec).
     */
   def writeAll(spark: SparkSession, long: DataFrame, root: String): Unit = {
     // one upstream computation for the whole export: the per-group loop

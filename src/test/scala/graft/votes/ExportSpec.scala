@@ -152,6 +152,26 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("writeAllDistributed emits byte-identical files to the per-group pivot path") {
+    // the distributed single-shuffle export and the driver-loop verifier
+    // must agree byte-for-byte; also pin against a published golden file
+    // via the melt roundtrip
+    val ref = "/root/reference/vote_data"
+    val melted = VoteMatrix.melt(spark, s"$ref/2023/House.csv", 2023, Chamber.HOUSE)
+      .unionByName(VoteMatrix.melt(spark, s"$ref/2019/Senate.csv", 2019, Chamber.SENATE))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_wad_").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_wa_").toString
+    Export.writeAllDistributed(spark, melted, d1)
+    Export.writeAll(spark, melted, d2)
+    for (rel <- Seq("2023/House.csv", "2019/Senate.csv")) {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d1, rel))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d2, rel))
+      val g = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ref, rel))
+      assert(java.util.Arrays.equals(a, b), s"$rel: distributed ≠ pivot path")
+      assert(java.util.Arrays.equals(a, g), s"$rel: distributed ≠ published golden bytes")
+    }
+  }
+
   test("writeAll computes the long plan once, not once per group") {
     import org.apache.spark.sql.functions.udf
     val acc = spark.sparkContext.longAccumulator("export_scan_rows")
