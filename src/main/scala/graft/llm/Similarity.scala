@@ -254,12 +254,15 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // null vectors excluded (mirrors lshTopK); zero-norm vectors are
-    // dropped in subvecs — normalizing one yields all-NaN subvectors, and
+    // null vectors excluded (mirrors lshTopK), and zero-norm vectors
+    // excluded UP FRONT — normalizing one yields all-NaN subvectors, and
     // a single NaN assigned into a Lloyd cluster makes that codeword NaN,
-    // destroying it for the whole subspace.
+    // destroying it for the whole subspace. Filtering before the
+    // lowest-id codebook init (not just inside subvecs) also keeps the
+    // init able to seed all ksub codewords when low ids are degenerate.
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m

@@ -100,6 +100,9 @@ object PhraseIndexJoin {
                    innerLens: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(innerLens.nonEmpty && innerLens.forall(_ >= 1),
       s"innerLens must be positive: $innerLens")
+    require(probeIdCol != corpusIdCol,
+      s"probeIdCol and corpusIdCol must differ (both '$probeIdCol'): the " +
+        "output would carry two identically named columns")
     val ph = probe.select(col(probeIdCol).as("_pid"), col(phraseCol).as("_phrase"))
       .withColumn("_pw", split(col("_phrase"), " "))
       .withColumn("_k", size(col("_pw")))

@@ -147,8 +147,12 @@ object Export {
           org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(2))))
         (key._1, key._2, bytes)
       }
-      .collect()
-    for ((y, c, bytes) <- files) {
+    // toLocalIterator, not collect: the driver holds ONE finished matrix
+    // at a time, so driver memory is bounded by the largest group, not
+    // the whole export
+    val it = files.toLocalIterator()
+    while (it.hasNext) {
+      val (y, c, bytes) = it.next()
       val dir = java.nio.file.Paths.get(root, y.toString)
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve(Chamber.title(c) + ".csv"), bytes)

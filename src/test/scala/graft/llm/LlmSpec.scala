@@ -74,17 +74,20 @@ class LlmSpec extends SparkSpec {
 
   test("PQ excludes null and zero-norm vectors without poisoning codebooks") {
     val dim = emb.selectExpr("size(embedding)").head.getInt(0)
+    // negative ids: the degenerate vectors sit at the LOWEST ids, inside
+    // the deterministic lowest-id codebook-init window — without the
+    // up-front norm filter they would seed (and shrink/poison) codebooks
     val bad = spark.range(1).select(
-        lit(900001L).as("vec_id"), lit(null).cast("array<float>").as("embedding"))
+        lit(-1L).as("vec_id"), lit(null).cast("array<float>").as("embedding"))
       .unionByName(spark.range(1).select(
-        lit(900002L).as("vec_id"), array_repeat(lit(0.0f), dim).as("embedding")))
+        lit(-2L).as("vec_id"), array_repeat(lit(0.0f), dim).as("embedding")))
     val corpus = emb.select("vec_id", "embedding").unionByName(bad)
-    val queries = corpus.filter(col("vec_id") < 10 || col("vec_id") >= 900000L)
+    val queries = corpus.filter(col("vec_id") < 10)
     val res = Similarity.pqTopK(queries, corpus, k = 5, m = 8, ksub = 16)
       .localCheckpoint(true)
-    assert(res.filter(col("query_id") >= 900000L).count() === 0,
+    assert(res.filter(col("query_id") < 0).count() === 0,
       "null/zero-norm queries must be dropped")
-    assert(res.filter(col("neighbor_id") >= 900000L).count() === 0,
+    assert(res.filter(col("neighbor_id") < 0).count() === 0,
       "null/zero-norm corpus vectors must never be neighbors")
     assert(res.filter(isnan(col("cosine"))).count() === 0,
       "a NaN cosine means a codeword was poisoned")
