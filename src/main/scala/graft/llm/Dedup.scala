@@ -178,18 +178,21 @@ object Dedup {
   private def rehash(h: Column, i: Int): Column = xxhash64(h, lit(i))
 
   /** Per-document MinHash signature: `numHashes` minima over the shingle
-    * set's rehashed values, computed in ONE aggregation (map-side partial
-    * combine does most of the work before the shuffle).
+    * set's rehashed values, computed PER ROW with `array_min` over the
+    * shingle array — zero shuffle (the former explode + groupBy shape
+    * moved every (doc, shingle, hash) triple through an exchange to
+    * compute the same minima), stays inside whole-stage codegen, and is
+    * stateless, so it runs unchanged on a streaming DataFrame (see the
+    * t12 streaming-ingest entry). Same work per row, identical output
+    * (min over the same rehashed values).
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol)
-      .withColumn("_h", xxhash64(col("shingle")))
-    val mins = (0 until numHashes).map(i => min(rehash(col("_h"), i)).as(s"_m$i"))
-    sh.groupBy(idCol)
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("signature"))
-  }
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleSets(docs, n, idCol, textCol)
+      .withColumn("_hs", transform(col("shingle_set"), s => xxhash64(s)))
+      .select(col(idCol),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("_hs"), h => rehash(h, i)))): _*).as("signature"))
 
   /** MinHash-LSH candidate pairs: band the signature, hash each band,
     * self-join on (band index, band hash), then verify candidates with
@@ -212,10 +215,7 @@ object Dedup {
     // runs no jobs.
     val sig = minhashSignatures(docs, n, numHashes, idCol, textCol)
       .localCheckpoint(false)
-    val banded = sig.select(col(idCol),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("signature"), b * rows + 1, rows), lit(b)))): _*)))
-      .toDF(idCol, "band_idx", "band_hash")
+    val banded = bandedHashes(sig, bands, rows, idCol)
     // checkpointed too (id pairs — tiny): cands feeds BOTH the candidate
     // id set below and the final common-shingle join; without the cut the
     // banded self-join + distinct would execute once per consumer
@@ -226,12 +226,31 @@ object Dedup {
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
       .localCheckpoint(false)
-    // Verify with true Jaccard computed ONLY over the candidate set — and
-    // only candidate DOCUMENTS are re-shingled: the corpus-wide shingle
-    // pass happens exactly once (inside the signature build). The
-    // candidate id set is tiny by LSH's design, so it broadcasts, the
-    // semi-join prunes the scan before the explode, and the candidate
-    // shingle sets checkpoint cheaply for their three consumers.
+    verifyJaccardPairs(docs, cands, n, threshold, idCol, textCol)
+  }
+
+  /** (id, band_idx, band_hash) rows: hash each `rows`-wide signature band
+    * with its index. Shared by the batch banded self-join and the
+    * streaming-ingest bucket grouping (stateless — safe on a stream).
+    */
+  private[graft] def bandedHashes(sig: DataFrame, bands: Int, rows: Int,
+                                  idCol: String = "doc_id"): DataFrame =
+    sig.select(col(idCol),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("signature"), b * rows + 1, rows), lit(b)))): _*)))
+      .toDF(idCol, "band_idx", "band_hash")
+
+  /** Exact-Jaccard verification of a candidate pair set — with true
+    * Jaccard computed ONLY over candidate documents: the candidate id set
+    * is tiny by LSH's design, so it broadcasts, the semi-join prunes the
+    * scan before the explode, and the candidate shingle sets checkpoint
+    * cheaply for their three consumers. Shared by [[minhashLshPairs]] and
+    * the streaming-ingest verify stage.
+    */
+  private[graft] def verifyJaccardPairs(docs: DataFrame, cands: DataFrame,
+                                        n: Int, threshold: Double,
+                                        idCol: String = "doc_id",
+                                        textCol: String = "text"): DataFrame = {
     val candIds = cands.select(col("id1").as(idCol))
       .union(cands.select(col("id2").as(idCol))).distinct()
     val candSets = shingleSets(
@@ -254,25 +273,49 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens (unit weights): per-bit
-    * majority vote of token hashes, assembled with native bit ops.
+  /** Per-bit majority vote over token hashes in `_h` → one fingerprint
+    * per id, assembled with native bit ops. Shared by the 64-bit xxhash64
+    * SimHash and the 31-bit engine-portable variant.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(split(col(textCol), " ")).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
+  private def assembleSimhash(tokHashed: DataFrame, bits: Int,
+                              idCol: String): DataFrame = {
     // per-bit vote: +1 if bit set else -1; sign of the sum is the output bit
-    val votes = (0 until 64).map { i =>
+    val votes = (0 until bits).map { i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_v$i")
     }
-    val assembled = (0 until 64).map { i =>
+    val assembled = (0 until bits).map { i =>
       when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    tok.groupBy(idCol)
+    tokHashed.groupBy(idCol)
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), assembled.as("simhash"))
   }
+
+  /** 64-bit SimHash over whitespace tokens (unit weights). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    assembleSimhash(
+      docs.select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
+        .withColumn("_h", xxhash64(col("_t"))),
+      bits = 64, idCol)
+
+  /** Engine-portable 31-bit SimHash: token hash is the classic 31-fold
+    * over character code points, `h = (h·31 + c) mod 2³¹` — pure integer
+    * arithmetic any SQL engine can replay exactly (a DuckDB `list_reduce`
+    * reproduces it bit-for-bit), which is what makes [[simhashPairsPortable]]
+    * hash-checkable against an independent oracle while the production
+    * [[simhash]] keeps the engine-native 64-bit xxhash64. Same majority
+    * vote, same pigeonhole pairing.
+    */
+  def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    assembleSimhash(
+      docs.select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
+        .withColumn("_h", aggregate(
+          transform(sequence(lit(1), length(col("_t"))),
+            i => ascii(col("_t").substr(i, lit(1))).cast("long")),
+          lit(0L), (a, c) => (a * 31 + c) % 2147483648L)),
+      bits = 31, idCol)
 
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, using the
     * pigeonhole block trick: split the 64-bit fingerprint into
@@ -280,21 +323,43 @@ object Dedup {
     * exact chunk — and equi-join on (chunk index, chunk value).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
+                   textCol: String = "text"): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol), maxDist, bits = 64, idCol)
+
+  /** [[simhashPairs]] on the engine-portable 31-bit fingerprint — same
+    * pigeonhole join; exists to be hash-checked against an independent
+    * SQL replay of the whole pipeline (see the d4b query entry).
+    */
+  def simhashPairsPortable(docs: DataFrame, maxDist: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    hammingPairs(simhashPortable(docs, idCol, textCol), maxDist, bits = 31, idCol)
+
+  /** All (id1 < id2) pairs whose `bits`-wide fingerprints are within
+    * Hamming distance `maxDist`, via the pigeonhole chunk equi-join. The
+    * last chunk absorbs the remainder when `maxDist + 1` does not divide
+    * `bits` — any pair within distance d still shares ≥ 1 exact chunk.
+    */
+  private def hammingPairs(fingerprints: DataFrame, maxDist: Int, bits: Int,
+                           idCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64]: $bits")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be in [0, $bits): $maxDist")
     val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
+    val bitsPer = bits / chunks
+    require(bitsPer >= 1, s"maxDist $maxDist leaves empty chunks at $bits bits")
     // 1L << 64 wraps to 1 (shift counts are mod 64), which would zero the
-    // mask for maxDist = 0 and collapse every doc into one bucket
-    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
+    // mask for a full-width chunk and collapse every doc into one bucket
+    def maskOf(width: Int) = if (width == 64) -1L else (1L << width) - 1
     // checkpointed for the same reason as the MinHash signatures: the
     // chunk self-join reads fingerprints (8 bytes/doc) on both sides
     // (lazy, so plan construction stays execution-free)
-    val sh = simhash(docs, idCol, textCol).localCheckpoint(false)
+    val sh = fingerprints.localCheckpoint(false)
     val chunked = sh.select(col(idCol), col("simhash"),
-        posexplode(array((0 until chunks).map(c =>
-          shiftright(col("simhash"), c * bitsPer)
-            .bitwiseAND(lit(mask))): _*)))
+        posexplode(array((0 until chunks).map { c =>
+          val width = if (c == chunks - 1) bits - c * bitsPer else bitsPer
+          shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit(maskOf(width)))
+        }: _*)))
       .toDF(idCol, "simhash", "chunk_idx", "chunk_val")
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables.t
 import graft.llm.{Components, Dedup, Multimodal, Sampling, Similarity, TextStats}
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, IngestDedup}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
@@ -35,6 +35,32 @@ object PipelineOps {
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     fanOut(s, t(s, dir, "documents"))
+
+  /** Exact 3-gram Jaccard pairs at τ = 0.6, id columns only — the oracle
+    * for every route that provably converges to the exact pair set: batch
+    * MinHash-LSH (d3, rows=2 banding → miss probability ≤ 6e-7 at τ) and
+    * the streaming-ingest dedup (t12, same banding + same verify stage).
+    */
+  private val exactJaccardIdPairsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id1, id2 FROM p
+      |JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+      |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin
+
+  /** 31-bit SimHash majority-vote assembly as portable SQL — the same
+    * per-bit ±1 vote `Dedup.assembleSimhash` builds with Column ops, so
+    * the d4b oracle replays fingerprint assembly bit-for-bit.
+    */
+  private val simhashVoteSql: String = (0 until 31).map { i =>
+    s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+      s"THEN cast(${1L << i} AS BIGINT) ELSE cast(0 AS BIGINT) END)"
+  }.mkString(" + ")
 
   private val langIdOracle: String = {
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -240,25 +266,42 @@ object PipelineOps {
     // fast above τ). Production would trade looser recall for fewer
     // candidates via fewer bands — the library function stays
     // parameterized; this entry pins the oracle-equivalent config.
-    "d3_minhash_lsh" -> Q(
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
-        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT id1, id2 FROM p
-        |JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
-        |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
+    "d3_minhash_lsh" -> Q(exactJaccardIdPairsSql) { (s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), n = 3, numHashes = 64,
         bands = 32, threshold = 0.6)
         .select("id1", "id2")
     },
 
     // ---- D4: SimHash near-dup pairs ------------------------------------
+    //      The production 64-bit xxhash64 fingerprint: rows-only (Spark's
+    //      token hash is not replayable in SQL); the ALGORITHM is
+    //      hash-checked end-to-end via the portable twin d4b below.
     "d4_simhash_pairs" -> Q.rowsOnly { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxDist = 7)
+    },
+
+    // ---- D4b: the same SimHash pipeline on the engine-portable 31-bit
+    //      token hash (h = (h·31 + c) mod 2³¹ over code points) — the
+    //      oracle replays the ENTIRE pipeline independently in SQL
+    //      (list_reduce char fold → per-bit majority → all-pairs
+    //      bit_count(xor)), so fingerprint assembly AND the pigeonhole
+    //      pairing are both verified, not just row counts. -------------
+    "d4b_simhash_portable" -> Q(
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |            FROM documents),
+         |h AS (SELECT doc_id,
+         |       list_reduce(list_prepend(cast(0 AS BIGINT),
+         |         list_transform(range(1, strlen(t) + 1),
+         |                        i -> cast(ascii(substr(t, i, 1)) AS BIGINT))),
+         |         (a, c) -> (a * 31 + c) % 2147483648) AS h
+         |      FROM tok),
+         |f AS (SELECT doc_id, $simhashVoteSql AS fp FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       cast(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairsPortable(docs(s, dir), maxDist = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
     },
 
     // ---- D5: embedding-cosine near-dup pairs (exact; the synthetic
@@ -724,6 +767,25 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), max("n").as("longest_session"))
+    },
+
+    // ---- T12 (stateful streaming): near-dup detection ON INGEST --------
+    //      MinHash-LSH as a stream: per-row signatures + banding run
+    //      stateless on arriving documents; each (band, hash) bucket
+    //      keeps only doc IDS in keyed state and emits candidate pairs
+    //      as the second document arrives; exact-Jaccard verify runs
+    //      downstream against the static corpus (state never holds
+    //      text). Same banding + same verify as d3 ⇒ the same exact
+    //      oracle. ------------------------------------------------------
+    "t12_stream_ingest_dedup" -> Q(exactJaccardIdPairsSql) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val cands = IngestDedup.candidatePairs(
+        IngestDedup.readDocs(ss, dir), n = 3, numHashes = 64, bands = 32)
+      val drained = EventStream.runToMemory(cands.toDF("id1", "id2"),
+          s"t12_stream_${streamSeq.incrementAndGet()}", mode = "append")
+        .distinct()
+      Dedup.verifyJaccardPairs(docs(s, dir), drained, n = 3, threshold = 0.6)
+        .select("id1", "id2")
     },
 
     // ---- T5 (stateful streaming): gap sessionization -------------------

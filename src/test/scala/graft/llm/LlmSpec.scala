@@ -44,6 +44,15 @@ class LlmSpec extends SparkSpec {
     assert(zero === 50)
   }
 
+  test("portable 31-bit SimHash finds all exact duplicates at hamming 0") {
+    val d = docs.select("doc_id", "text").limit(50)
+    val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+    val pairs = Dedup.simhashPairsPortable(doubled, maxDist = 3)
+    val zero = pairs.filter(col("hamming") === 0 &&
+      col("id2") === col("id1") + 1000000).count()
+    assert(zero === 50) // uneven 8/8/8/7-bit pigeonhole chunks still exact
+  }
+
   test("SRP-LSH ANN recall against exact brute-force top-k") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
