@@ -158,6 +158,34 @@ object TextStats {
     * hashes per window — robust to small edits; UDF by design (stateful
     * rolling loop), one call per document.
     */
+  /** Engine-portable winnow fingerprint as NATIVE higher-order
+    * expressions — no UDF, stays inside whole-stage codegen, and every
+    * step is pure `mod 2³¹` integer arithmetic a SQL engine can replay
+    * exactly (the x4b oracle recomputes the whole thing in DuckDB):
+    * k-gram hashes by direct 31-fold (no rolling subtraction — the
+    * rolling form needs 64-bit wraparound, which checked-overflow SQL
+    * engines refuse), min per full `window`, XOR-combined. Returns 0 for
+    * texts shorter than k or with no full window, matching
+    * [[winnowFingerprint]]'s guards. Stage the steps with withColumn at
+    * the call site if the per-row O(n·k) tree is hot — column reuse here
+    * duplicates subtrees.
+    */
+  def winnowPortable(text: Column, k: Int, window: Int): Column = {
+    require(k >= 1 && window >= 1, s"k=$k window=$window must be positive")
+    // split(text, "") emits a trailing "" under limit -1 — drop empties
+    val cs = transform(
+      filter(split(text, ""), c => c =!= lit("")),
+      c => ascii(c).cast("long"))
+    val hs = transform(sequence(lit(1), size(cs) - k + 1),
+      i => aggregate(slice(cs, i, lit(k)), lit(0L),
+        (a, c) => (a * 31 + c) % 2147483648L))
+    val numWin = (size(hs) / window).cast("long")
+    val mins = transform(sequence(lit(0L), numWin - 1),
+      w => array_min(slice(hs, (w * window + 1).cast("int"), lit(window))))
+    val acc = aggregate(mins, lit(0L), (a, b) => a.bitwiseXOR(b))
+    when(text.isNull || length(text) < k || numWin < 1, lit(0L)).otherwise(acc)
+  }
+
   val winnowFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, k: Int, window: Int) =>
       if (text == null || text.length < k) 0L

@@ -291,7 +291,7 @@ object PipelineOps {
          |            FROM documents),
          |h AS (SELECT doc_id,
          |       list_reduce(list_prepend(cast(0 AS BIGINT),
-         |         list_transform(range(1, strlen(t) + 1),
+         |         list_transform(range(1, length(t) + 1),
          |                        i -> cast(ascii(substr(t, i, 1)) AS BIGINT))),
          |         (a, c) -> (a * 31 + c) % 2147483648) AS h
          |      FROM tok),
@@ -572,10 +572,37 @@ object PipelineOps {
     },
 
     // ---- X4: winnowing document fingerprint (rolling hash) -------------
+    //      The stateful rolling-hash UDF: rows-only by design (64-bit
+    //      wraparound is not replayable in checked-overflow SQL); the
+    //      ALGORITHM is hash-checked via the portable twin x4b below.
     "x4_fingerprint" -> Q.rowsOnly { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
           TextStats.winnowFingerprint(col("text"), lit(8), lit(16)).as("fingerprint"))
+    },
+
+    // ---- X4b: the same winnow on mod-2³¹ arithmetic, NATIVE higher-
+    //      order expressions (no UDF, whole-stage codegen) — the oracle
+    //      recomputes every stage independently in SQL: char fold k-gram
+    //      hashes, per-window minima, XOR digest. --------------------------
+    "x4b_fingerprint_portable" -> Q(
+      """WITH c AS (SELECT doc_id,
+        |            list_transform(range(1, length(text) + 1),
+        |                           i -> cast(ascii(substr(text, i, 1)) AS BIGINT)) AS cs
+        |           FROM documents),
+        |h AS (SELECT doc_id, CASE WHEN len(cs) >= 8
+        |        THEN list_transform(range(1, len(cs) - 8 + 2),
+        |               i -> list_reduce(list_prepend(cast(0 AS BIGINT), cs[i:i+7]),
+        |                                (a, x) -> (a * 31 + x) % 2147483648))
+        |        ELSE []::BIGINT[] END AS hs FROM c),
+        |w AS (SELECT doc_id, list_transform(range(0, len(hs) // 16),
+        |        w -> list_min(hs[w*16+1 : w*16+16])) AS mins FROM h)
+        |SELECT doc_id,
+        |       list_reduce(list_prepend(cast(0 AS BIGINT), mins),
+        |                   (a, b) -> xor(a, b)) AS fingerprint
+        |FROM w""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.winnowPortable(col("text"), 8, 16).as("fingerprint"))
     },
 
     // ---- M1: multimodal binary pipeline (stubbed decode, real plumbing)

@@ -144,6 +144,23 @@ class LlmSpec extends SparkSpec {
     assert(nFps >= nTexts * 9 / 10, s"fingerprint degenerated: $nFps of $nTexts")
   }
 
+  test("portable winnow guards short inputs and stays non-degenerate") {
+    import spark.implicits._
+    // shorter than k, exactly one window shy, null — all fingerprint 0
+    val edge = Seq((1L, Option("short")), (2L, Option("x" * 22)),
+        (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.winnowPortable(col("text"), 8, 16).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    // len 22 → 15 k-gram hashes < window 16 → no full window → 0
+    assert(edge === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    val fp = docs.select(
+      TextStats.winnowPortable(col("text"), 8, 16).as("fp"))
+    val nTexts = docs.select("text").distinct().count()
+    val nFps = fp.select("fp").distinct().count()
+    assert(nFps >= nTexts * 9 / 10, s"portable fingerprint degenerated: $nFps of $nTexts")
+  }
+
   test("quality metrics are exact integer/ratio arithmetic") {
     val q = TextStats.quality(docs)
     val bad = q.filter(col("n_words") <= 0 || col("ttr") > 1.0 ||
