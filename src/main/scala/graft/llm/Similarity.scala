@@ -354,6 +354,25 @@ object Similarity {
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Per-vector symmetric int8 quantization — the storage/bandwidth leg
+    * of an embedding pipeline (a 100 TB float corpus ships as int8 + one
+    * scale per vector at 4× compression before any indexing): scale =
+    * max |component|, q = round(x·127 / scale) ∈ [−127, 127]. Promoted to
+    * double before any arithmetic so the rounding boundary is
+    * engine-exact (same rule as [[quantized]]); zero vectors quantize to
+    * all-zero rather than NaN. Returns (id, amax, q).
+    */
+  def int8Quantize(vectors: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val d = vectors.filter(col(vecCol).isNotNull)
+      .withColumn("_d", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("amax", array_max(transform(col("_d"), x => abs(x))))
+    d.select(col(idCol), col("amax"),
+      transform(col("_d"), x =>
+        when(col("amax") === 0, lit(0L))
+          .otherwise(round(x * 127 / col("amax")).cast("long"))).as("q"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair
     * with cosine ≥ threshold. The quadratic exact form — the verifier and
     * small-scale path; at corpus×corpus scale, bucket with

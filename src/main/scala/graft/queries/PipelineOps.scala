@@ -364,6 +364,27 @@ object PipelineOps {
     // ---- E5: product-quantization ANN (codebooks + ADC + exact refine;
     //      recall vs E1 in specs). The compressed-index leg: the scan side
     //      of a query batch reads m small codes per vector, not floats. --
+    // ---- E6: symmetric int8 embedding quantization — the 4× storage /
+    //      bandwidth compression an embedding corpus ships in. Exact:
+    //      scale and codes derive from identical IEEE double ops on both
+    //      engines; array serialized for the driver comparator, scale
+    //      checked in exact micro-units. -----------------------------------
+    "e6_quantize_int8" -> Q(
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, e,
+        |       list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
+        |SELECT vec_id, cast(round(amax * 1000000) AS BIGINT) AS amax_micro,
+        |       array_to_string(list_transform(e, x ->
+        |         CASE WHEN amax = 0 THEN cast(0 AS BIGINT)
+        |              ELSE cast(round(x * 127 / amax) AS BIGINT) END), ',') AS q
+        |FROM a""".stripMargin) { (s, dir) =>
+      Similarity.int8Quantize(fanOut(s, t(s, dir, "embeddings")))
+        .select(col("vec_id"),
+          round(col("amax") * 1000000).cast("long").as("amax_micro"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q"))
+    },
+
     "e5_ann_pq" -> Q.rowsOnly { (s, dir) =>
       val emb = fanOut(s, t(s, dir, "embeddings"))
       Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,

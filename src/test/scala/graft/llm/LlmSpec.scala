@@ -103,6 +103,18 @@ class LlmSpec extends SparkSpec {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) === 5))
   }
 
+  test("int8 quantization bounds per-component error by half a step") {
+    val q = Similarity.int8Quantize(emb)
+    val bad = q.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("maxerr", array_max(zip_with(
+        transform(col("embedding"), x => x.cast("double")), col("q"),
+        (x, qi) => abs(x - qi * col("amax") / 127))))
+      .filter(col("maxerr") > col("amax") / 254 * 1.0000001)
+    assert(bad.count() === 0, "reconstruction error must stay within half a step")
+    // codes stay in int8 range
+    assert(q.filter(array_max(transform(col("q"), abs(_))) > 127).count() === 0)
+  }
+
   test("ANN ranks are dense and cosine is within [-1, 1]") {
     val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
     assert(topk.count() === 15)
