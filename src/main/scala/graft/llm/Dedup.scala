@@ -311,10 +311,9 @@ object Dedup {
                       textCol: String = "text"): DataFrame =
     assembleSimhash(
       docs.select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
-        .withColumn("_h", aggregate(
+        .withColumn("_h", TextStats.charFold31(
           transform(sequence(lit(1), length(col("_t"))),
-            i => ascii(col("_t").substr(i, lit(1))).cast("long")),
-          lit(0L), (a, c) => (a * 31 + c) % 2147483648L)),
+            i => ascii(col("_t").substr(i, lit(1))).cast("long")))),
       bits = 31, idCol)
 
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, using the

@@ -158,6 +158,15 @@ object TextStats {
     * hashes per window — robust to small edits; UDF by design (stateful
     * rolling loop), one call per document.
     */
+  /** The engine-portable 31-fold hash both portable twins share:
+    * `h = (h·31 + code) mod 2³¹` over an array of code points — ONE
+    * definition, so [[winnowPortable]] and `Dedup.simhashPortable` can
+    * never desynchronize from each other or from the DuckDB oracles that
+    * replay this exact fold.
+    */
+  private[llm] def charFold31(codes: Column): Column =
+    aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % 2147483648L)
+
   /** Engine-portable winnow fingerprint as NATIVE higher-order
     * expressions — no UDF, stays inside whole-stage codegen, and every
     * step is pure `mod 2³¹` integer arithmetic a SQL engine can replay
@@ -177,8 +186,7 @@ object TextStats {
       filter(split(text, ""), c => c =!= lit("")),
       c => ascii(c).cast("long"))
     val hs = transform(sequence(lit(1), size(cs) - k + 1),
-      i => aggregate(slice(cs, i, lit(k)), lit(0L),
-        (a, c) => (a * 31 + c) % 2147483648L))
+      i => charFold31(slice(cs, i, lit(k))))
     val numWin = (size(hs) / window).cast("long")
     val mins = transform(sequence(lit(0L), numWin - 1),
       w => array_min(slice(hs, (w * window + 1).cast("int"), lit(window))))

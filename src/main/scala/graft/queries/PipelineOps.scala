@@ -38,7 +38,7 @@ object PipelineOps {
 
   /** Exact 3-gram Jaccard pairs at τ = 0.6, id columns only — the oracle
     * for every route that provably converges to the exact pair set: batch
-    * MinHash-LSH (d3, rows=2 banding → miss probability ≤ 6e-7 at τ) and
+    * MinHash-LSH (d3, rows=2 banding → miss probability ≈ 6e-7 at τ) and
     * the streaming-ingest dedup (t12, same banding + same verify stage).
     */
   private val exactJaccardIdPairsSql: String =
@@ -364,6 +364,13 @@ object PipelineOps {
     // ---- E5: product-quantization ANN (codebooks + ADC + exact refine;
     //      recall vs E1 in specs). The compressed-index leg: the scan side
     //      of a query batch reads m small codes per vector, not floats. --
+    "e5_ann_pq" -> Q.rowsOnly { (s, dir) =>
+      val emb = fanOut(s, t(s, dir, "embeddings"))
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        m = 8, ksub = 16)
+        .select("query_id", "neighbor_id", "rank")
+    },
+
     // ---- E6: symmetric int8 embedding quantization — the 4× storage /
     //      bandwidth compression an embedding corpus ships in. Exact:
     //      scale and codes derive from identical IEEE double ops on both
@@ -371,7 +378,7 @@ object PipelineOps {
     //      checked in exact micro-units. -----------------------------------
     "e6_quantize_int8" -> Q(
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-        |           FROM embeddings),
+        |           FROM embeddings WHERE embedding IS NOT NULL),
         |a AS (SELECT vec_id, e,
         |       list_max(list_transform(e, x -> abs(x))) AS amax FROM v)
         |SELECT vec_id, cast(round(amax * 1000000) AS BIGINT) AS amax_micro,
@@ -383,13 +390,6 @@ object PipelineOps {
         .select(col("vec_id"),
           round(col("amax") * 1000000).cast("long").as("amax_micro"),
           array_join(transform(col("q"), _.cast("string")), ",").as("q"))
-    },
-
-    "e5_ann_pq" -> Q.rowsOnly { (s, dir) =>
-      val emb = fanOut(s, t(s, dir, "embeddings"))
-      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        m = 8, ksub = 16)
-        .select("query_id", "neighbor_id", "rank")
     },
 
     // ---- E4: per-label centroid aggregation — the class-prototype /

@@ -50,7 +50,7 @@ class LlmSpec extends SparkSpec {
     val pairs = Dedup.simhashPairsPortable(doubled, maxDist = 3)
     val zero = pairs.filter(col("hamming") === 0 &&
       col("id2") === col("id1") + 1000000).count()
-    assert(zero === 50) // uneven 8/8/8/7-bit pigeonhole chunks still exact
+    assert(zero === 50) // uneven 7/7/7/10-bit pigeonhole chunks still exact
   }
 
   test("SRP-LSH ANN recall against exact brute-force top-k") {

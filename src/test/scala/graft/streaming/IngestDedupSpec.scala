@@ -31,8 +31,7 @@ class IngestDedupSpec extends SparkSpec {
         .distinct().as[(Long, Long)].collect().toSet
       assert(pairs.contains((1L, 2L)),
         s"cross-batch near-dup pair missing from $pairs")
-      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L) ||
-        pairs.count(p => p._1 == 3L || p._2 == 3L) <= 2,
+      assert(pairs.count(p => p._1 == 3L || p._2 == 3L) <= 2,
         "unrelated doc should rarely bucket-collide")
     } finally q.stop()
   }
