@@ -285,7 +285,11 @@ object PipelineOps {
     //      oracle replays the ENTIRE pipeline independently in SQL
     //      (list_reduce char fold → per-bit majority → all-pairs
     //      bit_count(xor)), so fingerprint assembly AND the pigeonhole
-    //      pairing are both verified, not just row counts. -------------
+    //      pairing are both verified, not just row counts.
+    //      VERIFICATION TWIN, not a production path: 31 bits saturate on
+    //      a shared-template corpus (2.1M pairs at sf0.1 — the pair set
+    //      is the check's payload, not a dedup recommendation); real
+    //      dedup runs d4's 64-bit xxhash64 space. ----------------------
     "d4b_simhash_portable" -> Q(
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
          |            FROM documents),
