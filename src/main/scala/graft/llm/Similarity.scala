@@ -176,40 +176,41 @@ object Similarity {
     * fine for an approximate index (recall is what is asserted, and the
     * final ranking re-scores with exact quantized cosine).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-
-    def nearestCentroid(df: DataFrame, vec: String, centroids: DataFrame,
-                        n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("_cc", cosine(col(vec), col("_centroid")))
-      if (n == 1) {
-        // argmax as ONE map-side-combinable aggregation: max on the
-        // (cosine, -label, payload…) struct ≡ orderBy(_cc desc, _cl asc)
-        // rank 1. The window alternative shuffles AND sorts corpus × nlist
-        // rows per assignment pass — the dominant cost of index training.
-        // The payload rides INSIDE the ordered struct so the winning row
-        // is atomic — a separate first(payload) could pair the max score
-        // with another row's payload if the key column ever has dups.
-        val key = df.columns.head
-        val payload = df.columns.tail.toSeq
-        scored.groupBy(col(key))
-          .agg(max(struct(col("_cc") +: (-col("_cl")).as("_nl") +:
-            payload.map(col): _*)).as("_b"))
-          .select(col(key) +: payload.map(c => col(s"_b.$c").as(c)) :+
-            (-col("_b").getField("_nl")).cast("long").as("_cl"): _*)
-      } else {
-        val w = Window.partitionBy(df.columns.head).orderBy(col("_cc").desc, col("_cl"))
-        scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n)
-          .drop("_cc", "_rn", "_centroid")
-      }
+  /** Nearest-`n` centroid assignment; shared by IVF training/probing and
+    * the IVF-PQ composite. For n = 1: argmax as ONE map-side-combinable
+    * aggregation — max on the (cosine, -label, payload…) struct ≡
+    * orderBy(_cc desc, _cl asc) rank 1. The window alternative shuffles
+    * AND sorts corpus × nlist rows per assignment pass — the dominant
+    * cost of index training. The payload rides INSIDE the ordered struct
+    * so the winning row is atomic — a separate first(payload) could pair
+    * the max score with another row's payload if the key column ever had
+    * dups.
+    */
+  private def nearestCentroid(df: DataFrame, vec: String, centroids: DataFrame,
+                              n: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("_cc", cosine(col(vec), col("_centroid")))
+    if (n == 1) {
+      val key = df.columns.head
+      val payload = df.columns.tail.toSeq
+      scored.groupBy(col(key))
+        .agg(max(struct(col("_cc") +: (-col("_cl")).as("_nl") +:
+          payload.map(col): _*)).as("_b"))
+        .select(col(key) +: payload.map(c => col(s"_b.$c").as(c)) :+
+          (-col("_b").getField("_nl")).cast("long").as("_cl"): _*)
+    } else {
+      val w = Window.partitionBy(df.columns.head).orderBy(col("_cc").desc, col("_cl"))
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n)
+        .drop("_cc", "_rn", "_centroid")
     }
+  }
 
-    // row_number over cid keeps labels deterministic regardless of how the
-    // limit's partitions land (monotonically_increasing_id is stable only
-    // when the limit collapses to a single partition)
+  /** Lloyd-trained coarse-quantizer centroids over (cid, _cv) rows.
+    * row_number over cid keeps labels deterministic regardless of how the
+    * limit's partitions land (monotonically_increasing_id is stable only
+    * when the limit collapses to a single partition).
+    */
+  private def trainIvfCentroids(c: DataFrame, nlist: Int, iters: Int): DataFrame = {
     var centroids = c.orderBy("cid").limit(nlist)
       .select(col("_cv").as("_centroid"),
         (row_number().over(Window.orderBy("cid")) - 1).cast("long").as("_cl"))
@@ -217,7 +218,17 @@ object Similarity {
       val assigned = nearestCentroid(c, "_cv", centroids, 1)
       centroids = meanVector(assigned, Seq("_cl"), "_cv", "_centroid")
     }
+    // nlist tiny rows, but the lineage behind them is `iters` corpus-wide
+    // Lloyd passes — without the cut, EVERY consumer (list assignment,
+    // query probes, residual centroids) re-runs training
+    centroids.localCheckpoint(true)
+  }
 
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+    val centroids = trainIvfCentroids(c, nlist, iters)
     val lists = nearestCentroid(c, "_cv", centroids, 1)
     val q = queries.select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
     val probes = nearestCentroid(q, "_qv", centroids, nprobe)
@@ -251,6 +262,63 @@ object Similarity {
     * float rounding can reorder near-ties, which is why ranking re-scores
     * exact cosine over the refine set).
     */
+  /** Squared L2 distance of two equal-length vectors. */
+  private val l2dist = (a: Column, b: Column) =>
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Unit-normalize `vec` in place, dropping zero-norm rows. The norm is
+    * hoisted into its own column: dividing inside the transform lambda
+    * would re-evaluate the O(dim) dot product once per ELEMENT (no
+    * common-subexpression elimination across lambda iterations) — O(dim²)
+    * per vector on a corpus-wide build.
+    */
+  private def unitNorm(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("_nrm", sqrt(dot(col(vec), col(vec))))
+      .filter(col("_nrm") > 0)
+      .withColumn(vec, transform(col(vec), x => x / col("_nrm")))
+      .drop("_nrm")
+
+  /** Explode (keys…, vec) rows into (keys…, _s, _sv) subvector rows —
+    * `m` slices of `sub` components each.
+    */
+  private def splitSub(df: DataFrame, keys: Seq[String], vec: String,
+                       m: Int, sub: Int): DataFrame =
+    df.select(keys.map(col) :+ posexplode(transform(sequence(lit(0), lit(m - 1)),
+      s => slice(col(vec), s * sub + 1, lit(sub)))): _*)
+      .toDF(keys ++ Seq("_s", "_sv"): _*)
+
+  /** Nearest codeword per (keys…, subspace); codebook is broadcast.
+    * Argmin is min on the (distance, code, subvector) struct — one
+    * map-side-combinable aggregation, not a window sort over corpus × m ×
+    * ksub rows; the subvector rides in the struct so the winner is atomic
+    * even under duplicate ids.
+    */
+  private def assignCodes(df: DataFrame, keys: Seq[String],
+                          codebook: DataFrame): DataFrame =
+    df.join(broadcast(codebook), "_s")
+      .withColumn("_d", l2dist(col("_sv"), col("_cw")))
+      .groupBy((keys :+ "_s").map(col): _*)
+      .agg(min(struct(col("_d"), col("_code"), col("_sv"))).as("_b"))
+      .select(keys.map(col) ++ Seq(col("_s"),
+        col("_b").getField("_sv").as("_sv"),
+        col("_b").getField("_code").as("_code")): _*)
+
+  /** Lloyd-refine a seeded PQ codebook (_s, _code, _cw) over subvector
+    * rows. The result is localCheckpointed: it feeds both the encode pass
+    * and the ADC table — without the lineage cut, training would rerun
+    * once per consumer.
+    */
+  private def trainPqCodebook(csub: DataFrame, keys: Seq[String],
+                              seed: DataFrame, iters: Int): DataFrame = {
+    var codebook = seed
+    for (_ <- 1 to iters) {
+      codebook = meanVector(assignCodes(csub, keys, codebook),
+        Seq("_s", "_code"), "_sv", "_cw")
+    }
+    codebook.localCheckpoint(true)
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -267,18 +335,9 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
 
-    // unit-normalize, then explode into (id, s, subvector). The norm is
-    // hoisted into its own column: dividing inside the transform lambda
-    // would re-evaluate the O(dim) dot product once per ELEMENT (no
-    // common-subexpression elimination across lambda iterations) — O(dim²)
-    // per vector on the corpus-wide build.
+    // unit-normalize, then explode into (id, s, subvector)
     def subvecs(df: DataFrame, id: String): DataFrame =
-      df.withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
-        .filter(col("_nrm") > 0)
-        .withColumn("_nv", transform(col("_v"), x => x / col("_nrm")))
-        .select(col(id), posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("_nv"), s * sub + 1, lit(sub)))))
-        .toDF(id, "_s", "_sv")
+      splitSub(unitNorm(df, "_v"), Seq(id), "_v", m, sub)
     // Eager localCheckpoint, not persist: it feeds every Lloyd round plus
     // the encode pass (each would otherwise re-shingle the corpus into
     // subvectors), the lineage is cut, and the blocks are released by the
@@ -289,52 +348,134 @@ object Similarity {
     val csub = subvecs(c.select(col("cid"), col("_cv").as("_v")), "cid")
       .localCheckpoint(true)
 
-    val l2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, v) => acc + v)
-
-    // Nearest codeword per (vector, subspace); codebook is broadcast.
-    // Argmin is min on the (distance, code, subvector) struct — one
-    // map-side-combinable aggregation, not a window sort over corpus × m ×
-    // ksub rows; the subvector rides in the struct so the winner is atomic
-    // even under duplicate ids.
-    def assign(df: DataFrame, id: String, codebook: DataFrame): DataFrame =
-      df.join(broadcast(codebook), "_s")
-        .withColumn("_d", l2(col("_sv"), col("_cw")))
-        .groupBy(col(id), col("_s"))
-        .agg(min(struct(col("_d"), col("_code"), col("_sv"))).as("_b"))
-        .select(col(id), col("_s"), col("_b").getField("_sv").as("_sv"),
-          col("_b").getField("_code").as("_code"))
-
     // deterministic init: subvectors of the ksub lowest-id corpus vectors
     val lowIds = c.orderBy("cid").limit(ksub)
       .select(col("cid"), col("_cv").as("_v"))
-    var codebook = subvecs(lowIds, "cid")
+    val seed = subvecs(lowIds, "cid")
       .withColumn("_code",
         (row_number().over(Window.partitionBy("_s").orderBy("cid")) - 1).cast("int"))
       .select(col("_s"), col("_code"), col("_sv").as("_cw"))
-    for (_ <- 1 to iters) {
-      codebook = meanVector(assign(csub, "cid", codebook),
-        Seq("_s", "_code"), "_sv", "_cw")
-    }
-
-    // the trained codebook feeds both the encode pass and the ADC table —
-    // cut the training lineage once (m × ksub rows) or Lloyd training
-    // runs once per consumer; localCheckpoint for the same GC semantics
-    // as csub
-    codebook = codebook.localCheckpoint(true)
+    val codebook = trainPqCodebook(csub, Seq("cid"), seed, iters)
 
     // encoded corpus: m small codes per vector — what a 100 TB index stores
-    val codes = assign(csub, "cid", codebook).select("cid", "_s", "_code")
+    val codes = assignCodes(csub, Seq("cid"), codebook).select("cid", "_s", "_code")
 
     // ADC table: query × (subspace, codeword) distances — tiny, broadcast
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
     val dtable = subvecs(q.select(col("query_id"), col("_qv").as("_v")), "query_id")
       .join(broadcast(codebook), "_s")
-      .withColumn("_d", l2(col("_sv"), col("_cw")))
+      .withColumn("_d", l2dist(col("_sv"), col("_cw")))
       .select("query_id", "_s", "_code", "_d")
     val adc = codes.join(broadcast(dtable), Seq("_s", "_code"))
+      .groupBy("query_id", "cid")
+      .agg(sum(col("_d")).as("_adc"))
+      .filter(col("query_id") =!= col("cid"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("_adc"), col("cid"))
+    val shortlist = adc.withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= refine * k)
+      .select("query_id", "cid")
+
+    // exact re-rank of the shortlist only
+    val rescored = shortlist
+      .join(q, "query_id")
+      .join(c, "cid")
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cid"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** IVF-PQ composite ANN — the production-index shape (Jégou, Douze,
+    * Schmid: "Product Quantization for Nearest Neighbor Search", IEEE
+    * TPAMI 2011, §V): the IVF coarse quantizer restricts each query to
+    * its `nprobe` nearest inverted lists, and within the probed lists
+    * vectors are scored by PQ asymmetric distance over RESIDUALS — unit
+    * vector minus the unit centroid of its list — then the best
+    * `refine × k` candidates re-rank with exact quantized cosine.
+    *
+    * Residual identity: on the unit sphere cosine order ≡ ascending
+    * ‖q̂−x̂‖², and ‖q̂−x̂‖² = ‖(q̂−ĉ)−(x̂−ĉ)‖² for the shared list centroid ĉ,
+    * so ADC between the per-list query residual and the corpus residual
+    * codes scores the same metric. Residual PQ beats raw-vector PQ
+    * because subtracting the list centroid removes the coarse structure —
+    * the ksub codewords per subspace spend themselves on a tighter
+    * distribution.
+    *
+    * Scale shape: the 100 TB index stores one list label + m small codes
+    * per vector (e3's pruning × e5's compression); a query batch touches
+    * ≈ nprobe/nlist of the corpus and reads codes, not vectors. The ADC
+    * table is queries × nprobe × m × ksub rows — broadcast. Exact vectors
+    * are only read for the refine set. Recall vs the exact baseline is
+    * asserted in LlmSpec, same contract as e2/e3/e5.
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // same null/zero-norm exclusion as pqTopK (NaN poisoning; see there)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+
+    // coarse stage: the same trained quantizer and list assignment as
+    // ivfTopK (cosine is scale-invariant, so training runs on the raw
+    // quantized vectors)
+    val centroids = trainIvfCentroids(c, nlist, iters)
+    val lists = nearestCentroid(c, "_cv", centroids, 1) // (cid, _cv, _cl)
+    // unit centroids for the residual subtraction (a Lloyd mean can
+    // degenerate to zero norm only if a whole list is empty — guarded by
+    // unitNorm's filter like every other norm in this file)
+    val ucent = broadcast(
+      unitNorm(centroids.select(col("_cl"), col("_centroid").as("_uc")), "_uc"))
+
+    def residuals(df: DataFrame, id: String, vec: String): DataFrame =
+      unitNorm(df, vec).join(ucent, "_cl")
+        .withColumn("_rv", zip_with(col(vec), col("_uc"), (x, u) => x - u))
+        .select(col(id), col("_cl"), col("_rv"))
+
+    val cres = residuals(lists, "cid", "_cv")
+    // keys carry _cl so the encoded corpus keeps its list label without a
+    // second corpus-sized join (same localCheckpoint rationale as pqTopK)
+    val csub = splitSub(cres, Seq("cid", "_cl"), "_rv", m, sub)
+      .localCheckpoint(true)
+
+    // deterministic init: residual subvectors of the ksub lowest-id
+    // corpus vectors, read from the CHECKPOINTED csub (an orderBy/limit
+    // on cres would re-run the coarse assignment + residual pipeline);
+    // ONE codebook shared across lists (per-list codebooks are the other
+    // classical variant — more memory, no win at these ksub)
+    val lowCids = csub.select("cid").distinct().orderBy("cid").limit(ksub)
+    val seed = csub.join(broadcast(lowCids), "cid")
+      .withColumn("_code",
+        (row_number().over(Window.partitionBy("_s").orderBy("cid")) - 1).cast("int"))
+      .select(col("_s"), col("_code"), col("_sv").as("_cw"))
+    val codebook = trainPqCodebook(csub, Seq("cid", "_cl"), seed, iters)
+
+    // the index: one list label + m codes per corpus vector
+    val codes = assignCodes(csub, Seq("cid", "_cl"), codebook)
+      .select("cid", "_cl", "_s", "_code")
+
+    // query side: nprobe nearest lists, one residual PER PROBED LIST
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+      .filter(dot(col("_qv"), col("_qv")) > 0)
+    val probes = nearestCentroid(q, "_qv", centroids, nprobe) // (query_id, _qv, _cl)
+    val qres = residuals(probes.select("query_id", "_cl", "_qv"), "query_id", "_qv")
+    val dtable = splitSub(qres, Seq("query_id", "_cl"), "_rv", m, sub)
+      .join(broadcast(codebook), "_s")
+      .withColumn("_d", l2dist(col("_sv"), col("_cw")))
+      .select("query_id", "_cl", "_s", "_code", "_d")
+
+    // ADC: the _cl equi-key IS the IVF pruning — a corpus code row only
+    // meets the dtable rows of queries that probed its list. Each
+    // surviving (query, cid) pair matches exactly m rows (a cid lives in
+    // one list; dtable has all ksub codes per (query, list, subspace)).
+    val adc = codes.join(broadcast(dtable), Seq("_cl", "_s", "_code"))
       .groupBy("query_id", "cid")
       .agg(sum(col("_d")).as("_adc"))
       .filter(col("query_id") =!= col("cid"))

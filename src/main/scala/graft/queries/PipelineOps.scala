@@ -375,6 +375,18 @@ object PipelineOps {
         .select("query_id", "neighbor_id", "rank")
     },
 
+    // ---- E7: IVF-PQ composite ANN — coarse list pruning × residual PQ
+    //      codes × exact refine; the production-index shape (one list
+    //      label + m small codes per vector; a query touches
+    //      ≈ nprobe/nlist of the corpus and reads codes, not floats).
+    //      Recall vs E1 in specs, same contract as e2/e3/e5. -------------
+    "e7_ann_ivfpq" -> Q.rowsOnly { (s, dir) =>
+      val emb = fanOut(s, t(s, dir, "embeddings"))
+      Similarity.ivfpqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nlist = 16, nprobe = 6, m = 8, ksub = 16)
+        .select("query_id", "neighbor_id", "rank")
+    },
+
     // ---- E6: symmetric int8 embedding quantization — the 4× storage /
     //      bandwidth compression an embedding corpus ships in. Exact:
     //      scale and codes derive from identical IEEE double ops on both
