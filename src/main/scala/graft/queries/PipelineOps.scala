@@ -2,7 +2,7 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables.t
-import graft.llm.{Components, Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.llm.{Components, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 import graft.streaming.{EventStream, IngestDedup}
 import org.apache.spark.sql.functions._
 
@@ -387,6 +387,51 @@ object PipelineOps {
         .select("query_id", "neighbor_id", "rank")
     },
 
+    // ---- E8: hybrid lexical+vector retrieval, reciprocal-rank fusion —
+    //      BM25 leg + exact-cosine leg, each top-100, fused by
+    //      Σ 1/(60+rank). Oracle is exact: integer ranks off total
+    //      orders, fixed-order correctly-rounded RRF arithmetic. --------
+    "e8_hybrid_rrf" -> Q(
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM d),
+        |tok AS (SELECT doc_id, len(ws)::DOUBLE AS dl, u.t AS tok
+        |        FROM d, unnest(ws) AS u(t)
+        |        WHERE u.t IN ('hash', 'join', 'window', 'merge')),
+        |tf AS (SELECT doc_id, tok, dl, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+        |dft AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT tok, round(ln(1 + (s.n - df + 0.5) / (df + 0.5)) * 1000000.0) AS idfm,
+        |         s.avgdl AS avgdl FROM dft, s),
+        |w AS (SELECT tf.doc_id,
+        |       cast(round(idf.idfm / 1000000.0 * (tf.tf * (1.2 + 1)) /
+        |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / idf.avgdl))
+        |         * 1000000.0) AS BIGINT) AS wm
+        |      FROM tf JOIN idf USING (tok)),
+        |bm AS (SELECT doc_id, cast(sum(wm) AS BIGINT) AS score_micro
+        |       FROM w GROUP BY doc_id),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rl
+        |        FROM bm QUALIFY rl <= 100),
+        |q AS (SELECT list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+        |      FROM embeddings WHERE embedding IS NOT NULL),
+        |sc AS (SELECT vec_id AS doc_id,
+        |        list_dot_product(cv, qv) /
+        |        sqrt(list_dot_product(cv, cv) * list_dot_product(qv, qv)) AS cos
+        |       FROM c, q),
+        |sem AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rs
+        |        FROM sc QUALIFY rs <= 100),
+        |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |       coalesce(1.0::DOUBLE / (60 + rl), 0.0::DOUBLE) +
+        |       coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE) AS rrf
+        |      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, rrf
+        |      FROM f QUALIFY rank <= 20)
+        |SELECT doc_id, rank, cast(round(rrf * 1000000000.0) AS BIGINT) AS rrf_nano
+        |FROM r""".stripMargin) { (s, dir) =>
+      Ranking.hybridRrf(docs(s, dir), fanOut(s, t(s, dir, "embeddings")),
+        Seq("hash", "join", "window", "merge"), queryVecId = 0L, k = 20)
+    },
+
     // ---- E6: symmetric int8 embedding quantization — the 4× storage /
     //      bandwidth compression an embedding corpus ships in. Exact:
     //      scale and codes derive from identical IEEE double ops on both
@@ -472,6 +517,34 @@ object PipelineOps {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
         |FROM documents""".stripMargin) { (s, dir) =>
       TextStats.tokenCounts(docs(s, dir))
+    },
+
+    // ---- X12: BM25 keyword relevance — the lexical retrieval leg of a
+    //      curation pipeline (topic selection, hard negatives, eval
+    //      slices). Oracle is EXACT: idf and per-term weights are
+    //      micro-quantized on both engines and the document score is an
+    //      integer sum, so no float accumulation order exists; the one
+    //      non-correctly-rounded op (ln) is evaluated once per TERM and
+    //      pinned by the quantization. ------------------------------------
+    "x12_bm25" -> Q(
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT count(*)::DOUBLE AS n, avg(len(ws))::DOUBLE AS avgdl FROM d),
+        |tok AS (SELECT doc_id, len(ws)::DOUBLE AS dl, u.t AS tok
+        |        FROM d, unnest(ws) AS u(t)
+        |        WHERE u.t IN ('hash', 'join', 'window', 'merge')),
+        |tf AS (SELECT doc_id, tok, dl, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+        |dft AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT tok, round(ln(1 + (s.n - df + 0.5) / (df + 0.5)) * 1000000.0) AS idfm,
+        |         s.avgdl AS avgdl FROM dft, s),
+        |w AS (SELECT tf.doc_id,
+        |       cast(round(idf.idfm / 1000000.0 * (tf.tf * (1.2 + 1)) /
+        |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / idf.avgdl))
+        |         * 1000000.0) AS BIGINT) AS wm
+        |      FROM tf JOIN idf USING (tok))
+        |SELECT doc_id, count(*) AS terms_matched,
+        |       cast(sum(wm) AS BIGINT) AS score_micro
+        |FROM w GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Ranking.bm25(docs(s, dir), Seq("hash", "join", "window", "merge"))
     },
 
     // ---- X9: self-trained unigram document-frequency quality score —

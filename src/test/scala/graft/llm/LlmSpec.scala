@@ -110,6 +110,52 @@ class LlmSpec extends SparkSpec {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) === 5))
   }
 
+  test("BM25 returns exactly the docs containing a query term, scores positive") {
+    val terms = Seq("hash", "join")
+    val scored = Ranking.bm25(docs, terms).localCheckpoint(true)
+    val expected = docs.filter(
+      arrays_overlap(split(col("text"), " "), typedLit(terms))).count()
+    assert(scored.count() === expected)
+    assert(scored.filter(col("score_micro") <= 0).count() === 0,
+      "Robertson plus-one idf keeps every weight positive")
+    assert(scored.filter(col("terms_matched") > terms.size).count() === 0)
+  }
+
+  test("BM25 ranks higher term frequency above lower at equal doc length") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hash hash hash scan"),
+      (2L, "hash scan scan scan"),
+      (3L, "scan scan scan scan")).toDF("doc_id", "text")
+    val r = Ranking.bm25(d, Seq("hash")).orderBy(col("score_micro").desc)
+      .select("doc_id").as[Long].collect()
+    assert(r.toSeq === Seq(1L, 2L), "tf3 doc above tf1 doc; no-match doc absent")
+  }
+
+  test("hybrid RRF fuses leg ranks exactly on a hand-computed corpus") {
+    import spark.implicits._
+    // lex leg (term "hash"): d1 tf=3 -> rank 1, d2 tf=1 -> rank 2, d3 absent
+    // sem leg (query = d2's vector): d2 cos 1 -> rank 1, d3 -> rank 2, d1 -> rank 3
+    val d = Seq(
+      (1L, "hash hash hash scan"),
+      (2L, "hash scan scan scan"),
+      (3L, "scan scan scan scan")).toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Ranking.hybridRrf(d, e, Seq("hash"), queryVecId = 2L, k = 3)
+      .orderBy("rank")
+      .select("doc_id", "rrf_nano").as[(Long, Long)].collect()
+    def rrf(ranks: Seq[Int]): Long =
+      math.round(ranks.map(r => 1.0 / (60 + r)).sum * 1e9)
+    // d2 = 1/62 + 1/61, d1 = 1/61 + 1/63, d3 = 1/62 only
+    assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(out(0)._2 === rrf(Seq(2, 1)))
+    assert(out(1)._2 === rrf(Seq(1, 3)))
+    assert(out(2)._2 === rrf(Seq(2)))
+  }
+
   test("PQ excludes null and zero-norm vectors without poisoning codebooks") {
     val dim = emb.selectExpr("size(embedding)").head.getInt(0)
     // negative ids: the degenerate vectors sit at the LOWEST ids, inside
