@@ -514,6 +514,48 @@ object Similarity {
           .otherwise(round(x * 127 / col("amax")).cast("long"))).as("q"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas, Tirumala, Simig,
+    * Ganguli, Morcos: "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023): cluster the embedding corpus
+    * with the IVF coarse quantizer, then WITHIN each cluster drop every
+    * vector that has a lower-id neighbor at cosine ≥ `threshold`
+    * (greedy-by-id ε-ball representative selection — a chain a~b~c keeps
+    * only `a`, matching the paper's one-per-ball policy without a
+    * transitive-closure pass). Returns the surviving (idCol, cluster)
+    * rows.
+    *
+    * Scale shape — the whole point of the clustering: the candidate join
+    * is an equi-join on the cluster label, so the quadratic cosine
+    * verification runs within clusters only (corpus²/nlist expected,
+    * vs corpus² for [[cosineNearDupPairs]]). `nlist` should grow with the
+    * corpus to keep expected cluster size bounded; a skewed cluster is a
+    * skewed join key — salt it or split the cluster by re-clustering its
+    * members (standard practice at web scale). Cross-cluster near-dups
+    * are the accepted miss: at the high thresholds SemDeDup targets the
+    * duplicates are near-identical vectors that co-cluster (coverage of
+    * planted jittered copies is asserted ≥0.95 in LlmSpec); at low
+    * thresholds the miss rate grows (measured 0.24–0.56 at τ=0.4 on the
+    * weakly-associated synthetic corpus) — use [[cosineNearDupPairs]] or
+    * SRP-banded pairs when low-τ recall matters.
+    */
+  def semDedup(corpus: DataFrame, threshold: Double,
+               nlist: Int = 16, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val centroids = trainIvfCentroids(c, nlist, iters)
+    // reused by both sides of the self-join and the final anti-join
+    val lists = nearestCentroid(c, "_cv", centroids, 1).localCheckpoint(true)
+    val a = lists.select(col("_cl"), col("cid").as("id1"), col("_cv").as("_v1"))
+    val b = lists.select(col("_cl"), col("cid").as("id2"), col("_cv").as("_v2"))
+    val dropped = a.join(b, "_cl").filter(col("id1") < col("id2"))
+      .filter(cosine(col("_v1"), col("_v2")) >= threshold)
+      .select(col("id2").as("cid")).distinct()
+    lists.join(dropped, Seq("cid"), "left_anti")
+      .select(col("cid").as(idCol), col("_cl").as("cluster"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair
     * with cosine ≥ threshold. The quadratic exact form — the verifier and
     * small-scale path; at corpus×corpus scale, bucket with

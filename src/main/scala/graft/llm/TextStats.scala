@@ -98,6 +98,45 @@ object TextStats {
           .as("df_score"))
   }
 
+  /** Self-trained unigram log-perplexity — the first-order upgrade of
+    * [[dfScore]]: each token costs −ln p(t) nats under the corpus's own
+    * unigram distribution (p = corpus count / total tokens), and a
+    * document's negative log-likelihood is the sum over its tokens. High
+    * mean NLL = built from rare/garbage vocabulary — the C4/Gopher-style
+    * perplexity filter with the corpus itself as the language model.
+    *
+    * Cross-engine exactness (oracle hash-matches): −ln p is quantized to
+    * integer MICRO-NATS once per DISTINCT token, then each document sums
+    * count × micro-nats in integer arithmetic — no float accumulation
+    * order; the mean is one final correctly-rounded division. (`ln` is
+    * the one non-correctly-rounded op; it runs once per vocabulary entry,
+    * pinned by the quantization before touching any per-document value —
+    * same pattern as [[Ranking.bm25]].)
+    *
+    * Scale: one (doc, token)-keyed map-side-combinable shuffle for term
+    * frequencies; the vocabulary table (Zipf-small) aggregates from it
+    * and joins back broadcast; corpus total is a 1-row broadcast.
+    */
+  def unigramLogPpl(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+    val total = broadcast(tf.agg(sum(col("_c")).cast("double").as("_total")))
+    val lp = tf.groupBy("_tok").agg(sum(col("_c")).cast("double").as("_vc"))
+      .crossJoin(total)
+      .withColumn("_nllm",
+        round(-log(col("_vc") / col("_total")) * 1e6).cast("long"))
+      .select("_tok", "_nllm")
+    tf.join(broadcast(lp), "_tok")
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_tokens"),
+        sum(col("_c") * col("_nllm")).as("nll_micro"))
+      .withColumn("mean_nll_micro",
+        round(col("nll_micro") * 1.0 / col("n_tokens")).cast("long"))
+  }
+
   /** Gopher-style repetition signals, entirely as scalar array
     * expressions — no explode, no shuffle, whole-stage-codegen friendly:
     *

@@ -375,6 +375,16 @@ object PipelineOps {
         .select("query_id", "neighbor_id", "rank")
     },
 
+    // ---- D11: SemDeDup semantic dedup — IVF-clustered embedding corpus,
+    //      within-cluster greedy ε-ball representative selection. Cluster
+    //      labels are Lloyd-float-dependent → rows-only; precision is
+    //      exact by construction (the verify cosine is exact) and
+    //      planted-duplicate coverage is asserted in LlmSpec. ------------
+    "d11_semdedup" -> Q.rowsOnly { (s, dir) =>
+      Similarity.semDedup(fanOut(s, t(s, dir, "embeddings")), 0.4)
+        .select("vec_id", "cluster")
+    },
+
     // ---- E7: IVF-PQ composite ANN — coarse list pruning × residual PQ
     //      codes × exact refine; the production-index shape (one list
     //      label + m small codes per vector; a query touches
@@ -560,6 +570,27 @@ object PipelineOps {
         |FROM tok JOIN df USING (tok)
         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
       TextStats.dfScore(docs(s, dir))
+    },
+
+    // ---- X13: self-trained unigram log-perplexity — the first-order
+    //      upgrade of x9 (token cost −ln p under the corpus's own unigram
+    //      LM). Oracle exact: per-vocab-entry micro-nat quantization +
+    //      integer per-doc sums, one final division (the BM25 pattern). --
+    "x13_unigram_logppl" -> Q(
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, u.t AS tok FROM d, unnest(ws) AS u(t)),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |v AS (SELECT tok, cast(sum(c) AS BIGINT)::DOUBLE AS vc FROM tf GROUP BY 1),
+        |tot AS (SELECT cast(sum(c) AS BIGINT)::DOUBLE AS total FROM tf),
+        |lp AS (SELECT tok, cast(round(-ln(vc / total) * 1000000.0) AS BIGINT) AS nllm
+        |       FROM v, tot)
+        |SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+        |       cast(sum(c * nllm) AS BIGINT) AS nll_micro,
+        |       cast(round(cast(sum(c * nllm) AS BIGINT) * 1.0 /
+        |                  cast(sum(c) AS BIGINT)) AS BIGINT) AS mean_nll_micro
+        |FROM tf JOIN lp USING (tok)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.unigramLogPpl(docs(s, dir))
     },
 
     // ---- X10: text normalization — the canonical pre-dedup stage

@@ -132,6 +132,58 @@ class LlmSpec extends SparkSpec {
     assert(r.toSeq === Seq(1L, 2L), "tf3 doc above tf1 doc; no-match doc absent")
   }
 
+  test("SemDeDup drops planted semantic duplicates and keeps survivors clean") {
+    import spark.implicits._
+    // Plant near-identical copies (one component nudged by 2 milli-units,
+    // cosine ≈ 0.9999) at HIGHER ids — the regime SemDeDup targets. The
+    // natural corpus has no pairs above cosine 0.6, so at threshold 0.9
+    // the exact duplicate set is exactly original↔copy.
+    val base = emb.filter(col("embedding").isNotNull).select("vec_id", "embedding")
+    val planted = base.withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.002f)).otherwise(x)))
+    val corpus = base.unionByName(planted)
+    val survivors = Similarity.semDedup(corpus, threshold = 0.9).localCheckpoint(true)
+    val kept = survivors.select(col("vec_id")).as[Long].collect().toSet
+    // originals always survive (a planted copy never has the lower id)
+    val nBase = base.count()
+    assert(base.select(col("vec_id")).as[Long].collect().forall(kept.contains))
+    // coverage: a jittered copy lands in its source's cluster unless the
+    // assignment is a near-tie — allow a small miss margin
+    val copyCoverage = 1.0 - kept.count(_ >= 1000000).toDouble / nBase
+    assert(copyCoverage >= 0.95,
+      s"SemDeDup copy coverage $copyCoverage below 0.95 (${kept.count(_ >= 1000000)} copies survived)")
+    // precision is structural: no surviving in-cluster pair may remain
+    // above the threshold (greedy-by-id would have dropped the higher id)
+    val sv = survivors.join(corpus, "vec_id")
+    val a = sv.select(col("cluster"), col("vec_id").as("id1"),
+      Similarity.quantized(col("embedding")).as("_v1"))
+    val b = sv.select(col("cluster"), col("vec_id").as("id2"),
+      Similarity.quantized(col("embedding")).as("_v2"))
+    val residual = a.join(b, "cluster").filter(col("id1") < col("id2"))
+      .filter(Similarity.cosine(col("_v1"), col("_v2")) >= 0.9)
+    assert(residual.count() === 0, "survivors must be pairwise below threshold in-cluster")
+  }
+
+  test("unigram log-perplexity scores rare-vocabulary docs higher") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),        // all common tokens
+      (2L, "a a a zzz"),      // one rare token
+      (3L, "a a a a a a a a") // more common tokens
+    ).toDF("doc_id", "text")
+    val r = TextStats.unigramLogPpl(d).orderBy("doc_id").localCheckpoint(true)
+    val mean = r.select("mean_nll_micro").as[Long].collect()
+    assert(mean(1) > mean(0), "the rare token must raise mean NLL")
+    assert(mean(2) === mean(0), "docs of only the common token share its NLL")
+    // exact integer contract: nll_micro = Σ count × micro-nats
+    val Seq(n1, n2) = r.filter(col("doc_id") <= 2).select("nll_micro").as[Long].collect().toSeq
+    val total = 16.0
+    def m(c: Long): Long = math.round(-math.log(c / total) * 1e6)
+    assert(n1 === 4 * m(15))
+    assert(n2 === 3 * m(15) + m(1))
+  }
+
   test("hybrid RRF fuses leg ranks exactly on a hand-computed corpus") {
     import spark.implicits._
     // lex leg (term "hash"): d1 tf=3 -> rank 1, d2 tf=1 -> rank 2, d3 absent
