@@ -44,10 +44,10 @@ object Ranking {
     // one corpus pass for N and avgdl; both exact (integer sum / count is
     // a correctly-rounded division of exact integers)
     val stats = broadcast(
-      docs.select(size(split(col(textCol), " ")).as("_dl0"))
+      docs.select(size(TextStats.words(col(textCol))).as("_dl0"))
         .agg(count(lit(1)).cast("double").as("_n"), avg(col("_dl0")).as("_avgdl")))
     val toks = docs
-      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol), TextStats.words(col(textCol)).as("_ws"))
       .select(col(idCol), size(col("_ws")).cast("double").as("_dl"),
         explode(col("_ws")).as("_tok"))
       .filter(col("_tok").isin(terms: _*))
@@ -102,10 +102,19 @@ object Ranking {
       .withColumn("_rl",
         row_number().over(Window.orderBy(col("score_micro").desc, col(idCol))))
       .select(col(idCol).as("_id"), col("_rl"))
-    val qv = broadcast(embeddings.filter(col(vecIdCol) === queryVecId)
-      .select(Similarity.quantized(col(vecCol)).as("_qv")))
+    // null/zero-norm exclusion on BOTH sides: a zero-norm vector's cosine
+    // is NaN, which Spark sorts ABOVE every real score — it would seize
+    // the top semantic ranks. And a missing (or degenerate) query vector
+    // must fail loudly, not silently degrade to lexical-only results.
+    val qv0 = embeddings.filter(col(vecIdCol) === queryVecId && col(vecCol).isNotNull)
+      .select(Similarity.quantized(col(vecCol)).as("_qv"))
+      .filter(Similarity.dot(col("_qv"), col("_qv")) > 0)
+    require(qv0.count() == 1,
+      s"queryVecId=$queryVecId must match exactly one non-degenerate embedding")
+    val qv = broadcast(qv0)
     val semTop = embeddings.filter(col(vecCol).isNotNull)
       .select(col(vecIdCol).as("_id"), Similarity.quantized(col(vecCol)).as("_cv"))
+      .filter(Similarity.dot(col("_cv"), col("_cv")) > 0)
       .crossJoin(qv)
       .withColumn("_cos", Similarity.cosine(col("_cv"), col("_qv")))
       .orderBy(col("_cos").desc, col("_id")).limit(nLeg)

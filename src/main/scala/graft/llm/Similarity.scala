@@ -188,8 +188,14 @@ object Similarity {
     */
   private def nearestCentroid(df: DataFrame, vec: String, centroids: DataFrame,
                               n: Int): DataFrame = {
+    // nanvl: a zero-norm vector OR a degenerate zero centroid (integer
+    // quantized members can cancel exactly in a Lloyd mean) yields
+    // cosine = 0/0 = NaN, and Spark sorts NaN ABOVE every double — the
+    // degenerate centroid would capture the whole corpus. Pinning NaN to
+    // −2 (below any real cosine) makes such rows/centroids lose every
+    // argmax instead.
     val scored = df.crossJoin(broadcast(centroids))
-      .withColumn("_cc", cosine(col(vec), col("_centroid")))
+      .withColumn("_cc", nanvl(cosine(col(vec), col("_centroid")), lit(-2.0)))
     if (n == 1) {
       val key = df.columns.head
       val payload = df.columns.tail.toSeq
@@ -427,9 +433,12 @@ object Similarity {
     // quantized vectors)
     val centroids = trainIvfCentroids(c, nlist, iters)
     val lists = nearestCentroid(c, "_cv", centroids, 1) // (cid, _cv, _cl)
-    // unit centroids for the residual subtraction (a Lloyd mean can
-    // degenerate to zero norm only if a whole list is empty — guarded by
-    // unitNorm's filter like every other norm in this file)
+    // unit centroids for the residual subtraction. A Lloyd mean CAN
+    // degenerate to exactly zero (integer-quantized members can cancel,
+    // e.g. v and −v sharing a list); nearestCentroid's nanvl guard keeps
+    // such a centroid from capturing any vector, and unitNorm drops its
+    // label here, so the degenerate list is simply empty
+    // (members reassign to their next-best centroid).
     val ucent = broadcast(
       unitNorm(centroids.select(col("_cl"), col("_centroid").as("_uc")), "_uc"))
 

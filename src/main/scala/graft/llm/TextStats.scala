@@ -129,7 +129,9 @@ object TextStats {
       .withColumn("_nllm",
         round(-log(col("_vc") / col("_total")) * 1e6).cast("long"))
       .select("_tok", "_nllm")
-    tf.join(broadcast(lp), "_tok")
+    // no broadcast hint: the vocabulary is unbounded at web scale (AQE
+    // broadcasts it when it actually fits — the dfScore pattern)
+    tf.join(lp, "_tok")
       .groupBy(col(idCol))
       .agg(sum(col("_c")).as("n_tokens"),
         sum(col("_c") * col("_nllm")).as("nll_micro"))

@@ -107,6 +107,9 @@ class LlmSpec extends SparkSpec {
     assert(res.filter(col("query_id") < 0).count() === 0)
     assert(res.filter(col("neighbor_id") < 0).count() === 0)
     assert(res.filter(isnan(col("cosine"))).count() === 0)
+    // distinct-count guard: a bare forall over groups passes vacuously if
+    // a query drops out of the result entirely
+    assert(res.select("query_id").distinct().count() === 10)
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) === 5))
   }
 
@@ -208,6 +211,25 @@ class LlmSpec extends SparkSpec {
     assert(out(2)._2 === rrf(Seq(2)))
   }
 
+  test("hybrid RRF rejects missing/degenerate query vectors, ignores zero-norm rows") {
+    import spark.implicits._
+    val d = Seq((1L, "hash"), (2L, "hash hash"), (3L, "scan")).toDF("doc_id", "text")
+    val e = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ranking.hybridRrf(d, e, Seq("hash"), queryVecId = 99L, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.hybridRrf(d, e, Seq("hash"), queryVecId = 3L, k = 3) // zero-norm
+    }
+    val out = Ranking.hybridRrf(d, e, Seq("hash"), queryVecId = 2L, k = 3)
+      .localCheckpoint(true)
+    // doc 3's zero-norm vector must not seize a NaN rank; it has no lex
+    // match either, so it is absent entirely
+    assert(out.filter(col("doc_id") === 3L).count() === 0)
+    assert(out.count() === 2)
+  }
+
   test("PQ excludes null and zero-norm vectors without poisoning codebooks") {
     val dim = emb.selectExpr("size(embedding)").head.getInt(0)
     // negative ids: the degenerate vectors sit at the LOWEST ids, inside
@@ -227,6 +249,8 @@ class LlmSpec extends SparkSpec {
       "null/zero-norm corpus vectors must never be neighbors")
     assert(res.filter(isnan(col("cosine"))).count() === 0,
       "a NaN cosine means a codeword was poisoned")
+    assert(res.select("query_id").distinct().count() === 10,
+      "all real queries must survive (vacuous-forall guard)")
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) === 5))
   }
 
