@@ -504,6 +504,60 @@ object Similarity {
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Train the IVF coarse quantizer on a static corpus and return the
+    * centroids as DRIVER-SIDE literals (nlist × dim doubles — a
+    * deliberate, bounded materialization). This is the handoff point to
+    * streaming ingest: a stream cannot run the groupBy argmax
+    * [[ivfTopK]]'s batch assignment uses, but it CAN evaluate a per-row
+    * scalar expression over plan-time literal centroids
+    * ([[assignToLiteralCentroids]]).
+    */
+  def trainCentroidLiterals(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    trainIvfCentroids(c, nlist, iters)
+      .select(col("_cl"), col("_centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Batch (relational groupBy-argmax) cluster assignment over GIVEN
+    * centroid values — the equivalence twin of
+    * [[assignToLiteralCentroids]]: both paths must produce identical
+    * labels from the same centroids (asserted in VectorIngestSpec).
+    */
+  def clusterAssignments(corpus: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cdf = centroids.toDF("_cl", "_centroid").select(col("_centroid"), col("_cl"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    nearestCentroid(c, "_cv", cdf, 1)
+      .select(col("cid").as(idCol), col("_cl").as("cluster"))
+  }
+
+  /** Stateless per-row nearest-centroid label over literal centroids —
+    * the stream-safe form of the batch argmax (same cosine, same
+    * (score, −label) tie-break, same NaN pinning, so streamed
+    * assignments are bit-identical to [[ivfTopK]]'s list assignment;
+    * asserted in IngestSpec). `vec` must already be [[quantized]].
+    */
+  def assignToLiteralCentroids(vec: Column,
+                               centroids: Seq[(Long, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val best = array_max(array(centroids.map { case (l, cv) =>
+      struct(nanvl(cosine(vec, typedLit(cv)), lit(-2.0)).as("_c"),
+        lit(-l).as("_nl"))
+    }: _*))
+    (-best.getField("_nl")).cast("long")
+  }
+
   /** Per-vector symmetric int8 quantization — the storage/bandwidth leg
     * of an embedding pipeline (a 100 TB float corpus ships as int8 + one
     * scale per vector at 4× compression before any indexing): scale =

@@ -172,6 +172,37 @@ object TextStats {
       round(topCount / size(ws).cast("double"), 6).as("top_word_frac"))
   }
 
+  /** Gopher/C4-style composite quality GATE: the per-rule booleans and
+    * their conjunction, so a pipeline can both filter (`keep`) and audit
+    * which rule fired per document. Entirely scalar scan-path
+    * expressions — no shuffle, whole-stage-codegen. Rules: word-count
+    * band, type-token-ratio floor, duplicate-2-gram ceiling (defined 0
+    * below 3 words, which cannot shingle; the CASE also keeps Spark's
+    * descending `sequence(0, −1)` from firing on 1-word docs).
+    * Thresholds are corpus-tunable; the comparisons are exact on both
+    * engines because the underlying ratios are correctly-rounded
+    * divisions of exact integers.
+    */
+  def qualityGate(docs: DataFrame, minWords: Int = 20, maxWords: Int = 5000,
+                  minTtr: Double = 0.35, maxDup2: Double = 0.05,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val nw = size(ws)
+    val ttr = size(array_distinct(ws)) / nw.cast("double")
+    val g2 = transform(sequence(lit(0), nw - 2),
+      i => array_join(slice(ws, i + 1, lit(2)), " "))
+    val dup2 = when(nw < 3, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g2)) / size(g2).cast("double"))
+    docs.select(
+      col(idCol),
+      (nw >= minWords).as("r_min_words"),
+      (nw <= maxWords).as("r_max_words"),
+      (ttr >= minTtr).as("r_ttr"),
+      (dup2 <= maxDup2).as("r_rep"))
+      .withColumn("keep",
+        col("r_min_words") && col("r_max_words") && col("r_ttr") && col("r_rep"))
+  }
+
   /** PII scrubbing for training corpora: redact emails, North-American
     * phone numbers and IPv4 addresses with typed placeholder tokens, and
     * count redactions per document. Pure regexp expressions in the scan

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import graft.Tables.t
 import graft.functions.{Scored, TopKAgg}
 import graft.operators.SkewJoin
+import graft.ops.GapFill
 import graft.votes.NameUdfs
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
@@ -561,6 +562,33 @@ object Extras {
         .select(col("o_orderpriority"), posexplode(col("_topk")))
         .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
           col("col.score").as("cents"), col("col.id").as("o_orderkey"))
+    },
+
+    // ---- W8: calendar gap-fill + forward fill — densify a sparse per-
+    //      user daily aggregate to a contiguous series (feature pipelines,
+    //      as-of state). Per-key spine from its own [min,max] span (no
+    //      global date dim), equi-join back, one running last(ignoreNulls)
+    //      window. Values are exact cents; day stringified for parity. ----
+    "w8_gapfill" -> Q(
+      """WITH d AS (SELECT user_id, ts::DATE AS day,
+        |            cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |          FROM s),
+        |j AS (SELECT spine.user_id, spine.day, d.cents FROM spine
+        |      LEFT JOIN d ON d.user_id = spine.user_id AND d.day = spine.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+        |       cents IS NULL AS filled
+        |FROM j""".stripMargin) { (s, dir) =>
+      val dailyAgg = t(s, dir, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      GapFill.daily(dailyAgg, "user_id", "day", "cents")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cents"), col("filled"))
     },
 
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse

@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables.t
 import graft.llm.{Components, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
-import graft.streaming.{EventStream, IngestDedup}
+import graft.streaming.{EventStream, IngestDedup, VectorIngest}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
@@ -591,6 +591,40 @@ object PipelineOps {
         |FROM tf JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
       TextStats.unigramLogPpl(docs(s, dir))
+    },
+
+    // ---- T13 (streaming): vector-index ingest — arriving embeddings
+    //      route to their batch-trained IVF inverted list via a STATELESS
+    //      per-row literal-centroid argmax (no state store, append mode —
+    //      the t12 explode→per-row rewrite applied to ANN). Rows-only
+    //      (Lloyd-float centroids); streamed ≡ batch-relational
+    //      assignment asserted in VectorIngestSpec. ----------------------
+    "t13_stream_vector_ingest" -> Q.rowsOnly { (s, dir) =>
+      val centroids = Similarity.trainCentroidLiterals(fanOut(s, t(s, dir, "embeddings")))
+      val streamed = VectorIngest.assignStream(VectorIngest.readEmbeddings(s, dir), centroids)
+      EventStream.runToMemory(streamed,
+        s"t13_ingest_${streamSeq.incrementAndGet()}", mode = "append")
+    },
+
+    // ---- X14: composite quality GATE — per-rule booleans + conjunction
+    //      (word band, TTR floor, dup-2-gram ceiling), so a pipeline can
+    //      filter AND audit which rule fired. Pure scalar scan-path
+    //      expressions; comparisons exact on both engines (ratios are
+    //      correctly-rounded divisions of exact integers). ----------------
+    "x14_quality_gate" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |r AS (SELECT doc_id, len(ws) AS nw,
+        |       len(list_distinct(ws)) / len(ws)::DOUBLE AS ttr,
+        |       CASE WHEN len(ws) < 3 THEN 0.0
+        |            ELSE 1.0 - len(list_distinct(list_transform(generate_series(0, len(ws) - 2),
+        |                   i -> array_to_string(list_slice(ws, i + 1, i + 2), ' ')))) /
+        |                 (len(ws) - 1)::DOUBLE END AS dup2
+        |      FROM w)
+        |SELECT doc_id, nw >= 20 AS r_min_words, nw <= 5000 AS r_max_words,
+        |       ttr >= 0.35 AS r_ttr, dup2 <= 0.05 AS r_rep,
+        |       (nw >= 20 AND nw <= 5000 AND ttr >= 0.35 AND dup2 <= 0.05) AS keep
+        |FROM r""".stripMargin) { (s, dir) =>
+      TextStats.qualityGate(docs(s, dir))
     },
 
     // ---- X10: text normalization — the canonical pre-dedup stage

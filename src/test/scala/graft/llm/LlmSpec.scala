@@ -168,6 +168,27 @@ class LlmSpec extends SparkSpec {
     assert(residual.count() === 0, "survivors must be pairwise below threshold in-cluster")
   }
 
+  test("quality gate: per-rule flags fire on the right degenerate docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq.fill(30)("w").zipWithIndex.map(p => p._1 + p._2).mkString(" ")), // clean: 30 distinct words
+      (2L, "too short"),                                  // fails min-words (and <3 shingles → r_rep true)
+      (3L, ("a " * 30).trim),                             // repetitive: ttr + dup-2-gram fail
+      (4L, (1 to 6000).map(i => s"t$i").mkString(" "))    // fails max-words only
+    ).toDF("doc_id", "text")
+    val g = TextStats.qualityGate(d).orderBy("doc_id").localCheckpoint(true)
+    val rows = g.select("r_min_words", "r_max_words", "r_ttr", "r_rep", "keep")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(rows(0) === ((true, true, true, true, true)))
+    assert(rows(1) === ((false, true, true, true, false)))
+    assert(rows(2) === ((true, true, false, false, false)))
+    assert(rows(3) === ((true, false, true, true, false)))
+    // keep is exactly the conjunction, always
+    assert(g.filter(col("keep") =!=
+      (col("r_min_words") && col("r_max_words") && col("r_ttr") && col("r_rep")))
+      .count() === 0)
+  }
+
   test("unigram log-perplexity scores rare-vocabulary docs higher") {
     import spark.implicits._
     val d = Seq(
