@@ -171,6 +171,44 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** FUZZY benchmark decontamination — near-duplicate matches between the
+    * training corpus and an eval benchmark, where exact shingle overlap
+    * ([[contamination]]) misses paraphrased or lightly-edited leakage:
+    * MinHash-LSH candidates ACROSS the two corpora, then exact-Jaccard
+    * verification. Id spaces must be disjoint (the verifier unions both
+    * sides; a shared id would merge two documents' shingle sets).
+    *
+    * Scale shape: the corpus side runs the same per-row signature + band
+    * pipeline as [[minhashLshPairs]] (zero shuffle until the bucket
+    * join); the benchmark side is bounded (eval suites), so its banded
+    * hashes BROADCAST and the bucket join is map-side — the corpus never
+    * shuffles on this operator at all until the tiny candidate set
+    * reaches the verifier.
+    *
+    * Returns (id1 = corpus doc, id2 = benchmark doc, jaccard ≥
+    * threshold). Candidate-miss probability is the d3 S-curve:
+    * (1 − τ^rows)^bands.
+    */
+  def fuzzyContamination(docs: DataFrame, bench: DataFrame, n: Int,
+                         numHashes: Int, bands: Int, threshold: Double,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val corpusBands = bandedHashes(
+      minhashSignatures(docs, n, numHashes, idCol, textCol), bands, rows, idCol)
+    val benchBands = bandedHashes(
+      minhashSignatures(bench, n, numHashes, idCol, textCol), bands, rows, idCol)
+      .withColumnRenamed(idCol, "_bench_id")
+    val cands = corpusBands
+      .join(broadcast(benchBands), Seq("band_idx", "band_hash"))
+      .select(col(idCol).as("id1"), col("_bench_id").as("id2"))
+      .distinct()
+      .localCheckpoint(false)
+    verifyJaccardPairs(docs.unionByName(bench), cands, n, threshold,
+      idCol, textCol)
+  }
+
   /** Deterministic rehash family: the i-th hash of a base 64-bit hash is
     * xxhash64(base, i) — index-derived, no RNG, and no overflow under ANSI
     * arithmetic (an affine `a*h + b` family would overflow long multiply).

@@ -69,6 +69,48 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Temperature-style domain-mixture sampling — the corpus-reweighting
+    * step of multilingual / multi-source training-data assembly: stratum
+    * `d` (a language, a source) gets a document quota proportional to
+    * `weightFn(n_d)` (default `sqrt`, the α=0.5 temperature that
+    * upsamples rare domains relative to proportional sampling), capped at
+    * its size, and fills the quota in the shared deterministic hash
+    * order.
+    *
+    * Everything after the per-stratum count is integer-exact so an
+    * external oracle reproduces membership bit-for-bit: weights are
+    * quantized to micro-units via `floor(w * 1e6)` (IEEE requires `sqrt`
+    * and multiply to be correctly rounded, so both engines quantize
+    * identically), the normalizer is an integer sum (order-independent),
+    * and quotas use integer `div`. Overflow-safe while
+    * `budget * max(weightFn(n_d)) * 1e6 < 2^63` — with the sqrt default,
+    * `budget * sqrt(max stratum) < 9.2e12`, ample for any real sample.
+    *
+    * Cost: one count shuffle over the tiny strata dim, one broadcast
+    * quota join, and the same single stratum-key window shuffle as
+    * [[stratified]].
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, budget: Long,
+                    weightFn: Column => Column = sqrt,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(!df.columns.contains("_rn"),
+      "column name _rn is reserved by Sampling.mixtureSample")
+    val weighted = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_nd"))
+      .withColumn("_wdq",
+        floor(weightFn(col("_nd").cast("double")) * lit(1e6)).cast("long"))
+    val quotas = weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("_wdq")).as("_S"))))
+      .withColumn("quota",
+        least(col("_nd"), expr(s"(_wdq * ${budget}L) div _S")))
+      .select(col(strataCol), col("quota"))
+    df.withColumn("_rn", row_number().over(hashOrder(strataCol, idCol)))
+      .join(broadcast(quotas), strataCol)
+      .where(col("_rn") <= col("quota"))
+      .select(col(idCol), col(strataCol), col("quota"))
+  }
+
   /** Training-sequence packing — the concat-and-chop step that turns a
     * corpus into fixed-`seqLen`-token LM training sequences: documents are
     * laid out in deterministic hash order and the token stream is chopped

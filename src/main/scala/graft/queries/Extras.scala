@@ -315,6 +315,31 @@ object Extras {
         .agg(count(lit(1)).as("n_events"))
     },
 
+    // ---- J14: interval-overlap join (signup windows × purchase windows)
+    //      — the interval×interval sibling of j10: both sides bin, pairs
+    //      emit exactly once in the first common bin (positional dedup,
+    //      no distinct), exact overlap predicate behind the equi-join. --
+    "j14_interval_overlap_join" -> Q(
+      """WITH a AS (SELECT event_id AS a_id, ts AS a_start,
+        |            ts + INTERVAL 2 HOUR AS a_end
+        |           FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT event_id AS b_id, ts AS b_start,
+        |       ts + INTERVAL 1 HOUR AS b_end
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT a_id, b_id FROM a JOIN b
+        |ON a_start <= b_end AND b_start <= a_end""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("a_id"), col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("a_end"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 1 HOURS")).as("b_end"))
+      graft.operators.IntervalJoin(a, "a_start", "a_end",
+          b, "b_start", "b_end", binSeconds = 7200)
+        .select("a_id", "b_id")
+    },
+
     // ---- U4: intersect (engine completeness; the reference has none) ---
     "u4_intersect" -> Q(
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -711,6 +736,34 @@ object Extras {
           when(col("o_orderkey") % 7 === 0, "Z")
             .otherwise(col("o_orderstatus")).as("v"))
       graft.ops.SnapshotDiff.diff(oldSnap, newSnap, Seq("k"))
+    },
+
+    // ---- S15: SCD2 history build — fold the event change log into
+    //      per-user validity intervals (one row per run of consecutive
+    //      equal event_type, half-open [valid_from, valid_to), open run
+    //      flagged current). One key shuffle: run starts via lag, bounds
+    //      via lead over the same sort; no groupBy. --------------------
+    "s15_scd2_history" -> Q(
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |r AS (SELECT user_id, event_type, ts, event_id FROM o
+        |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |      FROM r)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v""".stripMargin) { (s, dir) =>
+      graft.ops.Scd2.history(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
     },
 
     // ---- S12: ORC sink + source roundtrip — the second columnar

@@ -196,6 +196,33 @@ object PipelineOps {
         n = 3, minOverlap = 3)
     },
 
+    // ---- D12: FUZZY decontamination — near-dup (not just exact-shingle)
+    //      corpus×benchmark matches: cross-corpus MinHash-LSH candidates
+    //      (benchmark bands broadcast — the corpus never shuffles), exact
+    //      Jaccard verify. Same d3 banding ⇒ same ≈6e-7 candidate-miss at
+    //      τ=0.6; oracle is the exact cross-corpus Jaccard join. --------
+    "d12_fuzzy_decontaminate" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT t.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh t JOIN sh b ON t.s = b.s
+        |      WHERE t.doc_id % 25 <> 0 AND b.doc_id % 25 = 0
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST(round((c * 1.0 / (n1.n + n2.n - c)) * 1000000.0) AS BIGINT) AS j_micro
+        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
+      val all = docs(s, dir)
+      Dedup.fuzzyContamination(
+        all.where(col("doc_id") % 25 =!= 0),
+        all.where(col("doc_id") % 25 === 0),
+        n = 3, numHashes = 64, bands = 32, threshold = 0.6)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard") * 1e6).cast("long").as("j_micro"))
+    },
+
     // ---- D8: chunk-level (paragraph) dedup — drop every 8-word chunk
     //      that repeats across >= 2 documents, reassemble the survivors.
     //      The sub-document pass document-level dedup can't do. ----------
@@ -625,6 +652,31 @@ object PipelineOps {
         |       (nw >= 20 AND nw <= 5000 AND ttr >= 0.35 AND dup2 <= 0.05) AS keep
         |FROM r""".stripMargin) { (s, dir) =>
       TextStats.qualityGate(docs(s, dir))
+    },
+
+    // ---- X15: temperature domain-mixture sampling — per-source quota
+    //      ∝ sqrt(n_d) (α=0.5 upsamples rare domains), capped at size,
+    //      filled in the shared deterministic hash order. Integer-exact
+    //      after the count: micro-unit weight quantization (sqrt and ×
+    //      are correctly rounded on both engines), integer normalizer,
+    //      integer div. -----------------------------------------------
+    "x15_mixture_sample" -> Q(
+      """WITH n AS (SELECT source, count(*) AS nd FROM documents GROUP BY 1),
+        |w AS (SELECT source, nd,
+        |       CAST(floor(sqrt(nd::DOUBLE) * 1000000) AS BIGINT) AS wdq FROM n),
+        |q AS (SELECT source,
+        |       least(nd, (wdq * 120) // CAST((SELECT sum(wdq) FROM w) AS BIGINT)) AS quota
+        |      FROM w),
+        |h AS (SELECT doc_id, source,
+        |       ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hh
+        |      FROM documents),
+        |r AS (SELECT doc_id, source,
+        |       row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+        |      FROM h)
+        |SELECT r.doc_id, r.source, q.quota FROM r JOIN q USING (source)
+        |WHERE rn <= quota""".stripMargin) { (s, dir) =>
+      Sampling.mixtureSample(docs(s, dir).select("doc_id", "source"),
+        "source", budget = 120)
     },
 
     // ---- X10: text normalization — the canonical pre-dedup stage

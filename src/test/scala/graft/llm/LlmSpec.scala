@@ -407,6 +407,26 @@ class LlmSpec extends SparkSpec {
     assert(a.nonEmpty && b.size > a.size)
   }
 
+  test("mixture sampling: sqrt temperature upsamples rare domains, quotas capped") {
+    import spark.implicits._
+    // 400 docs in a, 100 in b, 4 in c: proportional sampling would give
+    // c ~0.8% of the budget; sqrt weights give it sqrt(4)/(20+10+2) ≈ 6%.
+    val d = ((1L to 400L).map((_, "a")) ++ (1001L to 1100L).map((_, "b")) ++
+      (2001L to 2004L).map((_, "c"))).toDF("doc_id", "source")
+    val got = Sampling.mixtureSample(d, "source", budget = 64).localCheckpoint(true)
+    val quotas = got.groupBy("source").agg(
+        count(lit(1)).as("n"), first("quota").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // wdq = floor(sqrt(n)*1e6): a 20e6, b 10e6, c 2e6; S = 32e6
+    assert(quotas("a") === ((40L, 40L)), "64*20/32 = 40")
+    assert(quotas("b") === ((20L, 20L)), "64*10/32 = 20")
+    assert(quotas("c") === ((4L, 4L)), "64*2/32 = 4 = |c|, cap binds")
+    // deterministic and partitioning-independent, like stratified
+    val again = Sampling.mixtureSample(d.repartition(7), "source", budget = 64)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("token budget keeps hash-order prefix incl. the straddling doc, per stratum") {
     import spark.implicits._
     val d = Seq(
@@ -525,6 +545,23 @@ class LlmSpec extends SparkSpec {
     assert(r(1L) == ((3L, true)))
     assert(r(3L) == ((1L, false)))
     assert(!r.contains(2L))
+  }
+
+  test("fuzzy decontamination catches planted near-dup leakage exact overlap misses") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank " +
+      "while autumn leaves drift slowly down onto the quiet water below"
+    val bench = Seq((1000L, base)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, base.replace("autumn", "spring")),      // near-dup paraphrase
+      (2L, base),                                  // verbatim leak
+      (3L, "completely unrelated content about matrix factorization and gpus " +
+        "with plenty of distinct words to shingle on for this test document")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyContamination(train, bench, n = 3, numHashes = 64,
+        bands = 32, threshold = 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1000L), (2L, 1000L)))
   }
 
   test("bloom-prefiltered decontamination is bit-identical to the exact join") {
