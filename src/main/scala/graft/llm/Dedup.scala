@@ -175,8 +175,10 @@ object Dedup {
     * training corpus and an eval benchmark, where exact shingle overlap
     * ([[contamination]]) misses paraphrased or lightly-edited leakage:
     * MinHash-LSH candidates ACROSS the two corpora, then exact-Jaccard
-    * verification. Id spaces must be disjoint (the verifier unions both
-    * sides; a shared id would merge two documents' shingle sets).
+    * verification. The two id spaces are independent: ids are tagged with
+    * their side internally (the verifier unions both sides, and an
+    * untagged shared id would merge two documents' shingle sets), and
+    * only (idCol, textCol) are read, so the sides' schemas may differ.
     *
     * Scale shape: the corpus side runs the same per-row signature + band
     * pipeline as [[minhashLshPairs]] (zero shuffle until the bucket
@@ -186,8 +188,8 @@ object Dedup {
     * reaches the verifier.
     *
     * Returns (id1 = corpus doc, id2 = benchmark doc, jaccard ≥
-    * threshold). Candidate-miss probability is the d3 S-curve:
-    * (1 − τ^rows)^bands.
+    * threshold), ids in their original type. Candidate-miss probability
+    * is the d3 S-curve: (1 − τ^rows)^bands.
     */
   def fuzzyContamination(docs: DataFrame, bench: DataFrame, n: Int,
                          numHashes: Int, bands: Int, threshold: Double,
@@ -195,18 +197,29 @@ object Dedup {
                          textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Side-tag ids so corpus id 5 and benchmark id 5 stay distinct
+    // documents through the union the verifier sees; strip tags at the end.
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.select(concat(lit(tag), col(idCol).cast("string")).as(idCol),
+        col(textCol))
+    val corpus = tagged(docs, "c")
+    val benchT = tagged(bench, "b")
     val corpusBands = bandedHashes(
-      minhashSignatures(docs, n, numHashes, idCol, textCol), bands, rows, idCol)
+      minhashSignatures(corpus, n, numHashes, idCol, textCol), bands, rows, idCol)
     val benchBands = bandedHashes(
-      minhashSignatures(bench, n, numHashes, idCol, textCol), bands, rows, idCol)
+      minhashSignatures(benchT, n, numHashes, idCol, textCol), bands, rows, idCol)
       .withColumnRenamed(idCol, "_bench_id")
     val cands = corpusBands
       .join(broadcast(benchBands), Seq("band_idx", "band_hash"))
       .select(col(idCol).as("id1"), col("_bench_id").as("id2"))
       .distinct()
       .localCheckpoint(false)
-    verifyJaccardPairs(docs.unionByName(bench), cands, n, threshold,
-      idCol, textCol)
+    val idType = docs.schema(idCol).dataType
+    verifyJaccardPairs(corpus.unionByName(benchT), cands, n, threshold,
+        idCol, textCol)
+      .select(expr("substring(id1, 2)").cast(idType).as("id1"),
+        expr("substring(id2, 2)").cast(bench.schema(idCol).dataType).as("id2"),
+        col("jaccard"))
   }
 
   /** Deterministic rehash family: the i-th hash of a base 64-bit hash is

@@ -32,7 +32,7 @@ object Sampling {
 
   /** The ONE deterministic walk order every stratified op shares (and the
     * contract the DuckDB oracles' `hh` formula mirrors): per stratum, by
-    * (detHash(id), id). Centralized so the three consumers cannot drift.
+    * (detHash(id), id). Centralized so its consumers cannot drift.
     */
   private def hashOrder(strataCol: String, idCol: String) =
     Window.partitionBy(strataCol).orderBy(detHash(col(idCol)), col(idCol))
@@ -88,14 +88,16 @@ object Sampling {
     *
     * Cost: one count shuffle over the tiny strata dim, one broadcast
     * quota join, and the same single stratum-key window shuffle as
-    * [[stratified]].
+    * [[stratified]]. A null stratum is a stratum like any other (it is
+    * counted, weighted, and joined null-safely — an equi-join would count
+    * it into the normalizer and then silently drop its rows).
     */
   def mixtureSample(df: DataFrame, strataCol: String, budget: Long,
                     weightFn: Column => Column = sqrt,
                     idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    require(!df.columns.contains("_rn"),
-      "column name _rn is reserved by Sampling.mixtureSample")
+    Seq("_rn", "quota", "_qkey").foreach(c => require(!df.columns.contains(c),
+      s"column name $c is reserved by Sampling.mixtureSample"))
     val weighted = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("_nd"))
       .withColumn("_wdq",
@@ -104,9 +106,9 @@ object Sampling {
       .crossJoin(broadcast(weighted.agg(sum(col("_wdq")).as("_S"))))
       .withColumn("quota",
         least(col("_nd"), expr(s"(_wdq * ${budget}L) div _S")))
-      .select(col(strataCol), col("quota"))
+      .select(col(strataCol).as("_qkey"), col("quota"))
     df.withColumn("_rn", row_number().over(hashOrder(strataCol, idCol)))
-      .join(broadcast(quotas), strataCol)
+      .join(broadcast(quotas), col(strataCol) <=> col("_qkey"))
       .where(col("_rn") <= col("quota"))
       .select(col(idCol), col(strataCol), col("quota"))
   }

@@ -35,19 +35,10 @@ object IntervalJoin {
       s"IntervalJoin sides share column name(s) ${shared.mkString(",")}; " +
         "rename one side — the overlap predicate would be ambiguous")
 
-    def binned(df: DataFrame, s: String, e: String): DataFrame = {
-      val lo = floor(unix_timestamp(col(s)) / binSeconds)
-      val hi = floor(unix_timestamp(col(e)) / binSeconds)
-      df.withColumn("_bin", explode(
-        when(hi - lo + 1 > maxReplication,
-          raise_error(concat(lit("IntervalJoin: interval covers "),
-            (hi - lo + 1).cast("string"),
-            lit(s" bins > maxReplication=$maxReplication; raise binSeconds"))))
-          .otherwise(sequence(lo, hi))))
-    }
-
-    binned(left, lStart, lEnd)
-      .join(binned(right, rStart, rEnd), Seq("_bin"))
+    Bins.binnedExplode(left, lStart, lEnd, binSeconds, maxReplication,
+        "IntervalJoin")
+      .join(Bins.binnedExplode(right, rStart, rEnd, binSeconds,
+        maxReplication, "IntervalJoin"), Seq("_bin"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("_bin") ===
         floor(unix_timestamp(greatest(col(lStart), col(rStart))) / binSeconds))

@@ -39,16 +39,10 @@ object RangeJoin {
     require(binSeconds > 0, "binSeconds must be positive")
     require(!(left.columns ++ right.columns).contains("_bin"),
       "column name _bin is reserved by RangeJoin")
-    val lo = floor(unix_timestamp(col(startCol)) / binSeconds)
-    val hi = floor(unix_timestamp(col(endCol)) / binSeconds)
     val lb = left.withColumn("_bin",
       floor(unix_timestamp(col(leftTime)) / binSeconds))
-    val rb = right.withColumn("_bin", explode(
-      when(hi - lo + 1 > maxReplication,
-        raise_error(concat(lit("RangeJoin: interval covers "),
-          (hi - lo + 1).cast("string"),
-          lit(s" bins > maxReplication=$maxReplication; raise binSeconds"))))
-        .otherwise(sequence(lo, hi))))
+    val rb = Bins.binnedExplode(right, startCol, endCol, binSeconds,
+      maxReplication, "RangeJoin")
     lb.join(rb, Seq("_bin"))
       .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
       .drop("_bin")

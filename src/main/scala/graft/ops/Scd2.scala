@@ -30,9 +30,12 @@ object Scd2 {
               valueCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val prev = lag(col(valueCol), 1).over(w)
-    val prevTs = lag(col(tsCol), 1).over(w)
+    // First-row test is positional (row_number), NOT lag(ts).isNull — a
+    // null timestamp sorting first would otherwise mark its SUCCESSOR as
+    // a run start too, splitting one run of equal values in two.
     df.select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
-      .withColumn("_start", prevTs.isNull || !(prev <=> col(valueCol)))
+      .withColumn("_start",
+        row_number().over(w) === 1 || !(prev <=> col(valueCol)))
       .filter(col("_start"))
       .select(col(keyCol), col(valueCol),
         col(tsCol).as("valid_from"),

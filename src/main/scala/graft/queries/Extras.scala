@@ -746,10 +746,10 @@ object Extras {
     "s15_scd2_history" -> Q(
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
         |            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |           FROM events),
         |r AS (SELECT user_id, event_type, ts, event_id FROM o
-        |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         |v AS (SELECT user_id, event_type, ts AS valid_from,
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
         |      FROM r)

@@ -427,6 +427,18 @@ class LlmSpec extends SparkSpec {
       again.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixture sampling treats a null stratum as a stratum (null-safe quota join)") {
+    import spark.implicits._
+    val d = ((1L to 100L).map(i => (i, Some("a"))) ++
+      (1001L to 1100L).map(i => (i, None: Option[String])))
+      .toDF("doc_id", "source")
+    val got = Sampling.mixtureSample(d, "source", budget = 50).localCheckpoint(true)
+    // equal strata -> equal quotas; an equi-join would count the null
+    // stratum into the normalizer and then emit only a's 25
+    assert(got.count() === 50)
+    assert(got.filter(col("source").isNull).count() === 25)
+  }
+
   test("token budget keeps hash-order prefix incl. the straddling doc, per stratum") {
     import spark.implicits._
     val d = Seq(
@@ -562,6 +574,25 @@ class LlmSpec extends SparkSpec {
         bands = 32, threshold = 0.6)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 1000L), (2L, 1000L)))
+  }
+
+  test("fuzzy decontamination keeps colliding ids and differing schemas apart") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog near the riverbank " +
+      "while autumn leaves drift slowly down onto the quiet water below"
+    // benchmark doc_id=1 collides with corpus doc_id=1 (a DIFFERENT,
+    // unrelated document); corpus has an extra column the benchmark lacks
+    val bench = Seq((1L, leak)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "unrelated corpus document that happens to reuse the benchmark id " +
+        "and talks about sparse attention kernels and optimizer state sharding", "web"),
+      (2L, leak, "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.fuzzyContamination(train, bench, n = 3, numHashes = 64,
+        bands = 32, threshold = 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L)),
+      "corpus 1 must not inherit benchmark 1's shingles via the id collision")
   }
 
   test("bloom-prefiltered decontamination is bit-identical to the exact join") {

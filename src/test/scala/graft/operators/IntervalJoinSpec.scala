@@ -57,6 +57,22 @@ class IntervalJoinSpec extends SparkSpec {
       ex.getCause != null && ex.getCause.getMessage.contains("maxReplication"))
   }
 
+  test("inverted intervals fail loudly instead of exploding the bin array") {
+    // end < start by 1e6 s: hi - lo + 1 is NEGATIVE, so a naive
+    // replication check passes and sequence(lo, hi) would emit a ~1e5-bin
+    // descending array per row.
+    val a = mk(Seq((1L, 1000000L, 0L)), "a_id", "a_start", "a_end")
+    val b = mk(Seq((10L, 0L, 10L)), "b_id", "b_start", "b_end")
+    val ex = intercept[Exception] {
+      IntervalJoin(a, "a_start", "a_end", b, "b_start", "b_end",
+        binSeconds = 10, maxReplication = 100).count()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(ex).contains("inverted interval"))
+  }
+
   test("shared column names are rejected, not silently misresolved") {
     val a = mk(Seq((1L, 0L, 10L)), "id", "s", "e")
     val ex = intercept[IllegalArgumentException] {

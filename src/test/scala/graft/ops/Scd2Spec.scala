@@ -45,6 +45,16 @@ class Scd2Spec extends SparkSpec {
       .count() === 0)
   }
 
+  test("a null timestamp sorting first does not split its successor's run") {
+    val d = Seq((1L, 1L, None, "A"), (1L, 2L, Some(10L), "A"),
+      (1L, 3L, Some(20L), "B"))
+      .toDF("k", "tie", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val h = Scd2.history(d, "k", "ts", "tie", "v").localCheckpoint(true)
+    assert(h.count() === 2, "one A run (null-ts row + ts=10), one B run")
+    assert(h.filter(col("v") === "A").count() === 1)
+  }
+
   test("null values form runs of their own (null-safe change test)") {
     val d = Seq((1L, 1L, Some("A")), (1L, 2L, None), (1L, 3L, None),
       (1L, 4L, Some("A")))
