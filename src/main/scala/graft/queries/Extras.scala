@@ -7,7 +7,7 @@ import graft.functions.{Scored, TopKAgg}
 import graft.operators.SkewJoin
 import graft.ops.GapFill
 import graft.votes.NameUdfs
-import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.{Column, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -340,6 +340,40 @@ object Extras {
         .select("a_id", "b_id")
     },
 
+    // ---- J15: point-in-time join against the SCD2 dimension — s15's
+    //      history composed with ops.TemporalJoin: each lineitem looks up
+    //      its customer's order-status run valid at l_shipdate. Equi-join
+    //      on the key, temporal predicate in the join condition (no
+    //      binning — the key carries the selectivity). ------------------
+    "j15_temporal_dim_join" -> Q(
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |            lag(o_orderstatus) OVER w AS prev,
+        |            row_number() OVER w AS rn
+        |           FROM orders
+        |           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |r AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM o
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+        |v AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |      FROM r),
+        |p AS (SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o2.o_custkey
+        |      FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey)
+        |SELECT p.l_orderkey, p.l_linenumber, v.o_orderstatus AS status_at_ship
+        |FROM p JOIN v ON p.o_custkey = v.o_custkey
+        | AND p.l_shipdate >= v.valid_from
+        | AND (v.valid_to IS NULL OR p.l_shipdate < v.valid_to)""".stripMargin) { (s, dir) =>
+      val dim = graft.ops.Scd2.history(t(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      val facts = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      graft.ops.TemporalJoin.pointInTime(
+          facts, "o_custkey", "l_shipdate", dim, "o_custkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_orderstatus").as("status_at_ship"))
+    },
+
     // ---- U4: intersect (engine completeness; the reference has none) ---
     "u4_intersect" -> Q(
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -614,6 +648,75 @@ object Extras {
       GapFill.daily(dailyAgg, "user_id", "day", "cents")
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("cents"), col("filled"))
+    },
+
+    // ---- W9: event-time RANGE frame — trailing 1-hour sum/count per
+    //      user, bounded by TIME not row position (w5's ROWS frames can't
+    //      express "last hour"). Ordered on floor-seconds so both engines
+    //      see identical peer groups and frame bounds; RANGE frames are
+    //      tie-safe by construction (all peers share the frame). ---------
+    "w9_range_frame" -> Q(
+      """WITH e AS (SELECT event_id, user_id,
+        |            CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |            CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS trail_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("sec"))
+        .rangeBetween(-3600, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("cents")).over(w).as("trail_cents"),
+          count(lit(1)).over(w).cast("long").as("trail_n"))
+    },
+
+    // ---- A16: grouped statistical aggregates (mean / population stddev /
+    //      correlation) via EXACT integer moments: the five sums
+    //      accumulate as integers (order-independent, map-side
+    //      combinable), and each output is ONE identical correctly-
+    //      rounded double chain on both engines, so the usual float-
+    //      accumulation-order nondeterminism never exists. ---------------
+    "a16_grouped_stats" -> Q(
+      """WITH m AS (SELECT l_returnflag,
+        |            count(*) AS n,
+        |            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+        |            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+        |            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+        |            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+        |            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(round(1000000.0 * sy / n) AS BIGINT) AS mean_cents_micro,
+        |  CAST(round(1000000.0 * sqrt(n * sxx - sx * sx) / n) AS BIGINT) AS std_qty_micro,
+        |  CAST(round(1000000.0 * (n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) AS BIGINT) AS corr_micro
+        |FROM m""".stripMargin) { (s, dir) =>
+      val x = round(col("l_quantity")).cast("long")
+      val y = round(col("l_extendedprice") * 100).cast("long")
+      // moments accumulate as decimal(38,0) — exact like DuckDB's HUGEINT
+      // sums, and sum-of-squares at full scale overflows a long sum
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      val m = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+          dsum(x * y).as("sxy"))
+      val n = col("n").cast("double")
+      m.select(col("l_returnflag"), col("n"),
+        round(lit(1000000.0) * col("sy") / n).cast("long").as("mean_cents_micro"),
+        round(lit(1000000.0) * sqrt(n * col("sxx") - col("sx") * col("sx")) / n)
+          .cast("long").as("std_qty_micro"),
+        round(lit(1000000.0) * (n * col("sxy") - col("sx") * col("sy")) /
+          sqrt((n * col("sxx") - col("sx") * col("sx")) *
+            (n * col("syy") - col("sy") * col("sy"))))
+          .cast("long").as("corr_micro"))
     },
 
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse
