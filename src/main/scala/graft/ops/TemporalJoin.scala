@@ -19,18 +19,28 @@ import org.apache.spark.sql.DataFrame
   * Intervals of one key never overlap (an Scd2 invariant), so each fact
   * matches at most one dimension row; a fact before its key's first
   * `validFrom` (or with no dimension key) drops out, inner-join style.
-  * The dimension's key column is dropped from the output (it duplicates
-  * the fact key).
+  * Null bounds are OPEN, matching Scd2's output: a null `validTo` is the
+  * current run, and a null `validFrom` (a run started by a null-timestamp
+  * observation, which Scd2 documents as legal and sorts first) extends
+  * back indefinitely — a plain `>=` would return SQL NULL against it and
+  * silently drop every fact in the run. The dimension's key column is
+  * dropped from the output (it duplicates the fact key).
   */
 object TemporalJoin {
 
   def pointInTime(facts: DataFrame, factKey: String, factTime: String,
                   dim: DataFrame, dimKey: String,
                   validFrom: String = "valid_from",
-                  validTo: String = "valid_to"): DataFrame =
+                  validTo: String = "valid_to"): DataFrame = {
+    val shared = facts.columns.toSet.intersect(dim.columns.toSet) --
+      (if (factKey == dimKey) Set(factKey) else Set.empty)
+    require(shared.isEmpty,
+      s"TemporalJoin sides share column name(s) ${shared.mkString(",")}; " +
+        "rename one side — downstream references would be ambiguous")
     facts.join(dim,
         facts(factKey) === dim(dimKey) &&
-          facts(factTime) >= dim(validFrom) &&
+          (dim(validFrom).isNull || facts(factTime) >= dim(validFrom)) &&
           (dim(validTo).isNull || facts(factTime) < dim(validTo)))
       .drop(dim(dimKey))
+  }
 }

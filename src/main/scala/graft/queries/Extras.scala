@@ -694,8 +694,10 @@ object Extras {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  CAST(round(1000000.0 * sy / n) AS BIGINT) AS mean_cents_micro,
         |  CAST(round(1000000.0 * sqrt(n * sxx - sx * sx) / n) AS BIGINT) AS std_qty_micro,
-        |  CAST(round(1000000.0 * (n * sxy - sx * sy) /
-        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) AS BIGINT) AS corr_micro
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(round(1000000.0 * (n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) AS BIGINT)
+        |  END AS corr_micro
         |FROM m""".stripMargin) { (s, dir) =>
       val x = round(col("l_quantity")).cast("long")
       val y = round(col("l_extendedprice") * 100).cast("long")
@@ -709,14 +711,17 @@ object Extras {
           dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
           dsum(x * y).as("sxy"))
       val n = col("n").cast("double")
+      val vx = n * col("sxx") - col("sx") * col("sx")
+      val vy = n * col("syy") - col("sy") * col("sy")
       m.select(col("l_returnflag"), col("n"),
         round(lit(1000000.0) * col("sy") / n).cast("long").as("mean_cents_micro"),
-        round(lit(1000000.0) * sqrt(n * col("sxx") - col("sx") * col("sx")) / n)
-          .cast("long").as("std_qty_micro"),
-        round(lit(1000000.0) * (n * col("sxy") - col("sx") * col("sy")) /
-          sqrt((n * col("sxx") - col("sx") * col("sx")) *
-            (n * col("syy") - col("sy") * col("sy"))))
-          .cast("long").as("corr_micro"))
+        round(lit(1000000.0) * sqrt(vx) / n).cast("long").as("std_qty_micro"),
+        // degenerate (zero-variance / n=1) groups: corr undefined -> null;
+        // an unguarded 0/0 would cast NaN/Inf differently per engine
+        when(vx > 0 && vy > 0,
+          round(lit(1000000.0) * (n * col("sxy") - col("sx") * col("sy")) /
+            sqrt(vx * vy)).cast("long"))
+          .as("corr_micro"))
     },
 
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse

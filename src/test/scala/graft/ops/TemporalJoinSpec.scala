@@ -38,6 +38,28 @@ class TemporalJoinSpec extends SparkSpec {
       (2L, 100L, "X")))
   }
 
+  test("a null valid_from run is open-ended backwards, not silently unmatched") {
+    val d = Seq((1L, "A", None: Option[Long], Some(30L)), (1L, "B", Some(30L), None))
+      .toDF("k", "v", "_f", "_t")
+      .select(col("k"), col("v"),
+        timestamp_seconds(col("_f")).as("valid_from"),
+        timestamp_seconds(col("_t")).as("valid_to"))
+    val f = Seq((1L, 5L), (1L, 29L), (1L, 30L)).toDF("k", "_ts")
+      .select(col("k"), timestamp_seconds(col("_ts")).as("ts"))
+    val got = TemporalJoin.pointInTime(f, "k", "ts", d, "k")
+      .select(unix_timestamp(col("ts")).as("sec"), col("v"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((5L, "A"), (29L, "A"), (30L, "B")))
+  }
+
+  test("shared non-key column names are rejected, not silently ambiguous") {
+    val d = dim.withColumnRenamed("v", "ts") // collides with facts.ts
+    val ex = intercept[IllegalArgumentException] {
+      TemporalJoin.pointInTime(facts, "k", "ts", d, "k")
+    }
+    assert(ex.getMessage.contains("share column name"))
+  }
+
   test("plans as an equi-join on the key, not a nested loop") {
     val plan = TemporalJoin.pointInTime(facts, "k", "ts", dim, "k")
       .queryExecution.executedPlan.toString
