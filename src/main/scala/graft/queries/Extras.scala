@@ -724,6 +724,67 @@ object Extras {
           .as("corr_micro"))
     },
 
+    // ---- A17: ordered funnel (signup → purchase → click) — each stage's
+    //      first hit must be strictly AFTER the previous stage's: three
+    //      conditional-min windows over ONE user partition (single
+    //      exchange, each window referencing the previous stage's time),
+    //      then one row per user. The product-analytics query a plain
+    //      per-type min gets wrong (it ignores order). ------------------
+    "a17_funnel_stages" -> Q(
+      """WITH u AS (SELECT user_id,
+        |            min(CASE WHEN event_type = 'signup' THEN ts END) AS s
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p FROM events e JOIN u USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > u.s GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c FROM events e JOIN p USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > p.p GROUP BY 1)
+        |SELECT u.user_id, u.s IS NOT NULL AS did_signup,
+        |  p.p IS NOT NULL AS did_purchase, c.c IS NOT NULL AS did_click,
+        |  CAST(floor(epoch(p.p)) - floor(epoch(u.s)) AS BIGINT) AS signup_to_purchase_sec
+        |FROM u LEFT JOIN p USING (user_id) LEFT JOIN c USING (user_id)""".stripMargin) { (s, dir) =>
+      val wU = Window.partitionBy("user_id")
+      t(s, dir, "events")
+        .withColumn("s",
+          min(when(col("event_type") === "signup", col("ts"))).over(wU))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && col("ts") > col("s"),
+            col("ts"))).over(wU))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && col("ts") > col("p"),
+            col("ts"))).over(wU))
+        .select(col("user_id"), col("s").isNotNull.as("did_signup"),
+          col("p").isNotNull.as("did_purchase"),
+          col("c").isNotNull.as("did_click"),
+          (unix_timestamp(col("p")) - unix_timestamp(col("s")))
+            .as("signup_to_purchase_sec"))
+        .distinct()
+    },
+
+    // ---- A18: cohort retention — users grouped by first-seen day, and
+    //      the classic (cohort, weeks-since) distinct-active matrix. One
+    //      user-keyed aggregation for the cohort dim, one keyed join
+    //      back, one matrix aggregation; day-granular cohorts so neither
+    //      engine's week-start convention leaks in. ---------------------
+    "a18_cohort_retention" -> Q(
+      """WITH f AS (SELECT user_id, min(ts::DATE) AS d0 FROM events GROUP BY 1),
+        |a AS (SELECT e.user_id, f.d0,
+        |       date_diff('day', f.d0, e.ts::DATE) // 7 AS wk
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+        |  CAST(wk AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val f = ev.groupBy("user_id").agg(min(col("ts").cast("date")).as("d0"))
+      ev.join(f, "user_id")
+        .select(col("user_id"), col("d0"),
+          expr("CAST(datediff(CAST(ts AS DATE), d0) div 7 AS BIGINT)")
+            .as("week_offset"))
+        .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+          col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    },
+
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse
     //      of W1's pivot, and the first step of every wide-artifact ingest
     //      (S7 does it by hand over dynamic columns; this is the static-

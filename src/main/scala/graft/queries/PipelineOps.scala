@@ -376,6 +376,34 @@ object PipelineOps {
           round(col("cosine"), 6).as("cosine"))
     },
 
+    // ---- E9: FILTERED vector search — top-k under a metadata predicate
+    //      (the "filtered ANN" shape retrieval stacks need): the filter
+    //      prunes the corpus BEFORE scoring, so cost tracks the surviving
+    //      fraction, and exactness makes it hash-oracle-checkable unlike
+    //      the approximate e2/e3/e5 paths. -------------------------------
+    "e9_filtered_ann" -> Q(
+      """WITH q AS (SELECT vec_id AS qid,
+        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid,
+        |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+        |      FROM embeddings WHERE label % 2 = 0),
+        |sc AS (SELECT qid, cid,
+        |        list_dot_product(qv, cv) /
+        |        sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+        |       FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid AS query_id, cid AS neighbor_id,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
+        |       cos FROM sc)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10),
+          emb.filter(col("label") % 2 === 0), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+
     // ---- E2: LSH-bucketed ANN (scale path; recall vs E1 in specs) ------
     "e2_ann_lsh" -> Q.rowsOnly { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -1040,6 +1068,25 @@ object PipelineOps {
         .distinct()
       Dedup.verifyJaccardPairs(docs(s, dir), drained, n = 3, threshold = 0.6)
         .select("id1", "id2")
+    },
+
+    // ---- T14: NATIVE streaming dedup — dropDuplicatesWithinWatermark
+    //      (t12 is the custom-state near-dup path; this is the built-in
+    //      exact-key dedup with watermark-bounded state). The stream is
+    //      unioned with itself so every event arrives twice; per-type
+    //      counts after dedup equal distinct-id counts iff the state
+    //      actually deduplicates. ---------------------------------------
+    "t14_stream_native_dedup" -> Q(
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val ev = EventStream.readEvents(ss, dir)
+      val deduped = ev.unionByName(ev)
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      EventStream.runToMemory(deduped.select("event_id", "event_type"),
+          s"t14_dedup_${streamSeq.incrementAndGet()}", mode = "append")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
     },
 
     // ---- T5 (stateful streaming): gap sessionization -------------------
