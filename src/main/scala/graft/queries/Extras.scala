@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.Tables.t
-import graft.functions.{Scored, TopKAgg}
+import graft.functions.{HeavyHittersAgg, Scored, TopKAgg}
 import graft.operators.SkewJoin
 import graft.ops.GapFill
 import graft.votes.NameUdfs
@@ -783,6 +783,46 @@ object Extras {
         .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
           col("week_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
+    },
+
+    // ---- A19: heavy hitters — dominant items via a mergeable Misra–Gries
+    //      sketch (functions.HeavyHittersAgg): bounded state, map-side
+    //      combinable — each task forwards ≤ m counters, never the item
+    //      stream — then an exact semi-join confirm pass so the PUBLISHED
+    //      counts are deterministic (the sketch decides what is worth
+    //      counting; the confirm pass does the counting). The item stream
+    //      is a scale-free skewed projection of events (30% of rows land
+    //      on 3 hot items, the rest spread over ~13k cold items) because
+    //      the synthetic columns are all near-uniform; capacity 16 < the
+    //      distinct count, so the sketch genuinely saturates and the MG
+    //      guarantee (share > n/17 ⇒ present) is what carries the hot
+    //      items through, at every scale factor. ------------------------
+    "a19_heavy_hitters" -> Q(
+      """WITH i AS (SELECT CASE WHEN event_id % 10 < 3
+        |             THEN 'hot_' || (event_id % 3)
+        |             ELSE 'cold_' || (user_id * 97 + event_id % 89) END AS item
+        |           FROM events),
+        |n AS (SELECT count(*) AS n_total FROM i),
+        |c AS (SELECT item, count(*) AS cnt FROM i GROUP BY 1)
+        |SELECT item, CAST(cnt AS BIGINT) AS cnt
+        |FROM c, n WHERE cnt * 15 > n_total""".stripMargin) { (s, dir) =>
+      val items = t(s, dir, "events").select(
+        when(col("event_id") % 10 < 3,
+          concat(lit("hot_"), (col("event_id") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"),
+            (col("user_id") * 97 + col("event_id") % 89).cast("string")))
+          .as("item"))
+      val mg = udaf(new HeavyHittersAgg(16), Encoders.STRING)
+      // one pass: sketch + total count together (both map-side combinable)
+      val sketch = items.agg(mg(col("item")).as("cands"),
+        count(lit(1)).as("n_total"))
+      val cand = sketch.select(explode(col("cands")).as("item"), col("n_total"))
+      // confirm pass: only candidate rows survive the broadcast semi-join,
+      // so the exact-count shuffle carries ≤ m distinct keys
+      items.join(broadcast(cand), "item")
+        .groupBy("item", "n_total").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 15 > col("n_total"))
+        .select("item", "cnt")
     },
 
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse

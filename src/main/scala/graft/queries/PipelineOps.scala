@@ -404,6 +404,48 @@ object PipelineOps {
           round(col("cosine"), 6).as("cosine"))
     },
 
+    // ---- E11: k-NN label classification — retrieval-based labeling for
+    //      curation (propagate labels to unlabeled shards, build eval
+    //      slices): exact top-10 by cosine, then a deterministic majority
+    //      vote (votes DESC, label ASC) as ONE map-side-combinable
+    //      max(struct) argmax — no second window over the vote table. ----
+    "e11_knn_classify" -> Q(
+      """WITH q AS (SELECT vec_id AS qid,
+        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cid, label,
+        |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+        |      FROM embeddings WHERE vec_id >= 50),
+        |sc AS (SELECT qid, cid, label,
+        |        list_dot_product(qv, cv) /
+        |        sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+        |       FROM q, c),
+        |r AS (SELECT qid, label,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        |      FROM sc),
+        |v AS (SELECT qid AS query_id, label, count(*) AS votes
+        |      FROM r WHERE rank <= 10 GROUP BY 1, 2),
+        |b AS (SELECT query_id, label, votes,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        |      FROM v)
+        |SELECT query_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+        |FROM b WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val c = emb.filter(col("vec_id") >= 50)
+      Similarity.bruteForceTopK(q, c, k = 10)
+        .join(c.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+        .groupBy("query_id")
+        // struct max: votes first, then -label — ties break to the
+        // SMALLEST label, matching the oracle's (votes DESC, label) sort
+        .agg(max(struct(col("votes"), (-col("label")).as("_neg"),
+          col("label").as("_lab"))).as("b"))
+        .select(col("query_id"), col("b._lab").as("predicted_label"),
+          col("b.votes").as("votes"))
+    },
+
     // ---- E2: LSH-bucketed ANN (scale path; recall vs E1 in specs) ------
     "e2_ann_lsh" -> Q.rowsOnly { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -582,6 +624,36 @@ object PipelineOps {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_ish_tokens
         |FROM documents""".stripMargin) { (s, dir) =>
       TextStats.tokenCounts(docs(s, dir))
+    },
+
+    // ---- X16: BPE pair statistics — the core counting step of BPE/
+    //      WordPiece tokenizer training: adjacent-symbol pair frequencies
+    //      across the corpus (word-internal, char-level), top-50 merge
+    //      candidates. Pure scan-path explode + map-side-combinable
+    //      groupBy; the top-50 is TakeOrderedAndProject (per-partition
+    //      partial top-k), never a global sort. Full (cnt, l, r) ordering
+    //      makes the cut line deterministic on both engines. -------------
+    "x16_bpe_pair_counts" -> Q(
+      """WITH w AS (SELECT u.t AS w
+        |           FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |           WHERE length(u.t) >= 2),
+        |p AS (SELECT substring(w, i, 1) AS l_sym, substring(w, i + 1, 1) AS r_sym
+        |      FROM w, unnest(generate_series(1, length(w) - 1)) AS u2(i))
+        |SELECT l_sym, r_sym, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, l_sym, r_sym LIMIT 50""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(TextStats.words(col("text"))).as("w"))
+        // length >= 2 also guards the descending-sequence trap:
+        // sequence(1, 0) counts DOWN, it is not empty
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr("transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS l_sym, substring(w, i + 1, 1) AS r_sym))"))
+          .as("p"))
+        .select("p.*")
+        .groupBy("l_sym", "r_sym").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_sym"), col("r_sym"))
+        .limit(50)
     },
 
     // ---- X12: BM25 keyword relevance — the lexical retrieval leg of a
@@ -892,6 +964,34 @@ object PipelineOps {
             .where(octet_length(col("text")) === length(col("text")))),
         frameSize = 16, stride = 32, maxFrames = 4, targetPartitions = 8)
         .toDF()
+    },
+
+    // ---- M3: media content-hash dedup — the multimodal counterpart of
+    //      d1: content addressing by md5 over the opaque payload BYTES
+    //      (the standard first pass for image/audio dedup — byte-exact
+    //      copies collapse regardless of filename/id), survivor = min id.
+    //      The corpus has no byte-identical media, so duplicates are
+    //      synthesized by re-keying the first 50 docs (+10000) — the
+    //      oracle replays the same union, and md5 over the varchar's
+    //      utf-8 bytes equals md5 over the binary payload built from the
+    //      same text. Only 16-byte digests shuffle, never payloads. ------
+    "m3_media_hash_dedup" -> Q(
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS content_md5, min(doc_id) AS survivor_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val media = Multimodal.mediaFromDocs(d).unionByName(
+        Multimodal.mediaFromDocs(
+          d.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 10000)))
+      media
+        .select(md5(col("data")).as("content_md5"), col("media_id"))
+        .groupBy("content_md5")
+        .agg(min(col("media_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
     },
 
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
