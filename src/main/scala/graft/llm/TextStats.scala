@@ -139,6 +139,49 @@ object TextStats {
         round(col("nll_micro") * 1.0 / col("n_tokens")).cast("long"))
   }
 
+  /** Self-trained BIGRAM log-perplexity — the second-order upgrade of
+    * [[unigramLogPpl]] (a KenLM-style quality filter with the corpus as
+    * its own LM): each adjacent word pair costs −ln p(cur | prev) nats,
+    * where p(cur | prev) = c(prev,cur) / c(prev · *) over the whole
+    * corpus. Word salad scores high even when every individual word is
+    * common — the failure mode a unigram filter cannot see.
+    *
+    * Same cross-engine exactness contract as the unigram form: −ln p is
+    * micro-nat-quantized once per DISTINCT bigram, documents sum
+    * count × micro-nats in integer arithmetic, one final division.
+    * Documents with fewer than two words have no bigrams and are
+    * excluded (the oracle applies the same filter).
+    *
+    * Scale: the bigram explode is scan-path (scalar transform over the
+    * word array — no self-join on positions); one (doc,bigram) map-side-
+    * combinable shuffle; the LM table is Zipf-small and joins back under
+    * AQE's sizing, the [[unigramLogPpl]] pattern.
+    */
+  def bigramLogPpl(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .withColumn("_ws", words(col(textCol)))
+      .filter(size(col("_ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_ws) - 2), " +
+          "i -> struct(_ws[i] AS prev, _ws[i + 1] AS cur))")).as("_bg"))
+      .select(col(idCol), col("_bg.prev").as("_prev"), col("_bg.cur").as("_cur"))
+    val tf = bg.groupBy(col(idCol), col("_prev"), col("_cur"))
+      .agg(count(lit(1)).as("_c"))
+    val c2 = tf.groupBy("_prev", "_cur").agg(sum(col("_c")).as("_c2"))
+    val c1 = tf.groupBy("_prev").agg(sum(col("_c")).as("_c1"))
+    val lm = c2.join(c1, "_prev")
+      .withColumn("_nllm",
+        round(-log(col("_c2") * 1.0 / col("_c1")) * 1e6).cast("long"))
+      .select("_prev", "_cur", "_nllm")
+    tf.join(lm, Seq("_prev", "_cur"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        sum(col("_c") * col("_nllm")).as("nll_micro"))
+      .withColumn("mean_nll_micro",
+        round(col("nll_micro") * 1.0 / col("n_bigrams")).cast("long"))
+  }
+
   /** Gopher-style repetition signals, entirely as scalar array
     * expressions — no explode, no shuffle, whole-stage-codegen friendly:
     *

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file compaction — the unglamorous operator every long-lived
+  * 100 TB table needs: streaming sinks, partitioned upserts, and
+  * per-micro-batch writes leave directories with thousands of KB-sized
+  * parquet files, and every downstream scan then pays one task + one
+  * footer read per file. Compaction rewrites the directory into
+  * ⌈totalBytes / targetFileBytes⌉ files in ONE round-robin shuffle —
+  * no sort, no skew sensitivity — preserving rows exactly (asserted in
+  * `CompactionSpec` and hash-checked end-to-end by `s16_compaction`).
+  *
+  * File sizes come from the driver-side FileSystem listing (cheap
+  * metadata, no data read) rather than a scan, so planning cost is
+  * O(files). At cluster scale the same code runs against HDFS/S3 paths —
+  * the FileSystem abstraction is the point of going through Hadoop's API.
+  */
+object Compaction {
+
+  final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Rewrite `inPath`'s parquet files into `outPath` with ~`targetBytes`
+    * per output file. Returns (filesBefore, filesAfter, totalBytes).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): Stats = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val p = new Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter { st =>
+      st.isFile && !st.getPath.getName.startsWith("_")
+    }
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new Path(outPath)).count { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    Stats(files.length, after, totalBytes)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over an edge list, INTEGER-EXACT so results are
+  * bit-reproducible under any partitioning and replayable by a SQL oracle:
+  * ranks live in micro-units (bigint, init 1,000,000 per node), each
+  * iteration sends `rank div out_degree` along every edge (integer floor
+  * division) and refreshes as `150000 + (85 · Σ contributions) div 100` —
+  * the 0.15/0.85 damping in integer arithmetic. Integer sums are
+  * order-independent, so there is no float-accumulation-order hazard
+  * (the a16 moments argument applied to an iterative algorithm).
+  *
+  * Scale shape: one `groupBy(dst)` shuffle per iteration, partial-sum
+  * combinable map-side; the degree table joins by the same key the edges
+  * already carry. Lineage is cut per round with a lazy localCheckpoint
+  * (the `Components` discipline) so iteration N does not replay rounds
+  * 1..N-1.
+  *
+  * Dangling nodes (no out-edges) contribute nothing — their mass is
+  * dropped, not redistributed, so the rank vector is no longer
+  * sum-preserving (ordering is unaffected for the connected part).
+  * Callers who need the classic normalization should symmetrize the edge
+  * list (the `g1_pagerank` query unions each edge with its reverse, which
+  * also guarantees no dangling nodes exist at all).
+  */
+object PageRank {
+
+  def run(edges: DataFrame, iterations: Int,
+          srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val reserved = Seq("node", "rank_micro", "_deg", "_c", "_s")
+    val clash = Seq(srcCol, dstCol).filter(reserved.contains)
+    require(clash.isEmpty, s"reserved column name(s): ${clash.mkString(",")}")
+
+    val e = edges.select(col(srcCol), col(dstCol))
+    val deg = e.groupBy(srcCol).agg(count(lit(1)).as("_deg"))
+    val nodes = e.select(col(srcCol).as("node"))
+      .union(e.select(col(dstCol).as("node")))
+      .distinct()
+      .localCheckpoint(false)
+
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 0 until iterations) {
+      val contrib = e.join(deg, srcCol)
+        .join(ranks.withColumnRenamed("node", srcCol), srcCol)
+        .select(col(dstCol).as("node"),
+          expr("rank_micro div _deg").as("_c"))
+      val in = contrib.groupBy("node").agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(in, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (85 * coalesce(_s, 0)) div 100 AS BIGINT)")
+            .as("rank_micro"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+}

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.Tables.t
 import graft.functions.{HeavyHittersAgg, Scored, TopKAgg}
 import graft.operators.SkewJoin
-import graft.ops.GapFill
+import graft.ops.{Compaction, GapFill, PageRank}
 import graft.votes.NameUdfs
 import org.apache.spark.sql.{Column, Encoders}
 import org.apache.spark.sql.expressions.Window
@@ -823,6 +823,110 @@ object Extras {
         .groupBy("item", "n_total").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 15 > col("n_total"))
         .select("item", "cnt")
+    },
+
+    // ---- A20: grouped OLS regression (price-on-quantity slope/intercept
+    //      per return flag) — the a16 exact-integer-moments machinery
+    //      driving a second statistical output family: decimal(38) sums,
+    //      then ONE identical correctly-rounded double chain per output
+    //      on both engines; zero-variance groups yield null, never a
+    //      divide-by-zero NaN. --------------------------------------------
+    "a20_grouped_ols" -> Q(
+      """WITH m AS (SELECT l_returnflag,
+        |            count(*) AS n,
+        |            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+        |            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+        |            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+        |            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    CAST(round(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT)
+        |  END AS slope_micro,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    CAST(round(1000000.0 * (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) AS BIGINT)
+        |  END AS intercept_micro
+        |FROM m""".stripMargin) { (s, dir) =>
+      val x = round(col("l_quantity")).cast("long")
+      val y = round(col("l_extendedprice") * 100).cast("long")
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      val m = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(x * y).as("sxy"))
+      val n = col("n").cast("double")
+      val vx = n * col("sxx") - col("sx") * col("sx")
+      val slope = (n * col("sxy") - col("sx") * col("sy")) / vx
+      m.select(col("l_returnflag"), col("n"),
+        when(vx > 0, round(lit(1000000.0) * slope).cast("long"))
+          .as("slope_micro"),
+        when(vx > 0,
+          round(lit(1000000.0) * (col("sy") - slope * col("sx")) / n)
+            .cast("long"))
+          .as("intercept_micro"))
+    },
+
+    // ---- G1: PageRank — the iterative graph computation beyond d7's
+    //      connected components, INTEGER-EXACT so a SQL oracle can replay
+    //      all three unrolled iterations bit-for-bit (ops.PageRank: ranks
+    //      in micro-units, contribution = rank div degree, damping as
+    //      150000 + 85·Σ div 100 — integer sums have no accumulation
+    //      order). Graph = customer↔supplier trade edges symmetrized, so
+    //      no node dangles and node ids can't collide (even/odd). ---------
+    "g1_pagerank" -> Q(
+      """WITH eo AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS s
+        |       FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT nd.node, CAST(150000 + (85 * coalesce(i1.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nd LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS s
+        |       FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT nd.node, CAST(150000 + (85 * coalesce(i2.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nd LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS s
+        |       FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT nd.node, CAST(150000 + (85 * coalesce(i3.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nd LEFT JOIN i3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3""".stripMargin) { (s, dir) =>
+      val eo = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = eo.unionByName(
+        eo.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(e, iterations = 3)
+    },
+
+    // ---- S16: small-file compaction — the operator that keeps a
+    //      long-lived table scannable (streaming sinks and micro-batch
+    //      upserts fragment it; every scan then pays a task per file).
+    //      The query fragments documents into 64 tiny files, compacts to
+    //      ~1 MiB targets in one round-robin shuffle, and aggregates the
+    //      compacted copy — hash-matching the oracle's view of the
+    //      ORIGINAL table proves the rewrite is content-exact, while the
+    //      file-count require makes the compaction itself observable. ----
+    "s16_compaction" -> Q(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val frag = scratchDir("graft_s16_frag")
+      val comp = scratchDir("graft_s16_comp")
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val stats = Compaction.compact(s, frag, comp, targetBytes = 1L << 20)
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce file count: $stats")
+      s.read.parquet(comp)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
     },
 
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse

@@ -656,6 +656,33 @@ object PipelineOps {
         .limit(50)
     },
 
+    // ---- X17: self-trained BIGRAM log-perplexity — the second-order
+    //      upgrade of x13 (KenLM-style quality filter): token cost is
+    //      −ln p(cur | prev) under the corpus's own bigram LM, so word
+    //      salad scores high even when every word is individually common.
+    //      Same exactness contract: micro-nat quantization once per
+    //      DISTINCT bigram, integer per-doc sums, one final division;
+    //      the bigram explode is a scalar transform over the word array
+    //      (scan-path — no positional self-join). -----------------------
+    "x17_bigram_logppl" -> Q(
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+        |      FROM d, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        |      WHERE len(ws) >= 2),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM g GROUP BY 1, 2),
+        |c1 AS (SELECT prev, count(*) AS c1 FROM g GROUP BY 1),
+        |lm AS (SELECT prev, cur,
+        |        CAST(round(-ln(c2 * 1.0 / c1) * 1000000.0) AS BIGINT) AS nllm
+        |       FROM c2 JOIN c1 USING (prev)),
+        |db AS (SELECT doc_id, prev, cur, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(c * nllm) AS BIGINT) AS nll_micro,
+        |  CAST(round(sum(c * nllm) * 1.0 / sum(c)) AS BIGINT) AS mean_nll_micro
+        |FROM db JOIN lm USING (prev, cur)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.bigramLogPpl(docs(s, dir))
+    },
+
     // ---- X12: BM25 keyword relevance — the lexical retrieval leg of a
     //      curation pipeline (topic selection, hard negatives, eval
     //      slices). Oracle is EXACT: idf and per-term weights are
