@@ -38,6 +38,9 @@ class HeavyHittersAgg(m: Int)
   override def zero: mutable.Map[String, Long] = mutable.Map.empty
 
   override def reduce(buf: mutable.Map[String, Long], w: String): mutable.Map[String, Long] = {
+    // null items are skipped, not counted: a null key would survive to
+    // finish(), where the String sort NPEs
+    if (w == null) return buf
     buf.get(w) match {
       case Some(c) => buf(w) = c + 1
       case None if buf.size < m => buf(w) = 1L

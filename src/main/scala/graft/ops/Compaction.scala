@@ -16,6 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * metadata, no data read) rather than a scan, so planning cost is
   * O(files). At cluster scale the same code runs against HDFS/S3 paths —
   * the FileSystem abstraction is the point of going through Hadoop's API.
+  *
+  * NOTE: the rewrite reads recursively but writes FLAT — a hive-
+  * partitioned layout (`key=.../part-*.parquet`) comes back as ordinary
+  * columns, not directories. Compact a partitioned table one leaf
+  * directory at a time to preserve its layout.
   */
 object Compaction {
 
@@ -29,8 +34,18 @@ object Compaction {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val p = new Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter { st =>
-      st.isFile && !st.getPath.getName.startsWith("_")
+    // recursive: spark.read.parquet descends into nested dirs, so the
+    // sizing pass must see the same files or a partitioned layout would
+    // plan n=1 and collapse the table into a single task
+    val files = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_")) buf += st
+      }
+      buf.toArray
     }
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

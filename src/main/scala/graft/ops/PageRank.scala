@@ -35,7 +35,10 @@ object PageRank {
     require(clash.isEmpty, s"reserved column name(s): ${clash.mkString(",")}")
 
     val e = edges.select(col(srcCol), col(dstCol))
+    // degrees never change across iterations — cut their lineage once so
+    // the per-round plan doesn't re-scan + re-aggregate the edge list
     val deg = e.groupBy(srcCol).agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(false)
     val nodes = e.select(col(srcCol).as("node"))
       .union(e.select(col(dstCol).as("node")))
       .distinct()

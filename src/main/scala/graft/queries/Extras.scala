@@ -859,7 +859,11 @@ object Extras {
       val vx = n * col("sxx") - col("sx") * col("sx")
       val slope = (n * col("sxy") - col("sx") * col("sy")) / vx
       m.select(col("l_returnflag"), col("n"),
-        when(vx > 0, round(lit(1000000.0) * slope).cast("long"))
+        // (1e6 * num) / den, NOT 1e6 * (num/den): the oracle's chain is
+        // left-associative and the two orders can round 1 ulp apart
+        when(vx > 0,
+          round(lit(1000000.0) * (n * col("sxy") - col("sx") * col("sy")) / vx)
+            .cast("long"))
           .as("slope_micro"),
         when(vx > 0,
           round(lit(1000000.0) * (col("sy") - slope * col("sx")) / n)
@@ -921,7 +925,15 @@ object Extras {
       val comp = scratchDir("graft_s16_comp")
       t(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(frag)
-      val stats = Compaction.compact(s, frag, comp, targetBytes = 1L << 20)
+      // target scales with the input (≥ 1/8 of it) so the ≤8-file result
+      // beats the 64 fragments at EVERY scale factor, not just small ones
+      val fragPath = new org.apache.hadoop.fs.Path(frag)
+      val fs = fragPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fragBytes = fs.listStatus(fragPath)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+      val stats = Compaction.compact(s, frag, comp,
+        targetBytes = math.max(1L << 20, fragBytes / 8))
       require(stats.filesAfter < stats.filesBefore,
         s"compaction did not reduce file count: $stats")
       s.read.parquet(comp)
