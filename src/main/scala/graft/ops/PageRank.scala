@@ -34,7 +34,10 @@ object PageRank {
     val clash = Seq(srcCol, dstCol).filter(reserved.contains)
     require(clash.isEmpty, s"reserved column name(s): ${clash.mkString(",")}")
 
-    val e = edges.select(col(srcCol), col(dstCol))
+    // the edge list feeds degree, nodes, AND every iteration's contrib
+    // join — cut its lineage once so an expensive upstream (a join +
+    // distinct in g1's case) doesn't replay iterations+2 times
+    val e = edges.select(col(srcCol), col(dstCol)).localCheckpoint(false)
     // degrees never change across iterations — cut their lineage once so
     // the per-round plan doesn't re-scan + re-aggregate the edge list
     val deg = e.groupBy(srcCol).agg(count(lit(1)).as("_deg"))
