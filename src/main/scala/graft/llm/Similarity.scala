@@ -626,6 +626,101 @@ object Similarity {
     * is bounded by bucket occupancy. The caller controls probe-side
     * partitioning (a broadcast nested-loop join inherits it).
     */
+  /** One MMR selection: (rank, id, λ·rel − μ·maxSim micro-quantized). */
+  final case class MmrPick(sel_rank: Int, neighbor_id: Long, score_micro: Long)
+
+  /** Greedy Maximal Marginal Relevance over one query's candidate set —
+    * the diversity re-rank between retrieval and prompt/batch assembly
+    * (dedup-at-selection-time: near-identical passages waste context).
+    * Runs as a per-query UDF over the BOUNDED top-`k` candidate set: the
+    * distributed part is the retrieval that built the candidates; re-
+    * ranking 20 rows is O(k²·dim) local work, which is exactly where a
+    * driver-free per-group kernel belongs.
+    *
+    * Cross-engine exactness (the e10 oracle replays all `select` greedy
+    * steps as unrolled SQL): candidate vectors are the integer-valued
+    * [[quantized]] doubles, so every dot product is EXACT regardless of
+    * summation order; λ and μ are independent literals (0.7 and 0.3 —
+    * never `1 − λ`, which is 0.30000000000000004 in binary64); scores are
+    * compared as identically-computed doubles with an id tie-break, and
+    * published micro-quantized with HALF_UP = DuckDB's round-half-away.
+    */
+  private[llm] def mmrGreedy(cands: Seq[(Long, Double, Seq[Double])],
+                             select: Int, lambda: Double,
+                             mu: Double): Seq[MmrPick] = {
+    def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dotL(a, b) / math.sqrt(dotL(a, a) * dotL(b, b))
+
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    var step = 1
+    while (step <= select && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestScore = 0.0
+      var bestId = 0L
+      var i = 0
+      while (i < remaining.length) {
+        val (id, rel, vec) = remaining(i)
+        var maxSim = 0.0
+        var first = true
+        selected.foreach { sv =>
+          val sim = cos(vec, sv)
+          if (first || sim > maxSim) { maxSim = sim; first = false }
+        }
+        // empty selected set: plain λ·rel (identical to λ·rel − μ·0.0)
+        val score =
+          if (selected.isEmpty) lambda * rel else lambda * rel - mu * maxSim
+        if (bestIdx < 0 || score > bestScore ||
+          (score == bestScore && id < bestId)) {
+          bestIdx = i; bestScore = score; bestId = id
+        }
+        i += 1
+      }
+      val (id, _, vec) = remaining.remove(bestIdx)
+      selected += vec
+      out += MmrPick(step, id,
+        java.math.BigDecimal.valueOf(bestScore * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      step += 1
+    }
+    out.toSeq
+  }
+
+  /** Retrieval + MMR: exact top-`k` candidates per query (broadcast
+    * queries, one window), then greedy λ/μ re-rank of the bounded set to
+    * `select` diverse results. See [[mmrGreedy]] for the exactness
+    * contract; `e10_mmr_rerank` hash-checks the whole pipeline against an
+    * unrolled-step SQL oracle.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int, select: Int,
+                lambda: Double = 0.7, mu: Double = 0.3,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(select > 0 && select <= k,
+      s"select must be in 1..k: select=$select k=$k")
+    val cand = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        quantized(col(vecCol)).as("_cv")), "neighbor_id")
+    val sel = udf((cs: Seq[org.apache.spark.sql.Row]) =>
+      mmrGreedy(cs.map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2))), select, lambda, mu))
+    cand.groupBy("query_id")
+      // collect_list order is nondeterministic; mmrGreedy's argmax scans
+      // the WHOLE set each step, so its result is order-independent
+      .agg(collect_list(struct(col("neighbor_id"), col("cosine"),
+        col("_cv"))).as("_cands"))
+      .select(col("query_id"), explode(sel(col("_cands"))).as("_s"))
+      .select(col("query_id"), col("_s.sel_rank").as("sel_rank"),
+        col("_s.neighbor_id").as("neighbor_id"),
+        col("_s.score_micro").as("score_micro"))
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {

@@ -941,6 +941,61 @@ object Extras {
           sum(col("n_chars")).as("total_chars"))
     },
 
+    // ---- W10: event-sequence pattern (click followed by a purchase
+    //      within 1 hour) — the MATCH_RECOGNIZE-shaped funnel micro-
+    //      pattern a17's whole-journey funnel doesn't cover: per-event
+    //      lookahead via ONE min-over-following-frame window (ordered by
+    //      (ts, event_id) so peer rows are totally ordered on both
+    //      engines), then a per-user rollup. µs-exact interval compare —
+    //      no epoch truncation. ------------------------------------------
+    "w10_sequence_pattern" -> Q(
+      """WITH o AS (SELECT user_id, ts, event_type,
+        |            min(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+        |              (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+        |           FROM events)
+        |SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |    AS n_clicks,
+        |  CAST(count(CASE WHEN event_type = 'click' AND next_p IS NOT NULL
+        |              AND next_p <= ts + INTERVAL 1 HOUR THEN 1 END) AS BIGINT)
+        |    AS n_quick_convert
+        |FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(count(when(col("event_type") === "click", 1)).as("n_clicks"),
+          count(when(col("event_type") === "click" && col("next_p").isNotNull &&
+            col("next_p") <= col("ts") + expr("INTERVAL 1 HOUR"), 1))
+            .as("n_quick_convert"))
+    },
+
+    // ---- S17: schema-evolution roundtrip — a long-lived corpus is
+    //      written by many pipeline versions; readers must see the merged
+    //      schema with nulls where an old writer had no column. Two
+    //      writer generations (v2 adds n_chars), one mergeSchema read,
+    //      and the aggregate proves both the union and the null-fill are
+    //      exact. ---------------------------------------------------------
+    "s17_schema_evolution" -> Q(
+      """SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_with_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = scratchDir("graft_s17")
+      val d = t(s, dir, "documents")
+      d.select("doc_id", "lang").write.mode("overwrite").parquet(s"$base/v1")
+      d.select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("total_chars"))
+    },
+
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse
     //      of W1's pivot, and the first step of every wide-artifact ingest
     //      (S7 does it by hand over dynamic columns; this is the static-

@@ -446,6 +446,92 @@ object PipelineOps {
           col("b.votes").as("votes"))
     },
 
+    // ---- E10: MMR diversity re-rank — between retrieval and prompt/
+    //      batch assembly (near-identical passages waste context): exact
+    //      top-20 per query, then greedy λ=0.7/μ=0.3 selection of 5. The
+    //      oracle replays ALL FIVE greedy steps as unrolled SQL over the
+    //      same integer-quantized vectors — exact dots ⇒ identical
+    //      doubles ⇒ identical argmax at every step. λ and μ are
+    //      independent literals on both sides (1−0.7 ≠ 0.3 in binary64).
+    "e10_mmr_rerank" -> Q(
+      """WITH q AS (SELECT vec_id AS qid,
+        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid,
+        |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+        |      FROM embeddings),
+        |sc AS (SELECT qid, cid, cv,
+        |        list_dot_product(qv, cv) /
+        |        sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS rel
+        |       FROM q, c WHERE qid <> cid),
+        |cand AS (SELECT qid, cid, cv, rel FROM (
+        |         SELECT qid, cid, cv, rel,
+        |           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) rk
+        |         FROM sc) WHERE rk <= 20),
+        |ps AS (SELECT a.qid, a.cid AS id1, b.cid AS id2,
+        |        list_dot_product(a.cv, b.cv) /
+        |        sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)) AS sim
+        |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+        |p1 AS (SELECT qid, cid, 0.7 * rel AS score FROM (
+        |        SELECT qid, cid, rel,
+        |          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) rn
+        |        FROM cand) WHERE rn = 1),
+        |sel1 AS (SELECT qid, cid FROM p1),
+        |p2 AS (SELECT qid, cid, score FROM (
+        |        SELECT c.qid, c.cid, 0.7 * c.rel - 0.3 * max(p.sim) AS score,
+        |          row_number() OVER (PARTITION BY c.qid
+        |            ORDER BY 0.7 * c.rel - 0.3 * max(p.sim) DESC, c.cid) rn
+        |        FROM cand c
+        |        JOIN ps p ON p.qid = c.qid AND p.id1 = c.cid
+        |        JOIN sel1 s ON s.qid = p.qid AND s.cid = p.id2
+        |        ANTI JOIN sel1 x ON x.qid = c.qid AND x.cid = c.cid
+        |        GROUP BY c.qid, c.cid, c.rel) WHERE rn = 1),
+        |sel2 AS (SELECT qid, cid FROM sel1 UNION ALL SELECT qid, cid FROM p2),
+        |p3 AS (SELECT qid, cid, score FROM (
+        |        SELECT c.qid, c.cid, 0.7 * c.rel - 0.3 * max(p.sim) AS score,
+        |          row_number() OVER (PARTITION BY c.qid
+        |            ORDER BY 0.7 * c.rel - 0.3 * max(p.sim) DESC, c.cid) rn
+        |        FROM cand c
+        |        JOIN ps p ON p.qid = c.qid AND p.id1 = c.cid
+        |        JOIN sel2 s ON s.qid = p.qid AND s.cid = p.id2
+        |        ANTI JOIN sel2 x ON x.qid = c.qid AND x.cid = c.cid
+        |        GROUP BY c.qid, c.cid, c.rel) WHERE rn = 1),
+        |sel3 AS (SELECT qid, cid FROM sel2 UNION ALL SELECT qid, cid FROM p3),
+        |p4 AS (SELECT qid, cid, score FROM (
+        |        SELECT c.qid, c.cid, 0.7 * c.rel - 0.3 * max(p.sim) AS score,
+        |          row_number() OVER (PARTITION BY c.qid
+        |            ORDER BY 0.7 * c.rel - 0.3 * max(p.sim) DESC, c.cid) rn
+        |        FROM cand c
+        |        JOIN ps p ON p.qid = c.qid AND p.id1 = c.cid
+        |        JOIN sel3 s ON s.qid = p.qid AND s.cid = p.id2
+        |        ANTI JOIN sel3 x ON x.qid = c.qid AND x.cid = c.cid
+        |        GROUP BY c.qid, c.cid, c.rel) WHERE rn = 1),
+        |sel4 AS (SELECT qid, cid FROM sel3 UNION ALL SELECT qid, cid FROM p4),
+        |p5 AS (SELECT qid, cid, score FROM (
+        |        SELECT c.qid, c.cid, 0.7 * c.rel - 0.3 * max(p.sim) AS score,
+        |          row_number() OVER (PARTITION BY c.qid
+        |            ORDER BY 0.7 * c.rel - 0.3 * max(p.sim) DESC, c.cid) rn
+        |        FROM cand c
+        |        JOIN ps p ON p.qid = c.qid AND p.id1 = c.cid
+        |        JOIN sel4 s ON s.qid = p.qid AND s.cid = p.id2
+        |        ANTI JOIN sel4 x ON x.qid = c.qid AND x.cid = c.cid
+        |        GROUP BY c.qid, c.cid, c.rel) WHERE rn = 1)
+        |SELECT qid AS query_id, CAST(1 AS INTEGER) AS sel_rank,
+        |  cid AS neighbor_id,
+        |  CAST(round(score * 1000000.0) AS BIGINT) AS score_micro FROM p1
+        |UNION ALL SELECT qid, CAST(2 AS INTEGER), cid,
+        |  CAST(round(score * 1000000.0) AS BIGINT) FROM p2
+        |UNION ALL SELECT qid, CAST(3 AS INTEGER), cid,
+        |  CAST(round(score * 1000000.0) AS BIGINT) FROM p3
+        |UNION ALL SELECT qid, CAST(4 AS INTEGER), cid,
+        |  CAST(round(score * 1000000.0) AS BIGINT) FROM p4
+        |UNION ALL SELECT qid, CAST(5 AS INTEGER), cid,
+        |  CAST(round(score * 1000000.0) AS BIGINT) FROM p5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 10), emb,
+        k = 20, select = 5)
+    },
+
     // ---- E2: LSH-bucketed ANN (scale path; recall vs E1 in specs) ------
     "e2_ann_lsh" -> Q.rowsOnly { (s, dir) =>
       val emb = t(s, dir, "embeddings")
