@@ -909,6 +909,91 @@ object Extras {
       PageRank.run(e, iterations = 3)
     },
 
+    // ---- G2: synchronous label propagation (community detection) — the
+    //      third graph-analytics member next to d7's components and g1's
+    //      PageRank: every node adopts its neighbors' most frequent label
+    //      (ties → smallest), two synchronous rounds. Deterministic by
+    //      construction, so the oracle replays both rounds; the per-round
+    //      argmax is a map-side-combinable max(struct), never a window
+    //      sort over the neighbor-label table. ---------------------------
+    "g2_label_propagation" -> Q(
+      """WITH eo AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        |v1 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+        |       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM (
+        |        SELECT node, lab, row_number() OVER
+        |          (PARTITION BY node ORDER BY c DESC, lab) rn FROM v1)
+        |       WHERE rn = 1),
+        |v2 AS (SELECT e.dst AS node, l.lab, count(*) AS c
+        |       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM (
+        |        SELECT node, lab, row_number() OVER
+        |          (PARTITION BY node ORDER BY c DESC, lab) rn FROM v2)
+        |       WHERE rn = 1)
+        |SELECT node, lab AS label FROM l2""".stripMargin) { (s, dir) =>
+      val eo = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = eo.unionByName(
+        eo.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(false)
+      var labels = e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab"))
+        .localCheckpoint(false)
+      for (_ <- 0 until 2) {
+        labels = e.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("lab"))
+          .agg(count(lit(1)).as("_c"))
+          // argmax (count DESC, label ASC) as one combinable max(struct)
+          .groupBy("node")
+          .agg(max(struct(col("_c"), (-col("lab")).as("_neg"),
+            col("lab").as("_lab"))).as("_b"))
+          .select(col("node"), col("_b._lab").as("lab"))
+          .localCheckpoint(false)
+      }
+      labels.select(col("node"), col("lab").as("label"))
+    },
+
+    // ---- A21: exact weighted median — "the price point where half the
+    //      shipped quantity sits below": per-distinct-value weight sums
+    //      (removes tie ambiguity), ONE ordered running sum per group,
+    //      smallest value whose doubled cumulative weight reaches the
+    //      total. Integer weights end-to-end — no interpolation, no
+    //      float accumulation. Scale note: the window input is the
+    //      DISTINCT (group, value) table, bounded by the value domain —
+    //      not the fact table; if that domain ever outgrows a per-group
+    //      sort, the same exactness survives as a binary search over
+    //      value ranges with combinable weight counts. --------------------
+    "a21_weighted_median" -> Q(
+      """WITH g AS (SELECT l_returnflag,
+        |            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, cents, w,
+        |       sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+        |       sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM g)
+        |SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS wmedian_cents
+        |FROM r WHERE 2 * cw >= tw GROUP BY 1""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("w"))
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("cents")
+      val wAll = Window.partitionBy("l_returnflag")
+      g.withColumn("cw", sum(col("w")).over(wOrd))
+        .withColumn("tw", sum(col("w")).over(wAll))
+        .filter(lit(2) * col("cw") >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("cents")).as("wmedian_cents"))
+    },
+
     // ---- S16: small-file compaction — the operator that keeps a
     //      long-lived table scannable (streaming sinks and micro-batch
     //      upserts fragment it; every scan then pays a task per file).
