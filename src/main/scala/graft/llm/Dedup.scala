@@ -81,7 +81,32 @@ object Dedup {
     * it is bit-deterministic.
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    pairOverlaps(docs, n, idCol, textCol)
+      .withColumn("jaccard",
+        col("_common") / (col("_n1") + col("_n2") - col("_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+
+  /** Containment (asymmetric) near-dup pairs: c = |A∩B| / min(|A|,|B|) —
+    * the measure that catches SUBSET duplicates Jaccard structurally
+    * misses (a snippet quoted inside a much longer page has tiny Jaccard
+    * but containment ≈ 1). Same inverted-index pair generation as
+    * [[jaccardPairs]]; only the normalization differs.
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    pairOverlaps(docs, n, idCol, textCol)
+      .withColumn("containment",
+        col("_common") / least(col("_n1"), col("_n2")))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
+
+  /** Shared exact-overlap skeleton: (id1 < id2, |A∩B|, |A|, |B|) for every
+    * document pair sharing at least one shingle.
+    */
+  private def pairOverlaps(docs: DataFrame, n: Int,
+                           idCol: String, textCol: String): DataFrame = {
     val sets = shingleSets(docs, n, idCol, textCol)
     val sh = sets.select(col(idCol), explode(col("shingle_set")).as("shingle"))
     // per-doc set size is a scalar of the set column — no aggregation pass
@@ -95,20 +120,15 @@ object Dedup {
     val pairArr = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(x.as("id1"), y.as("id2")))))
-    val common = sh.groupBy("shingle")
+    sh.groupBy("shingle")
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .filter(size(ids) > 1)
       .select(explode(pairArr).as("_p"))
       .select(col("_p.id1"), col("_p.id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("_common"))
-    common
       .join(counts.select(col(idCol).as("id1"), col("_n").as("_n1")), "id1")
       .join(counts.select(col(idCol).as("id2"), col("_n").as("_n2")), "id2")
-      .withColumn("jaccard",
-        col("_common") / (col("_n1") + col("_n2") - col("_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
   }
 
   /** Benchmark decontamination: per training document, the number of

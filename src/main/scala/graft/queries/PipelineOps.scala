@@ -223,6 +223,62 @@ object PipelineOps {
           round(col("jaccard") * 1e6).cast("long").as("j_micro"))
     },
 
+    // ---- D13: containment (asymmetric) near-dup pairs — c = |A∩B| /
+    //      min(|A|,|B|): the measure that catches SUBSET duplicates
+    //      Jaccard structurally misses (a snippet quoted inside a longer
+    //      page). Snippet docs are synthesized (first 30 words of 20
+    //      docs, re-keyed +20000 — containment 1.0, Jaccard far below any
+    //      τ) so the entry demonstrably finds what d2 can't; the oracle
+    //      replays the same union. Shares d2's inverted-index pair
+    //      generation — only the normalization differs. ------------------
+    "d13_containment_pairs" -> Q(
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 20000,
+        |                array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+        |              FROM documents WHERE doc_id < 20),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, c * 1.0 / least(n1.n, n2.n) AS containment
+        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / least(n1.n, n2.n) >= 0.9""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val snip = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      Dedup.containmentPairs(
+        d.select("doc_id", "text").unionByName(snip), n = 3, threshold = 0.9)
+    },
+
+    // ---- X18: dedup-rate report — pipeline observability over the
+    //      d-suite: which SOURCE is feeding the corpus duplicates (the
+    //      dashboard a curation team actually watches). Near-dup doc set
+    //      from the same exact-Jaccard pairs as d2/d3, one left join +
+    //      per-source rollup; counts, not rates, so output stays
+    //      integer-exact. -------------------------------------------------
+    "x18_dedup_rate_report" -> Q(
+      "WITH pairs AS (" + exactJaccardIdPairsSql + """),
+        |dup AS (SELECT DISTINCT doc_id FROM (
+        |        SELECT id1 AS doc_id FROM pairs
+        |        UNION SELECT id2 AS doc_id FROM pairs))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(dup.doc_id) AS BIGINT) AS n_dup_docs
+        |FROM documents d LEFT JOIN dup USING (doc_id) GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, n = 3, threshold = 0.6)
+      val dup = pairs.select(col("id1").as("doc_id"))
+        .unionByName(pairs.select(col("id2").as("doc_id")))
+        .distinct()
+      d.join(dup.withColumn("_dup", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("_dup")).as("n_dup_docs"))
+    },
+
     // ---- D8: chunk-level (paragraph) dedup — drop every 8-word chunk
     //      that repeats across >= 2 documents, reassemble the survivors.
     //      The sub-document pass document-level dedup can't do. ----------
@@ -964,6 +1020,24 @@ object PipelineOps {
     // ---- X7: deterministic stratified sampling (data mixing): exactly
     //      min(k, |stratum|) docs per source, membership a pure function
     //      of doc_id — reproducible across runs/engines/partitionings ----
+    // ---- X19: deterministic train/val/test split — assignment must be a
+    //      pure function of the STABLE document id (never of position or
+    //      arrival order), so re-running over a grown corpus keeps every
+    //      old document's split: multiplicative hash (Knuth constant,
+    //      coprime to the 100 buckets) → 90/5/5. Scan-path scalar — no
+    //      shuffle, no state, portable to any engine. ---------------------
+    "x19_hash_split" -> Q(
+      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val b = (col("doc_id") * 2654435761L) % 100
+      t(s, dir, "documents").select(col("doc_id"), b.as("bucket"),
+        when(b < 90, lit("train")).when(b < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    },
+
     "x7_stratified_sample" -> Q(
       """WITH h AS (SELECT doc_id, source,
         |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
