@@ -54,7 +54,8 @@ object Similarity {
     * total-ordered.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     keepVec: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       quantized(col(vecCol)).as("_qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantized(col(vecCol)).as("_cv"))
@@ -62,10 +63,13 @@ object Similarity {
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
+    val ranked = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    // keepVec: hand the already-quantized candidate vector to downstream
+    // re-rankers (MMR) instead of forcing a second corpus scan + join
+    if (keepVec) ranked.select("query_id", "neighbor_id", "rank", "cosine", "_cv")
+    else ranked.select("query_id", "neighbor_id", "rank", "cosine")
   }
 
   /** Random-hyperplane (SRP) signature: one bit per plane = sign of the
@@ -619,13 +623,6 @@ object Similarity {
       .select(col("cid").as(idCol), col("_cl").as("cluster"))
   }
 
-  /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair
-    * with cosine ≥ threshold. The quadratic exact form — the verifier and
-    * small-scale path; at corpus×corpus scale, bucket with
-    * [[srpSignatureFast]] bands first (same pattern as [[lshTopK]]) so cost
-    * is bounded by bucket occupancy. The caller controls probe-side
-    * partitioning (a broadcast nested-loop join inherits it).
-    */
   /** One MMR selection: (rank, id, λ·rel − μ·maxSim micro-quantized). */
   final case class MmrPick(sel_rank: Int, neighbor_id: Long, score_micro: Long)
 
@@ -704,9 +701,14 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     require(select > 0 && select <= k,
       s"select must be in 1..k: select=$select k=$k")
-    val cand = bruteForceTopK(queries, corpus, k, idCol, vecCol)
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        quantized(col(vecCol)).as("_cv")), "neighbor_id")
+    // zero-norm guard (the semDedup discipline): a zero quantized vector
+    // makes every cosine NaN, which would turn the greedy argmax into
+    // "first candidate in nondeterministic collect_list order"
+    def nonDegenerate(df: DataFrame): DataFrame =
+      df.filter(col(vecCol).isNotNull &&
+        dot(quantized(col(vecCol)), quantized(col(vecCol))) > 0)
+    val cand = bruteForceTopK(nonDegenerate(queries), nonDegenerate(corpus),
+      k, idCol, vecCol, keepVec = true)
     val sel = udf((cs: Seq[org.apache.spark.sql.Row]) =>
       mmrGreedy(cs.map(r => (r.getLong(0), r.getDouble(1),
         r.getSeq[Double](2))), select, lambda, mu))
@@ -721,6 +723,13 @@ object Similarity {
         col("_s.score_micro").as("score_micro"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: every (id1 < id2) pair
+    * with cosine ≥ threshold. The quadratic exact form — the verifier and
+    * small-scale path; at corpus×corpus scale, bucket with
+    * [[srpSignatureFast]] bands first (same pattern as [[lshTopK]]) so cost
+    * is bounded by bucket occupancy. The caller controls probe-side
+    * partitioning (a broadcast nested-loop join inherits it).
+    */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {

@@ -510,12 +510,16 @@ object PipelineOps {
     //      doubles ⇒ identical argmax at every step. λ and μ are
     //      independent literals on both sides (1−0.7 ≠ 0.3 in binary64).
     "e10_mmr_rerank" -> Q(
-      """WITH q AS (SELECT vec_id AS qid,
-        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cid,
-        |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
-        |      FROM embeddings),
+      """WITH q AS (SELECT qid, qv FROM (
+        |           SELECT vec_id AS qid,
+        |             list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
+        |           FROM embeddings WHERE vec_id < 10)
+        |           WHERE list_dot_product(qv, qv) > 0),
+        |c AS (SELECT cid, cv FROM (
+        |      SELECT vec_id AS cid,
+        |        list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+        |      FROM embeddings)
+        |      WHERE list_dot_product(cv, cv) > 0),
         |sc AS (SELECT qid, cid, cv,
         |        list_dot_product(qv, cv) /
         |        sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS rel
@@ -530,7 +534,8 @@ object PipelineOps {
         |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
         |p1 AS (SELECT qid, cid, 0.7 * rel AS score FROM (
         |        SELECT qid, cid, rel,
-        |          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) rn
+        |          row_number() OVER (PARTITION BY qid
+        |            ORDER BY 0.7 * rel DESC, cid) rn
         |        FROM cand) WHERE rn = 1),
         |sel1 AS (SELECT qid, cid FROM p1),
         |p2 AS (SELECT qid, cid, score FROM (
@@ -1023,16 +1028,20 @@ object PipelineOps {
     // ---- X19: deterministic train/val/test split — assignment must be a
     //      pure function of the STABLE document id (never of position or
     //      arrival order), so re-running over a grown corpus keeps every
-    //      old document's split: multiplicative hash (Knuth constant,
-    //      coprime to the 100 buckets) → 90/5/5. Scan-path scalar — no
-    //      shuffle, no state, portable to any engine. ---------------------
+    //      old document's split: Knuth multiplicative hash taking the
+    //      HIGH bits — bucket = (id·K mod 2³¹)·100 div 2³¹ — because the
+    //      low bits of id·K are a fixed permutation of id's low digits
+    //      and would give stride subpopulations a grossly skewed split.
+    //      90/5/5; scan-path scalar — no shuffle, portable to any engine.
     "x19_hash_split" -> Q(
-      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin) { (s, dir) =>
-      val b = (col("doc_id") * 2654435761L) % 100
+        |FROM (SELECT doc_id,
+        |        ((doc_id * 2654435761) % 2147483648) * 100 // 2147483648 AS b
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      val b = expr(
+        "((doc_id * 2654435761L) % 2147483648L) * 100 div 2147483648L")
       t(s, dir, "documents").select(col("doc_id"), b.as("bucket"),
         when(b < 90, lit("train")).when(b < 95, lit("val"))
           .otherwise(lit("test")).as("split"))
