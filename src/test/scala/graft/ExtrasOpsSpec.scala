@@ -63,6 +63,28 @@ class ExtrasOpsSpec extends SparkSpec {
     assert(!j13.contains("CartesianProduct"), j13.take(800))
   }
 
+  test("a19/x16/g1/g2: plan shapes match their scale claims") {
+    // a19: the exact-confirm pass joins the ≤m-candidate set BROADCAST —
+    // the item stream is never shuffled for the join
+    val a19 = SparkEntry.queries("a19_heavy_hitters")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(a19.contains("BroadcastHashJoin"), a19.take(800))
+    // x16: the top-50 is TakeOrderedAndProject (per-partition partial
+    // top-k), never a global Sort over the full pair table
+    val x16 = SparkEntry.queries("x16_bpe_pair_counts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(x16.contains("TakeOrderedAndProject"), x16.take(800))
+    assert(!x16.contains("GlobalLimit"), x16.take(800))
+    // g1/g2: every iterative graph round stays an equi-join — no
+    // cartesian product, no nested loop anywhere in the final plan
+    Seq("g1_pagerank", "g2_label_propagation").foreach { k =>
+      val p = SparkEntry.queries(k)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$k: ${p.take(500)}")
+    }
+  }
+
   test("w6: unpivot is the inverse of pivot on the part metrics") {
     val orig = Tables.t(spark, dir, "part")
       .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
