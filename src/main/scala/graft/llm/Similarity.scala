@@ -397,6 +397,18 @@ object Similarity {
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** A trained IVF-PQ index, decoupled from querying: `codes` is the
+    * actual index payload (one list label + m small codes per corpus
+    * vector, eagerly checkpointed — built ONCE, queried many times, the
+    * way a production index amortizes its Lloyd training), `centroids` /
+    * `ucent` / `codebook` are the bounded model tables, and `exact` is
+    * the quantized corpus for the refine re-rank (left lazy on purpose:
+    * at 100 TB the raw vectors are the base table, not index state).
+    */
+  final case class IvfPqIndex(centroids: DataFrame, ucent: DataFrame,
+                              codebook: DataFrame, codes: DataFrame,
+                              exact: DataFrame, m: Int, sub: Int)
+
   /** IVF-PQ composite ANN — the production-index shape (Jégou, Douze,
     * Schmid: "Product Quantization for Nearest Neighbor Search", IEEE
     * TPAMI 2011, §V): the IVF coarse quantizer restricts each query to
@@ -404,6 +416,7 @@ object Similarity {
     * vectors are scored by PQ asymmetric distance over RESIDUALS — unit
     * vector minus the unit centroid of its list — then the best
     * `refine × k` candidates re-rank with exact quantized cosine.
+    * One-shot convenience over [[buildIvfPq]] + [[ivfpqQuery]].
     *
     * Residual identity: on the unit sphere cosine order ≡ ascending
     * ‖q̂−x̂‖², and ‖q̂−x̂‖² = ‖(q̂−ĉ)−(x̂−ĉ)‖² for the shared list centroid ĉ,
@@ -423,7 +436,13 @@ object Similarity {
   def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfpqQuery(buildIvfPq(corpus, nlist, m, ksub, iters, idCol, vecCol),
+      queries, k, nprobe, refine, idCol, vecCol)
+
+  def buildIvfPq(corpus: DataFrame, nlist: Int = 16,
+                 m: Int = 4, ksub: Int = 16, iters: Int = 2,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
     // same null/zero-norm exclusion as pqTopK (NaN poisoning; see there)
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
@@ -435,7 +454,7 @@ object Similarity {
     // coarse stage: the same trained quantizer and list assignment as
     // ivfTopK (cosine is scale-invariant, so training runs on the raw
     // quantized vectors)
-    val centroids = trainIvfCentroids(c, nlist, iters)
+    val centroids = trainIvfCentroids(c, nlist, iters).localCheckpoint(true)
     val lists = nearestCentroid(c, "_cv", centroids, 1) // (cid, _cv, _cl)
     // unit centroids for the residual subtraction. A Lloyd mean CAN
     // degenerate to exactly zero (integer-quantized members can cancel,
@@ -468,10 +487,25 @@ object Similarity {
         (row_number().over(Window.partitionBy("_s").orderBy("cid")) - 1).cast("int"))
       .select(col("_s"), col("_code"), col("_sv").as("_cw"))
     val codebook = trainPqCodebook(csub, Seq("cid", "_cl"), seed, iters)
+      .localCheckpoint(true)
 
     // the index: one list label + m codes per corpus vector
     val codes = assignCodes(csub, Seq("cid", "_cl"), codebook)
       .select("cid", "_cl", "_s", "_code")
+      .localCheckpoint(true)
+
+    IvfPqIndex(centroids, ucent, codebook, codes, c, m, sub)
+  }
+
+  def ivfpqQuery(index: IvfPqIndex, queries: DataFrame, k: Int,
+                 nprobe: Int = 4, refine: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import index.{centroids, ucent, codebook, codes, m, sub}
+
+    def residuals(df: DataFrame, id: String, vec: String): DataFrame =
+      unitNorm(df, vec).join(ucent, "_cl")
+        .withColumn("_rv", zip_with(col(vec), col("_uc"), (x, u) => x - u))
+        .select(col(id), col("_cl"), col("_rv"))
 
     // query side: nprobe nearest lists, one residual PER PROBED LIST
     val q = queries.filter(col(vecCol).isNotNull)
@@ -500,7 +534,7 @@ object Similarity {
     // exact re-rank of the shortlist only
     val rescored = shortlist
       .join(q, "query_id")
-      .join(c, "cid")
+      .join(index.exact, "cid")
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cid"))
     rescored.withColumn("rank", row_number().over(w))
