@@ -1058,6 +1058,55 @@ object PipelineOps {
           .otherwise(lit("test")).as("split"))
     },
 
+    // ---- X20: consecutive-repeat collapse — in-document cleanup of the
+    //      stutter artifacts crawlers produce ("buy buy buy now now"):
+    //      keep a word iff it differs from its predecessor. Pure scalar
+    //      lambda in the scan path (x5 MEASURES repetition; this REMOVES
+    //      the consecutive form), no shuffle. -----------------------------
+    "x20_collapse_repeats" -> Q(
+      """SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(cw) AS BIGINT) AS n_after,
+        |  array_to_string(cw, ' ') AS clean_text
+        |FROM (SELECT doc_id, ws,
+        |        list_filter(ws, (x, i) -> i = 1 OR x <> ws[i-1]) AS cw
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents))""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("_ws", split(col("text"), " "))
+        // Spark filter-lambda index is 0-based (DuckDB's is 1-based) —
+        // both predicates read "first element, or differs from previous"
+        .withColumn("_cw", expr("filter(_ws, (x, i) -> i = 0 OR x != _ws[i-1])"))
+        .select(col("doc_id"), size(col("_ws")).cast("long").as("n_words"),
+          size(col("_cw")).cast("long").as("n_after"),
+          array_join(col("_cw"), " ").as("clean_text"))
+    },
+
+    // ---- X21: overlapping context-window chunking — the standard
+    //      retrieval/embedding preparation (windows of 64 tokens, stride
+    //      48 ⇒ 16-token overlap so no boundary sentence is lost): one
+    //      scan-path explode over the stride sequence, slices clamp at
+    //      the document end identically on both engines. ------------------
+    "x21_overlap_chunks" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+        |       list_slice(ws, s, s + 63) AS cws
+        |      FROM w, unnest(generate_series(1, len(ws), 48)) AS u(s))
+        |SELECT doc_id, chunk_idx, CAST(len(cws) AS BIGINT) AS n_tokens,
+        |  array_to_string(cws, ' ') AS chunk
+        |FROM c""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("_ws", split(col("text"), " "))
+        .select(col("doc_id"), col("_ws"),
+          explode(expr("sequence(1, size(_ws), 48)")).as("_s"))
+        .select(col("doc_id"),
+          expr("CAST((_s - 1) div 48 AS BIGINT)").as("chunk_idx"),
+          expr("slice(_ws, _s, 64)").as("_cws"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("_cws")).cast("long").as("n_tokens"),
+          array_join(col("_cws"), " ").as("chunk"))
+    },
+
     "x7_stratified_sample" -> Q(
       """WITH h AS (SELECT doc_id, source,
         |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hh FROM documents),
