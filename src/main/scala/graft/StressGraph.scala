@@ -51,10 +51,9 @@ object StressGraph {
     println(s"[stress-graph] graph: $nEdges edges x $replicas replicas" +
       s" (stride $stride)")
 
-    val ranks = stage("pagerank 3 iters") {
+    val (ranks, nNodes) = stage("pagerank 3 iters") {
       val r = PageRank.run(graph, iterations = 3)
-      r.count() // materialize through the lazy checkpoints
-      r
+      (r, r.count()) // materialize through the lazy checkpoints
     }
 
     stage("replica equality") {
@@ -69,7 +68,6 @@ object StressGraph {
       require(bad == 0, s"$bad base nodes diverged across replicas")
     }
 
-    val nNodes = ranks.count()
     println(s"[stress-graph] OK: $nNodes nodes, identical ranks across " +
       s"$replicas disjoint copies")
     spark.stop()

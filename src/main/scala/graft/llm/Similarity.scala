@@ -397,6 +397,17 @@ object Similarity {
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Per-list residual: unit vector minus the unit centroid of its list —
+    * ONE definition shared by the corpus-encoding (build) and query-ADC
+    * sides, because the residual identity only holds if both sides
+    * subtract the identical centroid the same way.
+    */
+  private def residuals(df: DataFrame, id: String, vec: String,
+                        ucent: DataFrame): DataFrame =
+    unitNorm(df, vec).join(ucent, "_cl")
+      .withColumn("_rv", zip_with(col(vec), col("_uc"), (x, u) => x - u))
+      .select(col(id), col("_cl"), col("_rv"))
+
   /** A trained IVF-PQ index, decoupled from querying: `codes` is the
     * actual index payload (one list label + m small codes per corpus
     * vector, eagerly checkpointed — built ONCE, queried many times, the
@@ -453,8 +464,9 @@ object Similarity {
 
     // coarse stage: the same trained quantizer and list assignment as
     // ivfTopK (cosine is scale-invariant, so training runs on the raw
-    // quantized vectors)
-    val centroids = trainIvfCentroids(c, nlist, iters).localCheckpoint(true)
+    // quantized vectors). trainIvfCentroids returns an eagerly
+    // checkpointed frame already — no second checkpoint here.
+    val centroids = trainIvfCentroids(c, nlist, iters)
     val lists = nearestCentroid(c, "_cv", centroids, 1) // (cid, _cv, _cl)
     // unit centroids for the residual subtraction. A Lloyd mean CAN
     // degenerate to exactly zero (integer-quantized members can cancel,
@@ -465,12 +477,7 @@ object Similarity {
     val ucent = broadcast(
       unitNorm(centroids.select(col("_cl"), col("_centroid").as("_uc")), "_uc"))
 
-    def residuals(df: DataFrame, id: String, vec: String): DataFrame =
-      unitNorm(df, vec).join(ucent, "_cl")
-        .withColumn("_rv", zip_with(col(vec), col("_uc"), (x, u) => x - u))
-        .select(col(id), col("_cl"), col("_rv"))
-
-    val cres = residuals(lists, "cid", "_cv")
+    val cres = residuals(lists, "cid", "_cv", ucent)
     // keys carry _cl so the encoded corpus keeps its list label without a
     // second corpus-sized join (same localCheckpoint rationale as pqTopK)
     val csub = splitSub(cres, Seq("cid", "_cl"), "_rv", m, sub)
@@ -486,8 +493,8 @@ object Similarity {
       .withColumn("_code",
         (row_number().over(Window.partitionBy("_s").orderBy("cid")) - 1).cast("int"))
       .select(col("_s"), col("_code"), col("_sv").as("_cw"))
+    // trainPqCodebook also checkpoints its result eagerly
     val codebook = trainPqCodebook(csub, Seq("cid", "_cl"), seed, iters)
-      .localCheckpoint(true)
 
     // the index: one list label + m codes per corpus vector
     val codes = assignCodes(csub, Seq("cid", "_cl"), codebook)
@@ -502,17 +509,13 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import index.{centroids, ucent, codebook, codes, m, sub}
 
-    def residuals(df: DataFrame, id: String, vec: String): DataFrame =
-      unitNorm(df, vec).join(ucent, "_cl")
-        .withColumn("_rv", zip_with(col(vec), col("_uc"), (x, u) => x - u))
-        .select(col(id), col("_cl"), col("_rv"))
-
     // query side: nprobe nearest lists, one residual PER PROBED LIST
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
       .filter(dot(col("_qv"), col("_qv")) > 0)
     val probes = nearestCentroid(q, "_qv", centroids, nprobe) // (query_id, _qv, _cl)
-    val qres = residuals(probes.select("query_id", "_cl", "_qv"), "query_id", "_qv")
+    val qres = residuals(probes.select("query_id", "_cl", "_qv"),
+      "query_id", "_qv", ucent)
     val dtable = splitSub(qres, Seq("query_id", "_cl"), "_rv", m, sub)
       .join(broadcast(codebook), "_s")
       .withColumn("_d", l2dist(col("_sv"), col("_cw")))

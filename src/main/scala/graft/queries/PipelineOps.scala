@@ -645,8 +645,17 @@ object PipelineOps {
     // successful build (the memo-after-success lesson).
     "e7_ann_ivfpq" -> Q.rowsOnly { (s, dir) =>
       val emb = fanOut(s, t(s, dir, "embeddings"))
-      val idx = ivfpqMemo.computeIfAbsent(dir, _ =>
-        Similarity.buildIvfPq(emb, nlist = 16, m = 8, ksub = 16))
+      // session check: a cached index holds checkpointed blocks of ITS
+      // SparkContext — after a session restart the entry must rebuild,
+      // not serve dead RDD references
+      val cached = ivfpqMemo.get(dir)
+      val idx =
+        if (cached != null && (cached.codes.sparkSession eq s)) cached
+        else {
+          val b = Similarity.buildIvfPq(emb, nlist = 16, m = 8, ksub = 16)
+          ivfpqMemo.put(dir, b)
+          b
+        }
       Similarity.ivfpqQuery(idx, emb.filter(col("vec_id") < 10), k = 5,
         nprobe = 6)
         .select("query_id", "neighbor_id", "rank")
@@ -1091,7 +1100,8 @@ object PipelineOps {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
         |       list_slice(ws, s, s + 63) AS cws
-        |      FROM w, unnest(generate_series(1, len(ws), 48)) AS u(s))
+        |      FROM w, unnest(generate_series(1, len(ws), 48)) AS u(s)
+        |      WHERE s = 1 OR s + 15 < len(ws))
         |SELECT doc_id, chunk_idx, CAST(len(cws) AS BIGINT) AS n_tokens,
         |  array_to_string(cws, ' ') AS chunk
         |FROM c""".stripMargin) { (s, dir) =>
@@ -1099,6 +1109,11 @@ object PipelineOps {
         .withColumn("_ws", split(col("text"), " "))
         .select(col("doc_id"), col("_ws"),
           explode(expr("sequence(1, size(_ws), 48)")).as("_s"))
+        // suppress a trailing window that adds no new tokens: once the
+        // PREVIOUS window already clamped to the document end (start+15
+        // ≥ len, overlap 16), this chunk is a strict subset of it —
+        // downstream retrieval would index duplicate content
+        .filter(col("_s") === 1 || col("_s") + 15 < size(col("_ws")))
         .select(col("doc_id"),
           expr("CAST((_s - 1) div 48 AS BIGINT)").as("chunk_idx"),
           expr("slice(_ws, _s, 64)").as("_cws"))
