@@ -300,8 +300,14 @@ object TextStats {
     val cs = transform(
       filter(split(text, ""), c => c =!= lit("")),
       c => ascii(c).cast("long"))
-    val hs = transform(sequence(lit(1), size(cs) - k + 1),
-      i => charFold31(slice(cs, i, lit(k))))
+    // native O(n) rolling pass when the extension is registered; the HOF
+    // form is the O(n·k) fallback — bit-identical (KGramFold31Spec)
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("graft_kgram31"))
+    val hs =
+      if (native) call_function("graft_kgram31", cs, lit(k))
+      else transform(sequence(lit(1), size(cs) - k + 1),
+        i => charFold31(slice(cs, i, lit(k))))
     val numWin = (size(hs) / window).cast("long")
     val mins = transform(sequence(lit(0L), numWin - 1),
       w => array_min(slice(hs, (w * window + 1).cast("int"), lit(window))))
