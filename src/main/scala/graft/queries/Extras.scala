@@ -960,6 +960,54 @@ object Extras {
       labels.select(col("node"), col("lab").as("label"))
     },
 
+    // ---- G3: triangle counting — the clustering-structure metric next
+    //      to components/PageRank/LPA: co-purchase graph (parts sharing
+    //      an order, id-oriented u<v so each triangle enumerates exactly
+    //      once as a<b<c), two equi-joins over the oriented edge list.
+    //      The edge list is lineage-cut once (reused three times). At
+    //      real scale the orientation would be by DEGREE (low-degree
+    //      endpoint first) to bound the join fan-out by Σ deg_low² —
+    //      id-orientation keeps the oracle trivially identical here
+    //      (orientation changes the enumeration, never the triangle
+    //      set). The graph is scoped to a quarter of orders: the
+    //      co-purchase projection densifies quadratically with basket
+    //      overlap, and the wedge fan-out (Σ deg²) grows ~16× per 4×
+    //      edges — the scoped entry stays a per-round benchmark instead
+    //      of a stress probe. --------------------------------------------
+    "g3_triangle_count" -> Q(
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_orderkey % 4 = 0),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT a AS node FROM tri UNION ALL
+        |          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1
+        |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      val e1 = e.select(col("u").as("a"), col("v").as("b"))
+      val e2 = e.select(col("u").as("b"), col("v").as("c"))
+      val e3 = e.select(col("u").as("a"), col("v").as("c"))
+      val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      tri.select(col("a").as("node"))
+        .unionByName(tri.select(col("b").as("node")))
+        .unionByName(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    },
+
     // ---- A21: exact weighted median — "the price point where half the
     //      shipped quantity sits below": per-distinct-value weight sums
     //      (removes tie ambiguity), ONE ordered running sum per group,
