@@ -19,10 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * to the fold the DuckDB oracles replay. Equality with the HOF form is
   * property-tested in `KGramFold31Spec`.
   *
-  * Precondition: code points are NON-NEGATIVE (ASCII/Unicode values —
-  * what `TextStats.winnowPortable` feeds it). The fold uses Java's `%`
-  * remainder like the HOF form does; for negative inputs the two could
-  * disagree, so negative codes are out of contract.
+  * Precondition: code points are NON-NEGATIVE, NON-NULL (ASCII/Unicode
+  * values — what `TextStats.winnowPortable` feeds it). The fold uses
+  * Java's `%` remainder like the HOF form does; for negative inputs the
+  * two could disagree, so negative codes are out of contract, and a null
+  * element fails LOUDLY (the HOF fold would null the whole window —
+  * silently hashing garbage instead would be worse).
   *
   * Null semantics: null if either input is null. k must be a foldable
   * positive integer. Arrays shorter than k produce an EMPTY array (the
@@ -49,6 +51,12 @@ case class KGramFold31(left: Expression, right: Expression)
     val codes = a.asInstanceOf[ArrayData]
     val k = b.asInstanceOf[Int]
     val n = codes.numElements()
+    var j = 0
+    while (j < n) {
+      if (codes.isNullAt(j)) throw new IllegalArgumentException(
+        s"graft_kgram31: null code point at index $j")
+      j += 1
+    }
     val m = n - k + 1
     if (k < 1 || m <= 0) return new GenericArrayData(Array.emptyLongArray)
     val M = 2147483648L
@@ -83,6 +91,10 @@ case class KGramFold31(left: Expression, right: Expression)
       s"""
          |int $n = $a.numElements();
          |int $k = $b;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) throw new IllegalArgumentException(
+         |    "graft_kgram31: null code point at index " + $i);
+         |}
          |int $m = $n - $k + 1;
          |if ($k < 1 || $m <= 0) {
          |  ${ev.value} = new $gad(new long[0]);

@@ -38,8 +38,7 @@ object Similarity {
     * so both paths are bit-identical.
     */
   def dot(a: Column, b: Column): Column = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists("graft_dot"))
+    val native = graft.plans.GraftExtensions.isInstalled("graft_dot")
     if (native) call_function("graft_dot",
       a.cast("array<double>"), b.cast("array<double>"))
     else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)

@@ -302,8 +302,7 @@ object TextStats {
       c => ascii(c).cast("long"))
     // native O(n) rolling pass when the extension is registered; the HOF
     // form is the O(n·k) fallback — bit-identical (KGramFold31Spec)
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(_.catalog.functionExists("graft_kgram31"))
+    val native = graft.plans.GraftExtensions.isInstalled("graft_kgram31")
     val hs =
       if (native) call_function("graft_kgram31", cs, lit(k))
       else transform(sequence(lit(1), size(cs) - k + 1),

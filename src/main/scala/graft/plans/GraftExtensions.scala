@@ -13,6 +13,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session and falls back to built-in higher-order functions when the
   * extension is absent, so nothing hard-depends on it.
   */
+object GraftExtensions {
+  /** Whether a graft native function is registered on the ACTIVE session —
+    * the one probe library code uses before choosing `call_function` over
+    * the higher-order fallback. Centralized so a change to the detection
+    * rule applies to every native/fallback fork at once.
+    */
+  def isInstalled(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists(name))
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {

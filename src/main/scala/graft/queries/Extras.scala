@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.Tables.t
-import graft.functions.{HeavyHittersAgg, Scored, TopKAgg}
+import graft.functions.{Scored, TopKAgg}
 import graft.operators.SkewJoin
 import graft.ops.{Compaction, GapFill, PageRank}
 import graft.votes.NameUdfs
@@ -797,32 +797,12 @@ object Extras {
     //      distinct count, so the sketch genuinely saturates and the MG
     //      guarantee (share > n/17 ⇒ present) is what carries the hot
     //      items through, at every scale factor. ------------------------
-    "a19_heavy_hitters" -> Q(
-      """WITH i AS (SELECT CASE WHEN event_id % 10 < 3
-        |             THEN 'hot_' || (event_id % 3)
-        |             ELSE 'cold_' || (user_id * 97 + event_id % 89) END AS item
-        |           FROM events),
-        |n AS (SELECT count(*) AS n_total FROM i),
-        |c AS (SELECT item, count(*) AS cnt FROM i GROUP BY 1)
-        |SELECT item, CAST(cnt AS BIGINT) AS cnt
-        |FROM c, n WHERE cnt * 15 > n_total""".stripMargin) { (s, dir) =>
-      val items = t(s, dir, "events").select(
-        when(col("event_id") % 10 < 3,
-          concat(lit("hot_"), (col("event_id") % 3).cast("string")))
-          .otherwise(concat(lit("cold_"),
-            (col("user_id") * 97 + col("event_id") % 89).cast("string")))
-          .as("item"))
-      val mg = udaf(new HeavyHittersAgg(16), Encoders.STRING)
+    "a19_heavy_hitters" -> Q(HeavyHitters.oracleSql) { (s, dir) =>
+      val items = t(s, dir, "events").select(HeavyHitters.itemCol.as("item"))
       // one pass: sketch + total count together (both map-side combinable)
-      val sketch = items.agg(mg(col("item")).as("cands"),
+      val sketch = items.agg(HeavyHitters.mgSketch(col("item")).as("cands"),
         count(lit(1)).as("n_total"))
-      val cand = sketch.select(explode(col("cands")).as("item"), col("n_total"))
-      // confirm pass: only candidate rows survive the broadcast semi-join,
-      // so the exact-count shuffle carries ≤ m distinct keys
-      items.join(broadcast(cand), "item")
-        .groupBy("item", "n_total").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") * 15 > col("n_total"))
-        .select("item", "cnt")
+      HeavyHitters.confirm(items, sketch)
     },
 
     // ---- A20: grouped OLS regression (price-on-quantity slope/intercept
@@ -1000,9 +980,9 @@ object Extras {
       val e2 = e.select(col("u").as("b"), col("v").as("c"))
       val e3 = e.select(col("u").as("a"), col("v").as("c"))
       val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
-      tri.select(col("a").as("node"))
-        .unionByName(tri.select(col("b").as("node")))
-        .unionByName(tri.select(col("c").as("node")))
+      // one pass over the triangle set — three union branches would each
+      // re-run the wedge-generating join
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)

@@ -2,7 +2,6 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables.t
-import graft.functions.HeavyHittersAgg
 import graft.llm.{Components, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 import graft.streaming.{EventStream, IngestDedup, VectorIngest}
 import org.apache.spark.sql.functions._
@@ -1469,33 +1468,16 @@ object PipelineOps {
     //      the exact confirm pass runs batch-side against the static
     //      table. Same oracle as a19: stream + confirm must land on the
     //      identical published counts. -----------------------------------
-    "t15_stream_heavy_hitters" -> Q(
-      """WITH i AS (SELECT CASE WHEN event_id % 10 < 3
-        |             THEN 'hot_' || (event_id % 3)
-        |             ELSE 'cold_' || (user_id * 97 + event_id % 89) END AS item
-        |           FROM events),
-        |n AS (SELECT count(*) AS n_total FROM i),
-        |c AS (SELECT item, count(*) AS cnt FROM i GROUP BY 1)
-        |SELECT item, CAST(cnt AS BIGINT) AS cnt
-        |FROM c, n WHERE cnt * 15 > n_total""".stripMargin) { (s, dir) =>
+    "t15_stream_heavy_hitters" -> Q(HeavyHitters.oracleSql) { (s, dir) =>
       val ss = EventStream.statefulSession(s)
-      def itemCol = when(col("event_id") % 10 < 3,
-          concat(lit("hot_"), (col("event_id") % 3).cast("string")))
-        .otherwise(concat(lit("cold_"),
-          (col("user_id") * 97 + col("event_id") % 89).cast("string")))
-      val mg = udaf(new HeavyHittersAgg(16),
-        org.apache.spark.sql.Encoders.STRING)
       val sketch = EventStream.runToMemory(
-        EventStream.readEvents(ss, dir).select(itemCol.as("item"))
-          .agg(mg(col("item")).as("cands"), count(lit(1)).as("n_total")),
+        EventStream.readEvents(ss, dir)
+          .select(HeavyHitters.itemCol.as("item"))
+          .agg(HeavyHitters.mgSketch(col("item")).as("cands"),
+            count(lit(1)).as("n_total")),
         s"t15_hh_${streamSeq.incrementAndGet()}", mode = "complete")
-      val cand = sketch.select(explode(col("cands")).as("item"),
-        col("n_total"))
-      t(ss, dir, "events").select(itemCol.as("item"))
-        .join(broadcast(cand), "item")
-        .groupBy("item", "n_total").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") * 15 > col("n_total"))
-        .select("item", "cnt")
+      HeavyHitters.confirm(
+        t(ss, dir, "events").select(HeavyHitters.itemCol.as("item")), sketch)
     },
 
     // ---- T5 (stateful streaming): gap sessionization -------------------
