@@ -1331,9 +1331,7 @@ object PipelineOps {
         |        / len(string_split(text, ' '))::DOUBLE <= 0.8
         |GROUP BY source""".stripMargin) { (s, dir) =>
       val ss = EventStream.statefulSession(s)
-      val stream = ss.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .parquet(s"$dir/{documents.parquet}")
+      val stream = graft.streaming.IngestDedup.readDocs(ss, dir)
       val ws = split(col("text"), " ")
       // ts spread bounded to 30 min — UNDER the 1-hour watermark — so the
       // (source, text) duplicates stay within the dedup window no matter

@@ -12,17 +12,6 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events parquet schema, with ts as raw nanos (Spark 4 rejects
-    * TIMESTAMP(NANOS) parquet unless read as long — see graft.Tables).
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Session for stateful streaming queries: a clone (own SQLConf, shared
     * SparkContext — nothing concurrent on the parent ever observes these
     * settings) with shuffle partitions scoped to the state volume rather
@@ -41,18 +30,21 @@ object EventStream {
     ss
   }
 
-  /** Streaming source over the events parquet with µs timestamps. The
-    * file-stream source wants a directory or glob, not a bare file path —
-    * a one-element glob (`{events.parquet}`) keeps it pointed at the
-    * single table file.
+  /** Streaming source over the events parquet. The file-stream source
+    * wants a directory or glob, not a bare file path — a one-element glob
+    * (`{events.parquet}`) keeps it pointed at the single table file.
+    *
+    * The schema comes from a batch probe of the same file
+    * ([[graft.Tables.physicalSchema]]) and the ns→µs restoration applies
+    * only when `ts` is physically int64 ([[graft.Tables.restoreTs]]) —
+    * the stream read MUST see exactly what the batch read sees, whichever
+    * physical timestamp encoding the current testdata uses.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.restoreTs(
+      spark.readStream.schema(graft.Tables.physicalSchema(spark, dir, "events"))
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"))
 
   /** Tumbling-window counts with a watermark: the canonical streaming agg.
     * Returns the streaming DataFrame; run it with [[runToMemory]].

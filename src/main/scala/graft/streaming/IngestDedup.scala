@@ -25,19 +25,14 @@ import org.apache.spark.sql.types._
   */
 object IngestDedup {
 
-  /** documents parquet schema (TESTDATA.md). */
-  val docSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** Streaming source over the documents parquet (one-element glob, same
-    * trick as [[EventStream.readEvents]]).
+    * trick as [[EventStream.readEvents]]). Schema comes from a batch
+    * probe of the same file so physical-type drift in regenerated
+    * testdata can never desynchronize the stream read from the batch
+    * read (see [[graft.Tables.physicalSchema]]).
     */
   def readDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(docSchema)
+    spark.readStream.schema(graft.Tables.physicalSchema(spark, dir, "documents"))
       .option("basePath", dir)
       .parquet(s"$dir/{documents.parquet}")
 

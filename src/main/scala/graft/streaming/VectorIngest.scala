@@ -21,16 +21,12 @@ import org.apache.spark.sql.types._
   */
 object VectorIngest {
 
-  private val rawSchema = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
-
   /** Streaming source over the embeddings parquet (same one-element-glob
-    * trick as [[EventStream.readEvents]]).
+    * trick as [[EventStream.readEvents]]). Schema from a batch probe of
+    * the same file ([[graft.Tables.physicalSchema]]), not hard-coded.
     */
   def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
+    spark.readStream.schema(graft.Tables.physicalSchema(spark, dir, "embeddings"))
       .option("basePath", dir)
       .parquet(s"$dir/{embeddings.parquet}")
 
