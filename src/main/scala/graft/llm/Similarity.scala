@@ -503,6 +503,98 @@ object Similarity {
     IvfPqIndex(centroids, ucent, codebook, codes, c, m, sub)
   }
 
+  /** Deterministic on-disk location for a persisted IVF-PQ index over
+    * `$dir/embeddings.parquet`: the path digest covers the source file's
+    * identity (size + mtime — the driver regenerates testdata between
+    * rounds) and every build parameter, so a stale or differently-shaped
+    * index can never be served for fresh data. Root overridable via
+    * GRAFT_INDEX_DIR (defaults to the JVM tmpdir, which outlives any one
+    * Spark process in this container — the point of persisting at all).
+    */
+  def ivfpqIndexPath(dir: String, nlist: Int, m: Int, ksub: Int,
+                     iters: Int): String = {
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-indexes")
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir|${f.length}|${f.lastModified}|$nlist|$m|$ksub|$iters"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/ivfpq_$hex"
+  }
+
+  /** Persist a trained index. The three model tables are tiny parquet
+    * files; `codes` — the corpus-sized payload — is PARTITIONED BY the
+    * list label, so a query that probes `nprobe` lists reads
+    * ≈ nprobe/nlist of the index from disk (partition pruning; asserted
+    * on the read plan in the spec). That directory layout is what makes
+    * a 100 TB index serveable: the scan cost of a query batch is bounded
+    * by the lists it probes, not the corpus.
+    *
+    * `exact` is NOT persisted: the refine re-rank reads the raw vectors
+    * from the base table, which at scale is the already-stored corpus,
+    * not index state.
+    */
+  def saveIvfPq(index: IvfPqIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.ucent.write.mode("overwrite").parquet(s"$path/ucent")
+    index.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    index.codes.write.mode("overwrite").partitionBy("_cl")
+      .parquet(s"$path/codes")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    // meta last: its _SUCCESS is the load-side completeness marker, so a
+    // partially-written index (killed mid-save) is rebuilt, never served
+    Seq((index.m, index.sub)).toDF("m", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** True iff a complete persisted index exists at `path` (the meta
+    * table is written last — see [[saveIvfPq]]).
+    */
+  def ivfpqIndexExists(path: String): Boolean =
+    new java.io.File(s"$path/meta/_SUCCESS").isFile
+
+  /** Load a persisted index for querying. `corpus` supplies the exact
+    * vectors for the refine re-rank (base table, not index state). The
+    * partition-discovered `_cl` comes back as int — normalized to long
+    * AFTER the probe-side list filter so partition pruning still sees the
+    * raw partition column.
+    */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                corpus: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    IvfPqIndex(
+      centroids = spark.read.parquet(s"$path/centroids"),
+      ucent = broadcast(spark.read.parquet(s"$path/ucent")),
+      codebook = spark.read.parquet(s"$path/codebook"),
+      // _cl left as the partition-discovered type: [[ivfpqQuery]] filters
+      // on it FIRST (partition pruning needs the raw column), then
+      // normalizes to long
+      codes = spark.read.parquet(s"$path/codes"),
+      exact = c, m = meta.getAs[Int]("m"), sub = meta.getAs[Int]("sub"))
+  }
+
+  /** Build-once / query-forever: serve the persisted index when a
+    * complete one exists for (dir, params); otherwise train, persist, and
+    * load back — so the query path ALWAYS runs against the on-disk
+    * index (cold-loadable, process-restart-safe), never against
+    * in-process training lineage.
+    */
+  def loadOrBuildIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       corpus: DataFrame, nlist: Int = 16, m: Int = 4,
+                       ksub: Int = 16, iters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IvfPqIndex = {
+    val path = ivfpqIndexPath(dir, nlist, m, ksub, iters)
+    if (!ivfpqIndexExists(path))
+      saveIvfPq(buildIvfPq(corpus, nlist, m, ksub, iters, idCol, vecCol), path)
+    loadIvfPq(spark, path, corpus, idCol, vecCol)
+  }
+
   def ivfpqQuery(index: IvfPqIndex, queries: DataFrame, k: Int,
                  nprobe: Int = 4, refine: Int = 4,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -512,7 +604,23 @@ object Similarity {
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
       .filter(dot(col("_qv"), col("_qv")) > 0)
-    val probes = nearestCentroid(q, "_qv", centroids, nprobe) // (query_id, _qv, _cl)
+    // checkpointed: consumed three times (label collect, residuals, and
+    // through them the ADC table) — without the cut each consumer re-runs
+    // the query-side centroid argmax
+    val probes = nearestCentroid(q, "_qv", centroids, nprobe)
+      .localCheckpoint(true) // (query_id, _qv, _cl)
+    // Probed-list pruning: the distinct probed labels are bounded by
+    // nlist (a model dimension, same bounded-collect class as the
+    // centroid literals), so one tiny driver-side collect turns the codes
+    // scan into a static list filter. On the persisted _cl-partitioned
+    // layout ([[saveIvfPq]]) that is PARTITION pruning — the filter lands
+    // on the raw partition column before the long cast, so a query batch
+    // reads only the list directories it probes, ≈ nprobe/nlist of the
+    // index (asserted on the read plan in IvfPqPersistSpec).
+    val probedLabels = probes.select("_cl").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val prunedCodes = codes.filter(col("_cl").isin(probedLabels: _*))
+      .withColumn("_cl", col("_cl").cast("long"))
     val qres = residuals(probes.select("query_id", "_cl", "_qv"),
       "query_id", "_qv", ucent)
     val dtable = splitSub(qres, Seq("query_id", "_cl"), "_rv", m, sub)
@@ -524,7 +632,7 @@ object Similarity {
     // meets the dtable rows of queries that probed its list. Each
     // surviving (query, cid) pair matches exactly m rows (a cid lives in
     // one list; dtable has all ksub codes per (query, list, subspace)).
-    val adc = codes.join(broadcast(dtable), Seq("_cl", "_s", "_code"))
+    val adc = prunedCodes.join(broadcast(dtable), Seq("_cl", "_s", "_code"))
       .groupBy("query_id", "cid")
       .agg(sum(col("_d")).as("_adc"))
       .filter(col("query_id") =!= col("cid"))

@@ -16,10 +16,6 @@ object PipelineOps {
 
   private val streamSeq = new AtomicInteger(0)
 
-  /** Trained IVF-PQ index per sf dir (see the e7 entry's rationale). */
-  private val ivfpqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfPqIndex]()
-
   /** Fan a small scan out to the cluster's parallelism. A table that
     * arrives as a handful of parquet splits (one, for the local test files)
     * would otherwise serialize every downstream per-row computation —
@@ -638,24 +634,17 @@ object PipelineOps {
     //      label + m small codes per vector; a query touches
     //      ≈ nprobe/nlist of the corpus and reads codes, not floats).
     //      Recall vs E1 in specs, same contract as e2/e3/e5. -------------
-    // index built once per (process, dir) — the j11 memo pattern: a
-    // production IVF-PQ index amortizes Lloyd training across query
-    // batches, so the entry measures the probe+ADC+refine QUERY path,
-    // not a from-scratch rebuild. computeIfAbsent memoizes only after a
-    // successful build (the memo-after-success lesson).
+    // index persisted on disk per (dir, params, source fingerprint) —
+    // trained once, then COLD-LOADABLE: the query path always runs
+    // against the on-disk index (codes partitioned by list label, so the
+    // probe reads ≈ nprobe/nlist of it), never against in-process
+    // training lineage. This replaces the r3 process-memory memo — a
+    // production index must survive the process, the way the reference
+    // persists all derived state (pa_legislature.yaml:1-50, SQLite).
     "e7_ann_ivfpq" -> Q.rowsOnly { (s, dir) =>
       val emb = fanOut(s, t(s, dir, "embeddings"))
-      // session check: a cached index holds checkpointed blocks of ITS
-      // SparkContext — after a session restart the entry must rebuild,
-      // not serve dead RDD references
-      val cached = ivfpqMemo.get(dir)
-      val idx =
-        if (cached != null && (cached.codes.sparkSession eq s)) cached
-        else {
-          val b = Similarity.buildIvfPq(emb, nlist = 16, m = 8, ksub = 16)
-          ivfpqMemo.put(dir, b)
-          b
-        }
+      val idx = Similarity.loadOrBuildIvfPq(s, dir, emb,
+        nlist = 16, m = 8, ksub = 16)
       Similarity.ivfpqQuery(idx, emb.filter(col("vec_id") < 10), k = 5,
         nprobe = 6)
         .select("query_id", "neighbor_id", "rank")

@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF-PQ index (e7): on-disk round-trip fidelity, the
+  * partition-pruned probe scan, and the completeness marker. The index
+  * must be cold-loadable — queries against the loaded index must equal
+  * queries against the freshly-trained in-memory one, with the codes scan
+  * reading only the probed list partitions.
+  */
+class IvfPqPersistSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = graft.Tables.t(spark, dir, "embeddings")
+
+  test("persisted index round-trips: loaded-query ≡ fresh-query, pruned scan") {
+    val fresh = Similarity.buildIvfPq(emb, nlist = 16, m = 8, ksub = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_").toString
+    val path = s"$tmp/idx"
+    assert(!Similarity.ivfpqIndexExists(path), "no marker before save")
+    Similarity.saveIvfPq(fresh, path)
+    assert(Similarity.ivfpqIndexExists(path), "marker present after save")
+
+    val loaded = Similarity.loadIvfPq(spark, path, emb)
+    assert(loaded.m === fresh.m && loaded.sub === fresh.sub)
+
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(idx: Similarity.IvfPqIndex) =
+      Similarity.ivfpqQuery(idx, queries, k = 5, nprobe = 6)
+        .select("query_id", "neighbor_id", "rank")
+    val a = run(fresh).collect().map(_.toSeq).toSet
+    val b = run(loaded).collect().map(_.toSeq).toSet
+    assert(a === b, "loaded-index results diverge from fresh-index results")
+
+    // the probe scan must PRUNE: the loaded codes table is partitioned by
+    // _cl, and ivfpqQuery filters to the probed labels before anything
+    // else touches it — the physical scan carries a partition filter on
+    // _cl (reads nprobe/nlist of the index, not all of it)
+    // AQE wraps the executed plan, so inspect the formatted explain: the
+    // only _cl-partitioned relation is codes, so a non-empty _cl
+    // PartitionFilters line IS the codes scan pruning
+    val explain = run(loaded).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*_cl".r.findFirstIn(explain).isDefined,
+      s"codes scan has no _cl partition filter — probe reads the whole index")
+  }
+
+  test("loadOrBuild serves the persisted index on the second call") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec2_").toString
+    val prev = Similarity.ivfpqIndexPath(dir, 16, 8, 16, 2)
+    // loadOrBuild computes its own fingerprinted path; point the root at
+    // a fresh tmp dir via the env-independent contract: build once
+    // through the public API, then assert the path now exists and a
+    // second call round-trips identical results without retraining
+    // (identical because it reads the same on-disk artifact).
+    val idx1 = Similarity.loadOrBuildIvfPq(spark, dir, emb, nlist = 16, m = 8, ksub = 16)
+    assert(Similarity.ivfpqIndexExists(prev), s"index not persisted at $prev")
+    val idx2 = Similarity.loadOrBuildIvfPq(spark, dir, emb, nlist = 16, m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    def run(idx: Similarity.IvfPqIndex) =
+      Similarity.ivfpqQuery(idx, queries, k = 5, nprobe = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSet
+    assert(run(idx1) === run(idx2))
+    assert(tmp.nonEmpty) // tmp unused by design: path comes from the fingerprint
+  }
+}

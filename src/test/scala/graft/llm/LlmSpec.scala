@@ -87,11 +87,14 @@ class LlmSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
     val approx = Similarity.ivfpqTopK(queries, emb, k = 5,
       nlist = 16, nprobe = 6, m = 8, ksub = 16)
-    // floor 0.55 with margin under measured 0.68: Lloyd means are float
-    // sums whose order can shift with partitioning, so near-tie shortlist
-    // boundaries may wobble a hit or two (same rationale as the IVF floor)
+    // floor 0.60 under measured 0.68 (r4: tightened from 0.55): Lloyd
+    // means are float sums whose order can shift with partitioning, so
+    // near-tie shortlist boundaries may wobble a hit or two — but at 50
+    // exact pairs (10 queries × k=5) a 4-hit wobble is already generous;
+    // below 0.60 would indicate a real regression, not tie noise (same
+    // margin construction as IVF's 0.8-under-0.96)
     val recall = Similarity.recallAtK(approx, exact)
-    assert(recall >= 0.55, s"IVF-PQ recall $recall below 0.55 (measured 0.68)")
+    assert(recall >= 0.60, s"IVF-PQ recall $recall below 0.60 (measured 0.68)")
   }
 
   test("IVF-PQ excludes null and zero-norm vectors and keeps k neighbors") {
