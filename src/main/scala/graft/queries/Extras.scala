@@ -941,27 +941,68 @@ object Extras {
     },
 
     // ---- G3: triangle counting — the clustering-structure metric next
-    //      to components/PageRank/LPA: co-purchase graph (parts sharing
-    //      an order, id-oriented u<v so each triangle enumerates exactly
-    //      once as a<b<c), two equi-joins over the oriented edge list.
-    //      The edge list is lineage-cut once (reused three times). At
-    //      real scale the orientation would be by DEGREE (low-degree
-    //      endpoint first) to bound the join fan-out by Σ deg_low² —
-    //      id-orientation keeps the oracle trivially identical here
-    //      (orientation changes the enumeration, never the triangle
-    //      set). The graph is scoped to a quarter of orders: the
-    //      co-purchase projection densifies quadratically with basket
-    //      overlap, and the wedge fan-out (Σ deg²) grows ~16× per 4×
-    //      edges — the scoped entry stays a per-round benchmark instead
-    //      of a stress probe. --------------------------------------------
+    //      to components/PageRank/LPA: the FULL co-purchase graph (parts
+    //      sharing an order — r4: the r3 `% 4` order sample is gone),
+    //      DEGREE-oriented enumeration (graft.ops.Triangles): every wedge
+    //      generates at its (degree, id)-lowest vertex, capping the wedge
+    //      fan-out at O(m^1.5) regardless of skew — the id-oriented form
+    //      blows up as C(deg, 2) on a hot node (probed in TrianglesSpec;
+    //      g3b keeps the id-oriented twin green on a bounded scope).
+    //      Orientation changes the enumeration, never the triangle set,
+    //      so the oracle replays the same degree-oriented equi-join
+    //      pipeline. ----------------------------------------------------
     "g3_triangle_count" -> Q(
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |                  THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |                  THEN e.v ELSE e.u END AS t
+        |      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT w1.s AS s, least(w1.t, w2.t) AS u, greatest(w1.t, w2.t) AS v
+        |      FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t),
+        |tri AS (SELECT w.s AS a, w.u AS b, w.v AS c
+        |        FROM w JOIN e ON e.u = w.u AND e.v = w.v),
+        |nodes AS (SELECT a AS node FROM tri UNION ALL
+        |          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1
+        |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // lineage-cut: e feeds the degree build, the orientation join, and
+      // the closing join
+      val e = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      graft.ops.Triangles.perNodeCounts(e, graft.ops.Triangles.orientByDegree(e))
+        .orderBy(col("n_triangles").desc, col("node"))
+        .limit(20)
+    },
+
+    // ---- G3b: the id-oriented enumeration twin on a bounded scope (a
+    //      quarter of orders): same wedge-close machinery, identity
+    //      orientation. Proves orientation-independence at the driver
+    //      gate (TrianglesSpec asserts full per-node equality of the two
+    //      enumerations on the unsampled graph); stays scoped because
+    //      unbounded id-oriented fan-out is exactly the failure mode g3's
+    //      degree orientation removes. -----------------------------------
+    "g3b_triangle_id_twin" -> Q(
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem WHERE l_orderkey % 4 = 0),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
-        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
-        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |w AS (SELECT w1.u AS s, least(w1.v, w2.v) AS wu, greatest(w1.v, w2.v) AS wv
+        |      FROM e w1 JOIN e w2 ON w1.u = w2.u AND w1.v < w2.v),
+        |tri AS (SELECT w.s AS a, w.wu AS b, w.wv AS c
+        |        FROM w JOIN e ON e.u = w.wu AND e.v = w.wv),
         |nodes AS (SELECT a AS node FROM tri UNION ALL
         |          SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
@@ -976,14 +1017,7 @@ object Extras {
         .select(col("x.p").as("u"), col("y.p").as("v"))
         .distinct()
         .localCheckpoint(false)
-      val e1 = e.select(col("u").as("a"), col("v").as("b"))
-      val e2 = e.select(col("u").as("b"), col("v").as("c"))
-      val e3 = e.select(col("u").as("a"), col("v").as("c"))
-      val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
-      // one pass over the triangle set — three union branches would each
-      // re-run the wedge-generating join
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      graft.ops.Triangles.perNodeCounts(e, graft.ops.Triangles.orientById(e))
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
     },
