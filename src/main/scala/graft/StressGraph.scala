@@ -70,6 +70,48 @@ object StressGraph {
 
     println(s"[stress-graph] OK: $nNodes nodes, identical ranks across " +
       s"$replicas disjoint copies")
+
+    // ---- triangles at volume: replicate the CO-PURCHASE projection (the
+    // trade graph is bipartite — triangle-free by construction) and assert
+    // the degree-oriented enumeration lands every replica of a node on
+    // the identical count. Orientation ties break by (degree, id) and ids
+    // shift by stride per replica, but degrees replicate exactly, so the
+    // per-copy tie-break order — and therefore the enumeration — is
+    // isomorphic across copies; divergence means the intersection kernel
+    // or the orientation leaked partitioning order.
+    val lp = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val ce = lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val nCo = stage("co-purchase edges")(ce.count())
+    val cStride = ce.agg(greatest(max("u"), max("v"))).head.getLong(0) + 1
+    val coGraph = (0 until replicas).map { k =>
+      if (k == 0) ce
+      else ce.select((col("u") + k * cStride).as("u"),
+        (col("v") + k * cStride).as("v"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    println(s"[stress-graph] co-purchase: $nCo edges x $replicas replicas")
+
+    val triCounts = stage("triangles (deg-oriented)") {
+      val r = graft.ops.Triangles.perNodeCounts(coGraph,
+        graft.ops.Triangles.orientByDegree(coGraph))
+      r.localCheckpoint(true)
+    }
+    stage("triangle replica equality") {
+      val bad = triCounts
+        .groupBy((col("node") % cStride).as("base_node"))
+        .agg(countDistinct(col("n_triangles")).as("nc"),
+          count(lit(1)).as("copies"))
+        .filter(col("nc") =!= 1 || col("copies") =!= replicas)
+        .count()
+      require(bad == 0, s"$bad base nodes diverged across replicas")
+    }
+    println(s"[stress-graph] OK: identical per-node triangle counts " +
+      s"across $replicas disjoint copies")
     spark.stop()
   }
 }

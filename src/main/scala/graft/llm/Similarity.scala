@@ -251,6 +251,91 @@ object Similarity {
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** A trained IVF index decoupled from querying: `centroids` is the
+    * coarse quantizer, `lists` the inverted-file payload — (cid, _cl)
+    * ASSIGNMENTS ONLY, never vectors: the raw vectors stay in the base
+    * table and join back for exact scoring within probed lists (at
+    * 100 TB the corpus is already stored once; an index that copied it
+    * would double the footprint for nothing).
+    */
+  final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+
+  def buildIvf(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val centroids = trainIvfCentroids(c, nlist, iters)
+    IvfIndex(centroids,
+      nearestCentroid(c, "_cv", centroids, 1).select("cid", "_cl"))
+  }
+
+  /** Same on-disk contract as [[saveIvfPq]]: tiny centroid table, the
+    * assignments partitioned by list label (probe-time partition
+    * pruning), meta-last completeness marker.
+    */
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.lists.write.mode("overwrite").partitionBy("_cl")
+      .parquet(s"$path/lists")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(1)).toDF("ok")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/centroids"),
+      // _cl stays the partition-discovered type until after the probe
+      // filter (same pruning rationale as loadIvfPq)
+      spark.read.parquet(s"$path/lists"))
+
+  def ivfIndexPath(dir: String, nlist: Int, iters: Int): String =
+    indexPath(dir, s"ivf|$nlist|$iters")
+
+  def loadOrBuildIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): IvfIndex = {
+    val path = ivfIndexPath(dir, nlist, iters)
+    if (!new java.io.File(s"$path/meta/_SUCCESS").isFile)
+      saveIvf(buildIvf(corpus, nlist, iters, idCol, vecCol), path)
+    loadIvf(spark, path)
+  }
+
+  /** Query a (possibly persisted) IVF index: probe the `nprobe` nearest
+    * lists, PRUNE the assignment scan to those labels (bounded driver
+    * collect ≤ nlist — partition pruning on the persisted layout), join
+    * the base table for exact vectors, rank by exact cosine. Identical
+    * results to [[ivfTopK]] on the same corpus/params (asserted in
+    * IvfPqPersistSpec): the split changes where the index lives, not
+    * the candidate set or the scoring.
+    */
+  def ivfQuery(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int = 4, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+    val probes = nearestCentroid(q, "_qv", index.centroids, nprobe)
+      .localCheckpoint(true)
+    val labels = probes.select("_cl").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val members = index.lists.filter(col("_cl").isin(labels: _*))
+      .withColumn("_cl", col("_cl").cast("long"))
+      .join(c, "cid")
+    val cands = broadcast(probes).join(members, "_cl")
+      .filter(col("query_id") =!= col("cid"))
+      .dropDuplicates("query_id", "cid")
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cid"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Product-quantization (PQ) approximate top-k — the third leg of the
     * ANN suite (SRP-LSH buckets, IVF lists, PQ codes). Vectors are
     * L2-normalized (cosine order ≡ ascending L2 distance on the unit
@@ -328,9 +413,18 @@ object Similarity {
     codebook.localCheckpoint(true)
   }
 
-  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** A trained PQ index decoupled from querying: `codebook` is m × ksub
+    * tiny rows, `codes` the corpus payload — m small codes per vector
+    * (the ~512× compression a 100 TB float corpus scans instead of raw
+    * vectors). No list dimension, so no partitioning: a PQ query scans
+    * every code row BY DESIGN — the win is bytes-per-row, IVF-PQ adds
+    * the pruning.
+    */
+  final case class PqIndex(codebook: DataFrame, codes: DataFrame,
+                           m: Int, sub: Int)
+
+  def buildPq(corpus: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
     // null vectors excluded (mirrors lshTopK), and zero-norm vectors
     // excluded UP FRONT — normalizing one yields all-NaN subvectors, and
     // a single NaN assigned into a Lloyd cluster makes that codeword NaN,
@@ -368,7 +462,53 @@ object Similarity {
 
     // encoded corpus: m small codes per vector — what a 100 TB index stores
     val codes = assignCodes(csub, Seq("cid"), codebook).select("cid", "_s", "_code")
+    PqIndex(codebook, codes, m, sub)
+  }
 
+  def savePq(index: PqIndex, path: String): Unit = {
+    index.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    Seq((index.m, index.sub)).toDF("m", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    PqIndex(spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+  }
+
+  def pqIndexPath(dir: String, m: Int, ksub: Int, iters: Int): String =
+    indexPath(dir, s"pq|$m|$ksub|$iters")
+
+  def loadOrBuildPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+                    iters: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): PqIndex = {
+    val path = pqIndexPath(dir, m, ksub, iters)
+    if (!new java.io.File(s"$path/meta/_SUCCESS").isFile)
+      savePq(buildPq(corpus, m, ksub, iters, idCol, vecCol), path)
+    loadPq(spark, path)
+  }
+
+  /** Query a (possibly persisted) PQ index: ADC-score the code scan
+    * against the broadcast query↔codeword distance table, shortlist
+    * refine × k, re-rank exactly from the base table. Same candidate
+    * pipeline as the former inline form — the split changes where the
+    * codebook/codes live, not the scoring.
+    */
+  def pqQuery(index: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+              refine: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import index.{codebook, codes, m, sub}
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
+    def subvecs(df: DataFrame, id: String): DataFrame =
+      splitSub(unitNorm(df, "_v"), Seq(id), "_v", m, sub)
     // ADC table: query × (subspace, codeword) distances — tiny, broadcast
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
@@ -395,6 +535,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** One-shot PQ convenience over [[buildPq]] + [[pqQuery]]. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 16, iters: Int = 2, refine: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqQuery(buildPq(corpus, m, ksub, iters, idCol, vecCol), corpus, queries,
+      k, refine, idCol, vecCol)
 
   /** Per-list residual: unit vector minus the unit centroid of its list —
     * ONE definition shared by the corpus-encoding (build) and query-ADC
@@ -511,16 +658,23 @@ object Similarity {
     * GRAFT_INDEX_DIR (defaults to the JVM tmpdir, which outlives any one
     * Spark process in this container — the point of persisting at all).
     */
-  def ivfpqIndexPath(dir: String, nlist: Int, m: Int, ksub: Int,
-                     iters: Int): String = {
+  /** Shared fingerprinted location for any persisted index variant over
+    * `$dir/embeddings.parquet`: digest = source identity (size + mtime)
+    * + the variant signature (kind + every build parameter).
+    */
+  private def indexPath(dir: String, sig: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-indexes")
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"$dir|${f.length}|${f.lastModified}|$nlist|$m|$ksub|$iters"
+    val key = s"$dir|${f.length}|${f.lastModified}|$sig"
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$root/ivfpq_$hex"
+    s"$root/${sig.takeWhile(_ != '|')}_$hex"
   }
+
+  def ivfpqIndexPath(dir: String, nlist: Int, m: Int, ksub: Int,
+                     iters: Int): String =
+    indexPath(dir, s"ivfpq|$nlist|$m|$ksub|$iters")
 
   /** Persist a trained index. The three model tables are tiny parquet
     * files; `codes` — the corpus-sized payload — is PARTITIONED BY the

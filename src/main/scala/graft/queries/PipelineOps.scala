@@ -602,20 +602,26 @@ object PipelineOps {
     },
 
     // ---- E3: IVF ANN (coarse quantizer + nprobe; recall vs E1 in specs)
+    // r4: serves the PERSISTED inverted file (assignments partitioned by
+    // list label — the probe reads only its nprobe list partitions;
+    // vectors stay in the base table), same contract as e7
     "e3_ann_ivf" -> Q.rowsOnly { (s, dir) =>
       val emb = fanOut(s, t(s, dir, "embeddings"))
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        nlist = 16, nprobe = 6)
+      val idx = Similarity.loadOrBuildIvf(s, dir, emb, nlist = 16)
+      Similarity.ivfQuery(idx, emb, emb.filter(col("vec_id") < 10), k = 5,
+        nprobe = 6)
         .select("query_id", "neighbor_id", "rank")
     },
 
     // ---- E5: product-quantization ANN (codebooks + ADC + exact refine;
     //      recall vs E1 in specs). The compressed-index leg: the scan side
     //      of a query batch reads m small codes per vector, not floats. --
+    // r4: serves the PERSISTED codebook + codes (no list dimension — a PQ
+    // query scans every code row by design; the win is bytes-per-row)
     "e5_ann_pq" -> Q.rowsOnly { (s, dir) =>
       val emb = fanOut(s, t(s, dir, "embeddings"))
-      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        m = 8, ksub = 16)
+      val idx = Similarity.loadOrBuildPq(s, dir, emb, m = 8, ksub = 16)
+      Similarity.pqQuery(idx, emb, emb.filter(col("vec_id") < 10), k = 5)
         .select("query_id", "neighbor_id", "rank")
     },
 

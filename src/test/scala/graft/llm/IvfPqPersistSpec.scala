@@ -46,6 +46,40 @@ class IvfPqPersistSpec extends SparkSpec {
       s"codes scan has no _cl partition filter — probe reads the whole index")
   }
 
+  test("persisted IVF: loaded-query ≡ in-memory ivfTopK, pruned list scan") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val mem = Similarity.ivfTopK(queries, emb, k = 5, nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toString
+    Similarity.saveIvf(Similarity.buildIvf(emb, nlist = 16), s"$tmp/idx")
+    val loaded = Similarity.loadIvf(spark, s"$tmp/idx")
+    val q = Similarity.ivfQuery(loaded, emb, queries, k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "rank")
+    assert(q.collect().map(_.toSeq).toSet === mem,
+      "persisted-IVF results diverge from the in-memory composite")
+    val explain = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*_cl".r.findFirstIn(explain).isDefined,
+      "lists scan has no _cl partition filter — probe reads the whole index")
+  }
+
+  test("persisted PQ: loaded-query ≡ in-memory pqTopK") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val mem = Similarity.pqTopK(queries, emb, k = 5, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_spec_").toString
+    Similarity.savePq(Similarity.buildPq(emb, m = 8, ksub = 16), s"$tmp/idx")
+    val loaded = Similarity.loadPq(spark, s"$tmp/idx")
+    assert(loaded.m === 8)
+    val got = Similarity.pqQuery(loaded, emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(got === mem,
+      "persisted-PQ results diverge from the in-memory composite")
+  }
+
   test("loadOrBuild serves the persisted index on the second call") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec2_").toString
     val prev = Similarity.ivfpqIndexPath(dir, 16, 8, 16, 2)
