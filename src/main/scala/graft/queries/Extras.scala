@@ -1022,6 +1022,122 @@ object Extras {
         .limit(20)
     },
 
+    // ---- G4: bounded k-core peeling — 3 synchronous rounds of "drop
+    //      every node with degree < k, then re-count" over the unsampled
+    //      co-purchase graph (k = 80: real cascade at both SFs — the
+    //      first round removes ~6% of edges and the dropouts pull
+    //      neighbors under k in later rounds). Fixed-round like g1's
+    //      PageRank: the oracle replays the SAME 3 unrolled rounds, so
+    //      the contract is the peeling OPERATOR, not a convergence claim
+    //      (on this near-regular graph full k-core is degenerate — any k
+    //      either no-ops or empties the graph; bounded peel is what
+    //      exercises the iterative-subgraph machinery). Each round: one
+    //      map-side-combinable degree count + two semi-join filters
+    //      (survivor list is node-table sized — broadcast while it fits,
+    //      AQE beyond); lineage cut per round, the g1/g2 discipline. ----
+    "g4_kcore_peel" -> Q(
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |k1 AS (SELECT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |       GROUP BY 1 HAVING count(*) >= 80),
+        |e1 AS (SELECT e0.u, e0.v FROM e0
+        |       JOIN k1 a ON a.node = e0.u JOIN k1 b ON b.node = e0.v),
+        |k2 AS (SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |       GROUP BY 1 HAVING count(*) >= 80),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |       JOIN k2 a ON a.node = e1.u JOIN k2 b ON b.node = e1.v),
+        |k3 AS (SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |       GROUP BY 1 HAVING count(*) >= 80),
+        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |       JOIN k3 a ON a.node = e2.u JOIN k3 b ON b.node = e2.v)
+        |SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      var e = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val keep = e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("_d"))
+          .filter(col("_d") >= 80)
+          .select("node")
+        e = e.join(keep.withColumnRenamed("node", "u"), "u")
+          .join(keep.withColumnRenamed("node", "v"), "v")
+          .select("u", "v")
+          .localCheckpoint(false)
+      }
+      e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    },
+
+    // ---- G5: local clustering coefficient — how tightly each node's
+    //      neighborhood closes: 2·tri(v) / (deg(v)·(deg(v)−1)), over the
+    //      same unsampled co-purchase graph and degree-oriented triangle
+    //      machinery as g3. INTEGER-EXACT cross-engine: the coefficient
+    //      publishes micro-quantized via integer division
+    //      (2e6·tri div deg·(deg−1)) — both engines truncate identically,
+    //      no float ratio ever exists. Nodes with deg < 2 have no defined
+    //      coefficient and are excluded; zero-triangle nodes surface with
+    //      coeff 0 via the left join (a tri-side inner join would silently
+    //      drop them and skew any aggregate a user computes downstream). --
+    "g5_clustering_coeff" -> Q(
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |                  THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |                  THEN e.v ELSE e.u END AS t
+        |      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT w1.s AS s, least(w1.t, w2.t) AS u, greatest(w1.t, w2.t) AS v
+        |      FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t),
+        |tri AS (SELECT w.s AS a, w.u AS b, w.v AS c
+        |        FROM w JOIN e ON e.u = w.u AND e.v = w.v),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM
+        |        (SELECT a AS node FROM tri UNION ALL
+        |         SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |       GROUP BY 1)
+        |SELECT deg.node, CAST(coalesce(tc.tri, 0) AS BIGINT) AS n_triangles,
+        |       deg.d AS degree,
+        |       CAST(2000000 * coalesce(tc.tri, 0) // (deg.d * (deg.d - 1))
+        |            AS BIGINT) AS coeff_micro
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |WHERE deg.d >= 2
+        |ORDER BY coeff_micro DESC, n_triangles DESC, deg.node LIMIT 20""".stripMargin) { (s, dir) =>
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val tc = graft.ops.Triangles
+        .perNodeCounts(e, graft.ops.Triangles.orientByDegree(e))
+      deg.filter(col("degree") >= 2)
+        .join(tc, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          col("degree"),
+          expr("2000000 * coalesce(n_triangles, 0) div (degree * (degree - 1))")
+            .as("coeff_micro"))
+        .orderBy(col("coeff_micro").desc, col("n_triangles").desc, col("node"))
+        .limit(20)
+    },
+
     // ---- A21: exact weighted median — "the price point where half the
     //      shipped quantity sits below": per-distinct-value weight sums
     //      (removes tie ambiguity), ONE ordered running sum per group,
