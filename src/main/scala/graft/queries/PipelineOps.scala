@@ -1473,6 +1473,42 @@ object PipelineOps {
         t(ss, dir, "events").select(HeavyHitters.itemCol.as("item")), sketch)
     },
 
+    // ---- T16 (stateful streaming, EVENT-TIME TIMEOUTS): sessions close
+    //      either via a later event past the gap (emitted from the data
+    //      path) or via the watermark passing end + gap (emitted from
+    //      the timeout path, state evicted) — the state-lifecycle
+    //      mechanism t5/t7/t11 don't exercise. Sessions still open at
+    //      the final watermark never emit, and the oracle replays that
+    //      boundary EXACTLY: Spark's watermark clock is floored
+    //      milliseconds and timeouts fire on STRICT <, so the SQL uses
+    //      (end_us // 1000) + gap_ms < (max_us // 1000) - delay_ms. ------
+    "t16_stream_session_timeout" -> Q(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, us,
+        |       CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                 > 14400000000 THEN 1 ELSE 0 END AS brk
+        |      FROM ev),
+        |s AS (SELECT user_id, us,
+        |       sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                      ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+        |g AS (SELECT user_id, sid,
+        |       CAST(min(us) AS BIGINT) AS session_start_us,
+        |       CAST(max(us) AS BIGINT) AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |      FROM s GROUP BY 1, 2),
+        |wm AS (SELECT (max(us) // 1000) - 3600000 AS w FROM ev),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY 1)
+        |SELECT g.user_id, session_start_us, session_end_us, n_events
+        |FROM g JOIN mx ON mx.user_id = g.user_id, wm
+        |WHERE g.sid < mx.last_sid
+        |   OR (session_end_us // 1000) + 14400000 < wm.w""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val out = EventStream.sessionizeWithTimeout(
+        EventStream.readEvents(ss, dir), gapMinutes = 240)
+      EventStream.runToMemory(out.toDF(),
+        s"t16_sess_${streamSeq.incrementAndGet()}", mode = "append")
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,

@@ -150,6 +150,64 @@ object EventStream {
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
   }
 
+  final case class TimedSession(user_id: Long, session_start_us: Long,
+                                session_end_us: Long, n_events: Long)
+  final case class TimedSessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Gap sessionization with EVENT-TIME TIMEOUTS — the state-eviction
+    * mechanism t5/t11 don't exercise: a session closes either because a
+    * later event of the same user arrives past the gap (emitted from the
+    * data path the moment it is known-closed) or because the WATERMARK
+    * passes its end + gap (emitted from the timeout path, state
+    * removed). Sessions still open at the final watermark never emit —
+    * exactly the bounded-state contract: state lives only until the
+    * watermark proves no event can reopen it.
+    *
+    * Determinism contract for the oracle: timestamps are integer µs;
+    * Spark tracks watermarks in FLOORED MILLISECONDS and fires a timeout
+    * only when `timeoutTimestamp < watermark` STRICTLY, so the t16
+    * oracle replays `(end_us // 1000) + gap_ms < (max_us // 1000) −
+    * delay_ms` with integer division — no float, no boundary ambiguity.
+    */
+  def sessionizeWithTimeout(events: DataFrame, gapMinutes: Int,
+                            watermark: String = "1 hour"): Dataset[TimedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TimedSessState, TimedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state: GroupState[TimedSessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(TimedSession(user, st.startUs, st.lastUs, st.n))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[TimedSession]
+            var st = state.getOption.orNull
+            for (u <- it.map(_._3).toArray.sorted) {
+              st =
+                if (st == null) TimedSessState(u, u, 1L)
+                else if (u - st.lastUs > gapUs) {
+                  out += TimedSession(user, st.startUs, st.lastUs, st.n)
+                  TimedSessState(u, u, 1L)
+                } else TimedSessState(st.startUs, u, st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // floor-ms, matching the engine's watermark clock
+              state.setTimeoutTimestamp(st.lastUs / 1000 + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_sessions: Long,
