@@ -31,6 +31,16 @@ class TrianglesSpec extends SparkSpec {
       s"orientations disagree on ${byDeg.size} vs ${byId.size} nodes")
   }
 
+  test("triangle plan: equi-joins only — no cartesian, no nested-loop") {
+    val e = copurchaseEdges("/root/testdata/sf0.001")
+    val plan = Triangles.perNodeCounts(e, Triangles.orientByDegree(e))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "triangle pipeline planned a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "triangle pipeline planned a nested-loop join")
+  }
+
   test("star graph: id-oriented wedge fan-out is C(n,2), degree-oriented is 0") {
     // K_{1,n} with the hot center at id 0: id-orientation points every
     // edge OUT of the center (lowest id), so the center generates all
