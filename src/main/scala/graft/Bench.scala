@@ -93,11 +93,14 @@ object Bench {
     // The driver captures stdout with a tail cap, which has truncated the
     // per-query map two rounds running ("parsed": null in BENCH_r2/r3).
     // Persist the full line ourselves so the round-over-round regression
-    // signal survives regardless of stdout handling.
+    // signal survives regardless of stdout handling. Path overridable for
+    // checkouts not mounted at /root/repo.
+    val benchOut = sys.env.getOrElse("GRAFT_BENCH_JSON",
+      "/root/repo/bench_last.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"), json + "\n")
+      java.nio.file.Paths.get(benchOut), json + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -79,14 +79,8 @@ object StressGraph {
     // per-copy tie-break order — and therefore the enumeration — is
     // isomorphic across copies; divergence means the intersection kernel
     // or the orientation leaked partitioning order.
-    val lp = Tables.t(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val ce = lp.as("x").join(lp.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("u"), col("y.p").as("v"))
-      .distinct()
-      .localCheckpoint(false)
+    val ce = graft.ops.Triangles.coPurchaseEdges(
+      Tables.t(spark, sfDir, "lineitem"))
     val nCo = stage("co-purchase edges")(ce.count())
     val cStride = ce.agg(greatest(max("u"), max("v"))).head.getLong(0) + 1
     val coGraph = (0 until replicas).map { k =>
@@ -97,7 +91,7 @@ object StressGraph {
     println(s"[stress-graph] co-purchase: $nCo edges x $replicas replicas")
 
     val triCounts = stage("triangles (deg-oriented)") {
-      val r = graft.ops.Triangles.perNodeCounts(coGraph,
+      val r = graft.ops.Triangles.perNodeCounts(
         graft.ops.Triangles.orientByDegree(coGraph))
       r.localCheckpoint(true)
     }

@@ -236,10 +236,18 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+    // same null/zero-norm exclusion as buildIvf/ivfQuery — the split and
+    // the composite must stay result-identical on ANY corpus, and an
+    // unfiltered zero-norm vector would rank #1 everywhere (cosine NaN
+    // sorts above every double in the final orderBy)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0)
     val centroids = trainIvfCentroids(c, nlist, iters)
     val lists = nearestCentroid(c, "_cv", centroids, 1)
-    val q = queries.select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+      .filter(dot(col("_qv"), col("_qv")) > 0)
     val probes = nearestCentroid(q, "_qv", centroids, nprobe)
     val cands = broadcast(probes).join(lists, "_cl")
       .filter(col("query_id") =!= col("cid"))
@@ -298,7 +306,7 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): IvfIndex = {
     val path = ivfIndexPath(dir, nlist, iters)
-    if (!new java.io.File(s"$path/meta/_SUCCESS").isFile)
+    if (!indexComplete(spark, path))
       saveIvf(buildIvf(corpus, nlist, iters, idCol, vecCol), path)
     loadIvf(spark, path)
   }
@@ -319,6 +327,7 @@ object Similarity {
       .filter(dot(col("_cv"), col("_cv")) > 0)
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+      .filter(dot(col("_qv"), col("_qv")) > 0)
     val probes = nearestCentroid(q, "_qv", index.centroids, nprobe)
       .localCheckpoint(true)
     val labels = probes.select("_cl").distinct().collect()
@@ -489,7 +498,7 @@ object Similarity {
                     iters: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): PqIndex = {
     val path = pqIndexPath(dir, m, ksub, iters)
-    if (!new java.io.File(s"$path/meta/_SUCCESS").isFile)
+    if (!indexComplete(spark, path))
       savePq(buildPq(corpus, m, ksub, iters, idCol, vecCol), path)
     loadPq(spark, path)
   }
@@ -703,10 +712,21 @@ object Similarity {
   }
 
   /** True iff a complete persisted index exists at `path` (the meta
-    * table is written last — see [[saveIvfPq]]).
+    * table is written last — see [[saveIvfPq]]). Probed through the
+    * Hadoop FileSystem of the path's scheme — the same filesystem the
+    * writers use — so a non-local GRAFT_INDEX_DIR (hdfs://, s3a://)
+    * works: a java.io.File probe would always say "missing" there and
+    * silently retrain on every query.
     */
-  def ivfpqIndexExists(path: String): Boolean =
-    new java.io.File(s"$path/meta/_SUCCESS").isFile
+  def ivfpqIndexExists(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Boolean =
+    indexComplete(spark, path)
+
+  private def indexComplete(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Load a persisted index for querying. `corpus` supplies the exact
     * vectors for the refine re-rank (base table, not index state). The
@@ -744,7 +764,7 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): IvfPqIndex = {
     val path = ivfpqIndexPath(dir, nlist, m, ksub, iters)
-    if (!ivfpqIndexExists(path))
+    if (!indexComplete(spark, path))
       saveIvfPq(buildIvfPq(corpus, nlist, m, ksub, iters, idCol, vecCol), path)
     loadIvfPq(spark, path, corpus, idCol, vecCol)
   }

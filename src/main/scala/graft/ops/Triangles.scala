@@ -65,16 +65,18 @@ object Triangles {
 
   /** One row per triangle: for each oriented base edge a→b, the third
     * vertices are N⁺(a) ∩ N⁺(b) (each triangle closes exactly once, at
-    * its orientation-lowest edge). Adjacency-list intersection instead
-    * of a wedge self-join: the heavy intermediate is m rows carrying two
-    * out-neighbor arrays — per-row work O(outdeg(a) + outdeg(b)), total
-    * O(m^1.5) after degree orientation — rather than a Σ outdeg²-row
-    * wedge shuffle (measured 14.8 s → the array form at sf0.1's 1.2M-edge
-    * co-purchase graph; the wedge form's 41M-row exchange was the entire
-    * gap). An edge whose head has no out-neighbors can close nothing:
-    * the inner join drops it.
+    * its orientation-lowest edge — the oriented edges alone determine
+    * the triangle set, so this is the kernel's ONLY input). Adjacency-
+    * list intersection instead of a wedge self-join: the heavy
+    * intermediate is m rows carrying two out-neighbor arrays — per-row
+    * work O(outdeg(a) + outdeg(b)), total O(m^1.5) after degree
+    * orientation — rather than a Σ outdeg²-row wedge shuffle (measured
+    * 14.8 s → the array form at sf0.1's 1.2M-edge co-purchase graph; the
+    * wedge form's 41M-row exchange was the entire gap). An edge whose
+    * head has no out-neighbors can close nothing: the inner join drops
+    * it.
     */
-  def triangles(e: DataFrame, oriented: DataFrame): DataFrame = {
+  def triangles(oriented: DataFrame): DataFrame = {
     val adj = oriented.groupBy(col("s"))
       .agg(collect_list(col("t")).as("_nbrs"))
     val na = adj.select(col("s").as("a"), col("_nbrs").as("_na"))
@@ -89,8 +91,26 @@ object Triangles {
     * set (a union of three projections would re-run the wedge join per
     * branch).
     */
-  def perNodeCounts(e: DataFrame, oriented: DataFrame): DataFrame =
-    triangles(e, oriented)
+  def perNodeCounts(oriented: DataFrame): DataFrame =
+    triangles(oriented)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+
+  /** The canonical co-purchase projection shared by g3/g3b/g4/g5, the
+    * stress probe, and the specs: parts sharing an order, one (u < v)
+    * edge per pair, distinct, lineage-cut (the edge list feeds degree
+    * builds, orientation joins, and closing joins). ONE definition so
+    * the entries and their stress/spec twins can never drift apart.
+    * `lineitem` may be pre-filtered (g3b's bounded scope).
+    */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val lp = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+      .distinct()
+      .localCheckpoint(false)
+  }
 }

@@ -972,17 +972,8 @@ object Extras {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1
         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // lineage-cut: e feeds the degree build, the orientation join, and
-      // the closing join
-      val e = lp.as("x").join(lp.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v"))
-        .distinct()
-        .localCheckpoint(false)
-      graft.ops.Triangles.perNodeCounts(e, graft.ops.Triangles.orientByDegree(e))
+      val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
+      graft.ops.Triangles.perNodeCounts(graft.ops.Triangles.orientByDegree(e))
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
     },
@@ -1008,16 +999,9 @@ object Extras {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1
         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
-      val lp = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e = lp.as("x").join(lp.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v"))
-        .distinct()
-        .localCheckpoint(false)
-      graft.ops.Triangles.perNodeCounts(e, graft.ops.Triangles.orientById(e))
+      val e = graft.ops.Triangles.coPurchaseEdges(
+        t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0))
+      graft.ops.Triangles.perNodeCounts(graft.ops.Triangles.orientById(e))
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
     },
@@ -1054,14 +1038,7 @@ object Extras {
         |SELECT node, CAST(count(*) AS BIGINT) AS degree
         |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      var e = lp.as("x").join(lp.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v"))
-        .distinct()
-        .localCheckpoint(false)
+      var e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
       for (_ <- 1 to 3) {
         val keep = e.select(col("u").as("node"))
           .unionByName(e.select(col("v").as("node")))
@@ -1114,19 +1091,12 @@ object Extras {
         |FROM deg LEFT JOIN tc ON tc.node = deg.node
         |WHERE deg.d >= 2
         |ORDER BY coeff_micro DESC, n_triangles DESC, deg.node LIMIT 20""".stripMargin) { (s, dir) =>
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e = lp.as("x").join(lp.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v"))
-        .distinct()
-        .localCheckpoint(false)
+      val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
       val deg = e.select(col("u").as("node"))
         .unionByName(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
       val tc = graft.ops.Triangles
-        .perNodeCounts(e, graft.ops.Triangles.orientByDegree(e))
+        .perNodeCounts(graft.ops.Triangles.orientByDegree(e))
       deg.filter(col("degree") >= 2)
         .join(tc, Seq("node"), "left")
         .select(col("node"),

@@ -196,7 +196,17 @@ object EventStream {
                 else if (u - st.lastUs > gapUs) {
                   out += TimedSession(user, st.startUs, st.lastUs, st.n)
                   TimedSessState(u, u, 1L)
-                } else TimedSessState(st.startUs, u, st.n + 1)
+                } else
+                  // min/max merge, not plain append: a cross-batch
+                  // OUT-OF-ORDER event (allowed anywhere inside the
+                  // watermark delay) may predate lastUs or even startUs —
+                  // a naive lastUs=u would move the session end BACKWARDS
+                  // and mis-time the timeout. Within the watermark
+                  // contract (delay < gap) such an event always belongs
+                  // to this session, matching the oracle's globally
+                  // sorted islands.
+                  TimedSessState(math.min(st.startUs, u),
+                    math.max(st.lastUs, u), st.n + 1)
             }
             if (st != null) {
               state.update(st)

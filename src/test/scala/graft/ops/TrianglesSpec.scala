@@ -7,24 +7,16 @@ class TrianglesSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def copurchaseEdges(dir: String) = {
-    val lp = graft.Tables.t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    lp.as("x").join(lp.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("u"), col("y.p").as("v"))
-      .distinct()
-      .localCheckpoint(false)
-  }
+  private def copurchaseEdges(dir: String) =
+    Triangles.coPurchaseEdges(graft.Tables.t(spark, dir, "lineitem"))
 
   test("degree-oriented enumeration equals id-oriented on the full graph") {
     val e = copurchaseEdges("/root/testdata/sf0.001")
     // full per-node equality (not just top-20): orientation must change
     // the enumeration order only, never the triangle set
-    val byDeg = Triangles.perNodeCounts(e, Triangles.orientByDegree(e))
+    val byDeg = Triangles.perNodeCounts(Triangles.orientByDegree(e))
       .as[(Long, Long)].collect().toMap
-    val byId = Triangles.perNodeCounts(e, Triangles.orientById(e))
+    val byId = Triangles.perNodeCounts(Triangles.orientById(e))
       .as[(Long, Long)].collect().toMap
     assert(byDeg.nonEmpty, "no triangles in the sf0.001 co-purchase graph")
     assert(byDeg === byId,
@@ -33,7 +25,7 @@ class TrianglesSpec extends SparkSpec {
 
   test("triangle plan: equi-joins only — no cartesian, no nested-loop") {
     val e = copurchaseEdges("/root/testdata/sf0.001")
-    val plan = Triangles.perNodeCounts(e, Triangles.orientByDegree(e))
+    val plan = Triangles.perNodeCounts(Triangles.orientByDegree(e))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "triangle pipeline planned a cartesian product")
@@ -58,8 +50,8 @@ class TrianglesSpec extends SparkSpec {
     assert(degWedges === 0L,
       s"degree-oriented star wedge count $degWedges != 0")
     // and both agree there are no triangles
-    assert(Triangles.triangles(e, Triangles.orientById(e)).count() === 0L)
-    assert(Triangles.triangles(e, Triangles.orientByDegree(e)).count() === 0L)
+    assert(Triangles.triangles(Triangles.orientById(e)).count() === 0L)
+    assert(Triangles.triangles(Triangles.orientByDegree(e)).count() === 0L)
   }
 
   test("replicated skewed graph: oriented fan-out stays bounded as hubs grow") {
@@ -94,9 +86,9 @@ class TrianglesSpec extends SparkSpec {
     assert(degBig === degSmall,
       s"degree-oriented wedges should be hub-independent: $degSmall -> $degBig")
     // both orientations still count the same triangles (2 per copy x 3 nodes)
-    val cnts = Triangles.perNodeCounts(big, Triangles.orientByDegree(big))
+    val cnts = Triangles.perNodeCounts(Triangles.orientByDegree(big))
     assert(cnts.agg(sum("n_triangles")).head.getLong(0) === 4L * 2 * 3)
-    val cntsId = Triangles.perNodeCounts(big, Triangles.orientById(big))
+    val cntsId = Triangles.perNodeCounts(Triangles.orientById(big))
       .as[(Long, Long)].collect().toMap
     assert(cnts.as[(Long, Long)].collect().toMap === cntsId)
   }

@@ -53,4 +53,42 @@ class SessionTimeoutSpec extends SparkSpec {
       assert(!afterTimeout.exists(_._1 == 99L), "user 99's session is open")
     } finally q.stop()
   }
+
+  test("out-of-order cross-batch event merges by min/max, never regresses the end") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp)]
+    val base = 1700000000000L
+    def ts(offMin: Long) = new Timestamp(base + offMin * 60000L)
+
+    val out = EventStream.sessionizeWithTimeout(
+      mem.toDS().toDF("user_id", "ts"), gapMinutes = 240, watermark = "1 hour")
+    val q = out.toDF().writeStream
+      .format("memory").queryName("t16spec_ooo").outputMode("append").start()
+    try {
+      // batch 1: event at t+60 -> watermark becomes t+0
+      mem.addData((1L, ts(60)))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER event at t+30 — inside the watermark delay,
+      // so it must merge (min start, max end), not move the end backwards
+      mem.addData((1L, ts(30)))
+      q.processAllAvailable()
+      // batch 3: t+286 — 3h46 after the TRUE end (t+60), within the 4h
+      // gap: still ONE session. (A regressed end of t+30 would read this
+      // as a 4h16 gap and split, emitting an end < start session.)
+      mem.addData((1L, ts(286)))
+      q.processAllAvailable()
+      assert(spark.table("t16spec_ooo").count() === 0,
+        "nothing closed yet — a split here means the end regressed")
+      // push the watermark far past end + gap -> the single merged
+      // session times out
+      mem.addData((99L, ts(2000)))
+      q.processAllAvailable()
+      val got = spark.table("t16spec_ooo")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = Set((1L, (base + 30 * 60000L) * 1000L,
+        (base + 286 * 60000L) * 1000L, 3L))
+      assert(got === want, s"expected one merged session: $got")
+    } finally q.stop()
+  }
 }
