@@ -86,8 +86,9 @@ object Bench {
       "partitioned by list — first run pays one-time train+write, later " +
       "runs measure the cold-loadable query path); g3 is the UNSAMPLED " +
       "co-purchase graph (1.2M edges at sf0.1) via degree-oriented " +
-      "adjacency intersection, ~7-9s — the r3 entry was a %4 sample; " +
-      "g3b keeps the id-oriented twin on the sampled scope\""
+      "adjacency intersection (per-run time in the queries map — the r3 " +
+      "entry benched a %4 sample); g3b keeps the id-oriented twin on " +
+      "the sampled scope\""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"notes":$notes,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a tail cap, which has truncated the

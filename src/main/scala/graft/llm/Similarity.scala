@@ -30,6 +30,21 @@ object Similarity {
   def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000))
 
+  /** The one vector-hygiene projection every index build and query path
+    * shares: drop nulls, quantize, drop zero-norm rows (a zero-norm
+    * vector makes every cosine NaN, and Spark sorts NaN ABOVE every
+    * double — unfiltered it would rank #1 for every query; inside Lloyd
+    * training a NaN poisons its whole codeword). One definition so the
+    * build/query splits and their in-memory composites stay
+    * result-identical on ANY corpus — the pqQuery drift this class of
+    * copy-paste caused is why this helper exists.
+    */
+  private def cleanVectors(df: DataFrame, idCol: String, vecCol: String,
+                           outId: String, outVec: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as(outId), quantized(col(vecCol)).as(outVec))
+      .filter(dot(col(outVec), col(outVec)) > 0)
+
   /** Exact dot product of two quantized vectors. Uses the native codegen
     * [[graft.functions.DotProduct]] when [[graft.plans.GraftExtensions]] is
     * installed on the active session (a tight primitive loop, no per-element
@@ -240,14 +255,10 @@ object Similarity {
     // the composite must stay result-identical on ANY corpus, and an
     // unfiltered zero-norm vector would rank #1 everywhere (cosine NaN
     // sorts above every double in the final orderBy)
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     val centroids = trainIvfCentroids(c, nlist, iters)
     val lists = nearestCentroid(c, "_cv", centroids, 1)
-    val q = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
-      .filter(dot(col("_qv"), col("_qv")) > 0)
+    val q = cleanVectors(queries, idCol, vecCol, "query_id", "_qv")
     val probes = nearestCentroid(q, "_qv", centroids, nprobe)
     val cands = broadcast(probes).join(lists, "_cl")
       .filter(col("query_id") =!= col("cid"))
@@ -270,9 +281,7 @@ object Similarity {
 
   def buildIvf(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
                idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     val centroids = trainIvfCentroids(c, nlist, iters)
     IvfIndex(centroids,
       nearestCentroid(c, "_cv", centroids, 1).select("cid", "_cl"))
@@ -306,8 +315,11 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): IvfIndex = {
     val path = ivfIndexPath(dir, nlist, iters)
-    if (!indexComplete(spark, path))
+    val stamp = sourceStamp(spark, dir)
+    if (!indexFresh(spark, path, stamp)) {
       saveIvf(buildIvf(corpus, nlist, iters, idCol, vecCol), path)
+      stampIndex(spark, path, stamp)
+    }
     loadIvf(spark, path)
   }
 
@@ -322,12 +334,8 @@ object Similarity {
   def ivfQuery(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
                k: Int, nprobe: Int = 4, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
-    val q = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
-      .filter(dot(col("_qv"), col("_qv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
+    val q = cleanVectors(queries, idCol, vecCol, "query_id", "_qv")
     val probes = nearestCentroid(q, "_qv", index.centroids, nprobe)
       .localCheckpoint(true)
     val labels = probes.select("_cl").distinct().collect()
@@ -440,9 +448,7 @@ object Similarity {
     // destroying it for the whole subspace. Filtering before the
     // lowest-id codebook init (not just inside subvecs) also keeps the
     // init able to seed all ksub codewords when low ids are degenerate.
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
@@ -498,8 +504,11 @@ object Similarity {
                     iters: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): PqIndex = {
     val path = pqIndexPath(dir, m, ksub, iters)
-    if (!indexComplete(spark, path))
+    val stamp = sourceStamp(spark, dir)
+    if (!indexFresh(spark, path, stamp)) {
       savePq(buildPq(corpus, m, ksub, iters, idCol, vecCol), path)
+      stampIndex(spark, path, stamp)
+    }
     loadPq(spark, path)
   }
 
@@ -513,14 +522,11 @@ object Similarity {
               refine: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import index.{codebook, codes, m, sub}
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     def subvecs(df: DataFrame, id: String): DataFrame =
       splitSub(unitNorm(df, "_v"), Seq(id), "_v", m, sub)
     // ADC table: query × (subspace, codeword) distances — tiny, broadcast
-    val q = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+    val q = cleanVectors(queries, idCol, vecCol, "query_id", "_qv")
     val dtable = subvecs(q.select(col("query_id"), col("_qv").as("_v")), "query_id")
       .join(broadcast(codebook), "_s")
       .withColumn("_d", l2dist(col("_sv"), col("_cw")))
@@ -610,9 +616,7 @@ object Similarity {
                  m: Int = 4, ksub: Int = 16, iters: Int = 2,
                  idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
     // same null/zero-norm exclusion as pqTopK (NaN poisoning; see there)
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
@@ -659,26 +663,61 @@ object Similarity {
     IvfPqIndex(centroids, ucent, codebook, codes, c, m, sub)
   }
 
-  /** Deterministic on-disk location for a persisted IVF-PQ index over
-    * `$dir/embeddings.parquet`: the path digest covers the source file's
-    * identity (size + mtime — the driver regenerates testdata between
-    * rounds) and every build parameter, so a stale or differently-shaped
-    * index can never be served for fresh data. Root overridable via
-    * GRAFT_INDEX_DIR (defaults to the JVM tmpdir, which outlives any one
-    * Spark process in this container — the point of persisting at all).
-    */
-  /** Shared fingerprinted location for any persisted index variant over
-    * `$dir/embeddings.parquet`: digest = source identity (size + mtime)
-    * + the variant signature (kind + every build parameter).
+  /** Deterministic on-disk location for a persisted index variant over
+    * `$dir/embeddings.parquet`: digest = source DIR + variant signature
+    * (kind + every build parameter) — deliberately NOT the source file's
+    * size/mtime, so regenerating the data reuses ONE directory per
+    * (source, kind, params) instead of leaking an orphaned corpus-sized
+    * index copy per regeneration. Staleness is handled by the
+    * [[sourceStamp]] fingerprint stored INSIDE the index and compared on
+    * load (through the Hadoop FileSystem, so it works for hdfs://s3a://
+    * sources where java.io.File stats would be constant zeros). Root
+    * overridable via GRAFT_INDEX_DIR (defaults to the JVM tmpdir, which
+    * outlives any one Spark process in this container).
     */
   private def indexPath(dir: String, sig: String): String = {
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-indexes")
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val key = s"$dir|${f.length}|${f.lastModified}|$sig"
+    val key = s"$dir|$sig"
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"$root/${sig.takeWhile(_ != '|')}_$hex"
+  }
+
+  /** Source-identity stamp (length + mtime of the embeddings file), read
+    * through the Hadoop FileSystem of the dir's scheme.
+    */
+  private def sourceStamp(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    s"${st.getLen}|${st.getModificationTime}"
+  }
+
+  /** The stored stamp matches the current source — written LAST by
+    * [[stampIndex]] (after the index tables), so it doubles as the
+    * loadOrBuild completeness marker: a build killed at any point leaves
+    * no stamp and rebuilds; a regenerated source mismatches and
+    * rebuilds in place (no stale serve, no directory leak).
+    */
+  private def indexFresh(spark: org.apache.spark.sql.SparkSession,
+                         path: String, stamp: String): Boolean = {
+    val fp = new org.apache.hadoop.fs.Path(s"$path/_source_stamp")
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(fp) && {
+      val in = fs.open(fp)
+      try new String(in.readAllBytes(), "UTF-8") == stamp
+      finally in.close()
+    }
+  }
+
+  private def stampIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, stamp: String): Unit = {
+    val fp = new org.apache.hadoop.fs.Path(s"$path/_source_stamp")
+    val out = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(fp, true)
+    try out.write(stamp.getBytes("UTF-8")) finally out.close()
   }
 
   def ivfpqIndexPath(dir: String, nlist: Int, m: Int, ksub: Int,
@@ -738,9 +777,7 @@ object Similarity {
                 corpus: DataFrame, idCol: String = "vec_id",
                 vecCol: String = "embedding"): IvfPqIndex = {
     val meta = spark.read.parquet(s"$path/meta").head()
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     IvfPqIndex(
       centroids = spark.read.parquet(s"$path/centroids"),
       ucent = broadcast(spark.read.parquet(s"$path/ucent")),
@@ -764,8 +801,11 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): IvfPqIndex = {
     val path = ivfpqIndexPath(dir, nlist, m, ksub, iters)
-    if (!indexComplete(spark, path))
+    val stamp = sourceStamp(spark, dir)
+    if (!indexFresh(spark, path, stamp)) {
       saveIvfPq(buildIvfPq(corpus, nlist, m, ksub, iters, idCol, vecCol), path)
+      stampIndex(spark, path, stamp)
+    }
     loadIvfPq(spark, path, corpus, idCol, vecCol)
   }
 
@@ -775,9 +815,7 @@ object Similarity {
     import index.{centroids, ucent, codebook, codes, m, sub}
 
     // query side: nprobe nearest lists, one residual PER PROBED LIST
-    val q = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
-      .filter(dot(col("_qv"), col("_qv")) > 0)
+    val q = cleanVectors(queries, idCol, vecCol, "query_id", "_qv")
     // checkpointed: consumed three times (label collect, residuals, and
     // through them the ADC table) — without the cut each consumer re-runs
     // the query-side centroid argmax
@@ -837,9 +875,7 @@ object Similarity {
   def trainCentroidLiterals(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     trainIvfCentroids(c, nlist, iters)
       .select(col("_cl"), col("_centroid"))
       .collect()
@@ -857,9 +893,7 @@ object Similarity {
                          vecCol: String = "embedding"): DataFrame = {
     import corpus.sparkSession.implicits._
     val cdf = centroids.toDF("_cl", "_centroid").select(col("_centroid"), col("_cl"))
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     nearestCentroid(c, "_cv", cdf, 1)
       .select(col("cid").as(idCol), col("_cl").as("cluster"))
   }
@@ -926,9 +960,7 @@ object Similarity {
   def semDedup(corpus: DataFrame, threshold: Double,
                nlist: Int = 16, iters: Int = 2,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cv"))
-      .filter(dot(col("_cv"), col("_cv")) > 0)
+    val c = cleanVectors(corpus, idCol, vecCol, "cid", "_cv")
     val centroids = trainIvfCentroids(c, nlist, iters)
     // reused by both sides of the self-join and the final anti-join
     val lists = nearestCentroid(c, "_cv", centroids, 1).localCheckpoint(true)

@@ -34,10 +34,21 @@ object Triangles {
     * shuffle-joins beyond that (no hint on purpose: at 100× the node
     * table outgrows a broadcast and the equi-join shape still holds).
     */
-  def orientByDegree(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("node"))
+  def orientByDegree(e: DataFrame): DataFrame =
+    orientByDegree(e, degrees(e))
+
+  /** Endpoint degrees of a canonical edge list: (node, d). */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+
+  /** Orientation over a CALLER-SUPPLIED degree table — for consumers
+    * that need the degrees anyway (g5's coefficient denominator),
+    * mirroring the SQL oracle's single reused deg CTE instead of
+    * aggregating the edge list twice.
+    */
+  def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("d").as("du"))
     val dv = deg.select(col("node").as("v"), col("d").as("dv"))
     val fwd = col("du") < col("dv") ||

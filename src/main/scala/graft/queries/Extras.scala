@@ -1092,11 +1092,12 @@ object Extras {
         |WHERE deg.d >= 2
         |ORDER BY coeff_micro DESC, n_triangles DESC, deg.node LIMIT 20""".stripMargin) { (s, dir) =>
       val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
-      val deg = e.select(col("u").as("node"))
-        .unionByName(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
+      // ONE degree aggregation, reused by the orientation AND the
+      // coefficient denominator (the oracle's single deg CTE)
+      val deg0 = graft.ops.Triangles.degrees(e).localCheckpoint(false)
       val tc = graft.ops.Triangles
-        .perNodeCounts(graft.ops.Triangles.orientByDegree(e))
+        .perNodeCounts(graft.ops.Triangles.orientByDegree(e, deg0))
+      val deg = deg0.select(col("node"), col("d").as("degree"))
       deg.filter(col("degree") >= 2)
         .join(tc, Seq("node"), "left")
         .select(col("node"),

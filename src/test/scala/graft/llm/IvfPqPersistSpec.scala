@@ -81,13 +81,11 @@ class IvfPqPersistSpec extends SparkSpec {
   }
 
   test("loadOrBuild serves the persisted index on the second call") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec2_").toString
+    // loadOrBuild computes its own deterministic path (one dir per
+    // (source, kind, params)): build once through the public API, then
+    // assert the stamped index exists and a second call round-trips
+    // identical results by reading the same on-disk artifact.
     val prev = Similarity.ivfpqIndexPath(dir, 16, 8, 16, 2)
-    // loadOrBuild computes its own fingerprinted path; point the root at
-    // a fresh tmp dir via the env-independent contract: build once
-    // through the public API, then assert the path now exists and a
-    // second call round-trips identical results without retraining
-    // (identical because it reads the same on-disk artifact).
     val idx1 = Similarity.loadOrBuildIvfPq(spark, dir, emb, nlist = 16, m = 8, ksub = 16)
     assert(Similarity.ivfpqIndexExists(spark, prev), s"index not persisted at $prev")
     val idx2 = Similarity.loadOrBuildIvfPq(spark, dir, emb, nlist = 16, m = 8, ksub = 16)
@@ -97,6 +95,5 @@ class IvfPqPersistSpec extends SparkSpec {
         .select("query_id", "neighbor_id", "rank")
         .collect().map(_.toSeq).toSet
     assert(run(idx1) === run(idx2))
-    assert(tmp.nonEmpty) // tmp unused by design: path comes from the fingerprint
   }
 }
