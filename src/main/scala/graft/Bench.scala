@@ -97,7 +97,7 @@ object Bench {
     // signal survives regardless of stdout handling. Path overridable for
     // checkouts not mounted at /root/repo.
     val benchOut = sys.env.getOrElse("GRAFT_BENCH_JSON",
-      "/root/repo/bench_last.json")
+      s"${System.getProperty("user.dir")}/bench_last.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchOut), json + "\n")
     catch { case e: Throwable =>

@@ -102,6 +102,58 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id1", "id2", "containment")
 
+  /** Posting lists longer than this expand through the chunked, shuffled
+    * path in [[postingPairs]]: per-task pair expansion is capped at
+    * HotListChunk² regardless of how hot a shingle is, so one boilerplate
+    * shingle shared by a large slice of the corpus cannot pin a straggler
+    * task. 512 → ≤ ~131k pairs per block-pair row.
+    */
+  private[graft] val HotListChunk = 512
+
+  /** All ordered (id1 < id2) pairs from per-shingle posting lists
+    * (`_ids`, each sorted). Small lists (≤ maxChunk) expand in place —
+    * singleton shingles cost nothing, short lists stay in one codegen
+    * stage. Lists LONGER than maxChunk are cut into `maxChunk`-wide
+    * blocks, the (block_i, block_j ≥ i) block pairs are exploded into
+    * bounded rows (≤ 2·maxChunk ids each) and round-robin SHUFFLED across
+    * the cluster, and the pair expansion runs post-shuffle: total work for
+    * a hot list is unchanged (the pairs exist), but it is spread over
+    * (L/maxChunk)²/2 tasks instead of one. Exactness: every (shingle,
+    * pair) is emitted exactly once — within-block pairs from the diagonal
+    * blocks, cross pairs from i < j blocks, and block order preserves the
+    * sorted-id pair convention (id1 earlier in sort order).
+    */
+  private[graft] def postingPairs(postings: DataFrame,
+                                  maxChunk: Int = HotListChunk): DataFrame = {
+    val ids = col("_ids")
+    val pairArr = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("id1"), y.as("id2")))))
+    val small = postings.filter(size(ids) <= maxChunk)
+      .select(explode(pairArr).as("_p"))
+      .select(col("_p.id1"), col("_p.id2"))
+    val nChunks = ceil(size(ids) / lit(maxChunk.toDouble)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      c => slice(ids, c * maxChunk + 1, lit(maxChunk)))
+    val blockPairs = flatten(transform(chunks, (a, i) =>
+      transform(slice(chunks, i + 1, size(chunks)), (b, o) =>
+        struct(a.as("_a"), b.as("_b"), (o === 0).as("_same")))))
+    val shufflePar = postings.sparkSession.sessionState.conf.numShufflePartitions
+    val withinA = flatten(transform(col("_a"), (x, i) =>
+      transform(slice(col("_a"), i + 2, size(col("_a"))), y =>
+        struct(x.as("id1"), y.as("id2")))))
+    val crossAB = flatten(transform(col("_a"), x =>
+      transform(col("_b"), y => struct(x.as("id1"), y.as("id2")))))
+    val big = postings.filter(size(ids) > maxChunk)
+      .select(explode(blockPairs).as("_bp"))
+      .select(col("_bp._a").as("_a"), col("_bp._b").as("_b"),
+        col("_bp._same").as("_same"))
+      .repartition(shufflePar) // round-robin: block pairs spread over tasks
+      .select(explode(when(col("_same"), withinA).otherwise(crossAB)).as("_p"))
+      .select(col("_p.id1"), col("_p.id2"))
+    small.unionByName(big)
+  }
+
   /** Shared exact-overlap skeleton: (id1 < id2, |A∩B|, |A|, |B|) for every
     * document pair sharing at least one shingle.
     */
@@ -114,17 +166,13 @@ object Dedup {
     // Inverted-index pair generation: group ids per shingle and expand the
     // ordered pairs from each posting list. One aggregation instead of a
     // shingle self-join — singleton shingles (the vast majority on web
-    // corpora) produce no pairs at zero cost, and per-task work is bounded
-    // by the largest posting list, not by join-key skew.
-    val ids = col("_ids")
-    val pairArr = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y =>
-        struct(x.as("id1"), y.as("id2")))))
-    sh.groupBy("shingle")
+    // corpora) produce no pairs at zero cost, and hot posting lists take
+    // the chunked path in [[postingPairs]], so per-task work is bounded
+    // even under join-key skew.
+    val postings = sh.groupBy("shingle")
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
-      .filter(size(ids) > 1)
-      .select(explode(pairArr).as("_p"))
-      .select(col("_p.id1"), col("_p.id2"))
+      .filter(size(col("_ids")) > 1)
+    postingPairs(postings)
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("_common"))
       .join(counts.select(col(idCol).as("id1"), col("_n").as("_n1")), "id1")
@@ -178,13 +226,23 @@ object Dedup {
     // eval sets are bounded, so the count + driver-side build are cheap
     val nBench = math.max(benchSh.count(), 1L)
     val bloom = benchSh.stat.bloomFilter(xxhash64(col("shingle")), nBench, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    // the probe is a UDF because Spark exposes no public might_contain
-    // (BloomFilterMightContain is internal to runtime row filtering); it
-    // tests a 64-bit hash, never the string
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
-    val survivors = shingles(docs, n, idCol, textCol)
-      .where(mightContain(xxhash64(col("shingle"))))
+    // Probe via the native codegen expression when the Graft extensions
+    // are installed (no UDF node: the filter ships as a binary literal —
+    // the same shape Spark uses for runtime bloom pushdown — and is
+    // deserialized once per executor); fall back to a broadcast + UDF on
+    // vanilla sessions. Both paths test a 64-bit hash, never the string.
+    val probe: Column =
+      if (graft.plans.GraftExtensions.isInstalled("graft_bloom_contains")) {
+        val baos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(baos)
+        call_function("graft_bloom_contains",
+          lit(baos.toByteArray), xxhash64(col("shingle")))
+      } else {
+        val bloomB = spark.sparkContext.broadcast(bloom)
+        udf((h: Long) => bloomB.value.mightContainLong(h))
+          .apply(xxhash64(col("shingle")))
+      }
+    val survivors = shingles(docs, n, idCol, textCol).where(probe)
     survivors.join(benchSh, "shingle")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_overlap"))
@@ -321,6 +379,23 @@ object Dedup {
   private[graft] def verifyJaccardPairs(docs: DataFrame, cands: DataFrame,
                                         n: Int, threshold: Double,
                                         idCol: String = "doc_id",
+                                        textCol: String = "text"): DataFrame =
+    verifyOverlapPairs(docs, cands, n, idCol, textCol)
+      .withColumn("jaccard",
+        col("_common") / (col("_n1") + col("_n2") - col("_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+
+  /** Exact-overlap verification of a candidate pair set: (id1, id2,
+    * `_common` = |A∩B|, `_n1`, `_n2`) with true counts computed ONLY over
+    * candidate documents — the candidate id set is small by the candidate
+    * generator's design, so it broadcasts and the semi-join prunes the
+    * corpus scan before the explode. Shared by the Jaccard verifier
+    * ([[minhashLshPairs]], streaming ingest) and the containment verifier
+    * ([[containmentPairsPrefix]]).
+    */
+  private[graft] def verifyOverlapPairs(docs: DataFrame, cands: DataFrame,
+                                        n: Int, idCol: String = "doc_id",
                                         textCol: String = "text"): DataFrame = {
     val candIds = cands.select(col("id1").as(idCol))
       .union(cands.select(col("id2").as(idCol))).distinct()
@@ -338,10 +413,87 @@ object Dedup {
     common
       .join(counts.select(col(idCol).as("id1"), col("_n").as("_n1")), "id1")
       .join(counts.select(col(idCol).as("id2"), col("_n").as("_n2")), "id2")
-      .withColumn("jaccard",
-        col("_common") / (col("_n1") + col("_n2") - col("_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+  }
+
+  /** Containment-pair CANDIDATES by prefix filtering — the scale path for
+    * [[containmentPairs]], and unlike MinHash banding it is EXACT (zero
+    * candidate-miss probability), because containment admits a pigeonhole
+    * bound MinHash cannot approximate (plain MinHash estimates Jaccard,
+    * and a snippet inside a much longer page has containment 1 but
+    * arbitrarily small Jaccard).
+    *
+    * Prefix filter (the All-Pairs / PPJoin family, re-derived for the
+    * asymmetric measure): order every shingle by a single global total
+    * order — document frequency ascending, ties by hash — and sort each
+    * document's shingle set by that order. For a pair (A, B) with
+    * m = |A| ≤ |B| and containment |A∩B|/m ≥ t, at most m − ⌈t·m⌉
+    * shingles of A are absent from B, so among the FIRST
+    * p = m − ⌈t·m⌉ + 1 shingles of A (its "prefix") at least one is in B.
+    * Candidates are therefore: explode only the prefixes on the probe
+    * side, ALL shingles on the index side, equi-join on shingle, keep
+    * pairs where the probe is the (size, id)-lexicographic smaller side.
+    * Every true pair is generated — the prefix of the smaller document
+    * must hit the larger document's full posting.
+    *
+    * Scale shape: the probe side carries ≈ (1−t) of the corpus' shingle
+    * occurrences, and because the order is DF-ascending, prefixes hold
+    * each document's RAREST shingles — a boilerplate shingle shared by
+    * 30% of the corpus has maximal DF, sorts last, and stays out of
+    * almost every prefix, so its posting list meets a near-empty probe
+    * side instead of expanding quadratically (the failure mode of the
+    * exact inverted index). Cost: one DF count (map-side combinable), one
+    * shingle-keyed join to rank, one groupBy id to sort, and the
+    * probe×index equi-join whose per-shingle output is
+    * |probe postings| × |index postings| with the probe factor collapsed
+    * by rarity.
+    */
+  private[graft] def containmentCandidatesPrefix(
+      docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1]: $threshold")
+    val sets = shingleSets(docs, n, idCol, textCol).localCheckpoint(false)
+    val sh = sets.select(col(idCol), explode(col("shingle_set")).as("shingle"))
+    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val ranked = sh.join(dfTab, "shingle")
+      .select(col(idCol), struct(col("_df"),
+        xxhash64(col("shingle")).as("_h"), col("shingle")).as("_tok"))
+    val ordered = ranked.groupBy(idCol)
+      .agg(sort_array(collect_list(col("_tok"))).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).cast("long").as("_m"))
+    val prefLen =
+      (col("_m") - ceil(col("_m") * threshold).cast("long") + 1).cast("int")
+    val probe = ordered.select(col(idCol).as("_pid"), col("_m").as("_pm"),
+      explode(transform(slice(col("_toks"), lit(1), prefLen),
+        t => t.getField("shingle"))).as("shingle"))
+    val index = sets.select(col(idCol).as("_xid"),
+      size(col("shingle_set")).cast("long").as("_xm"),
+      explode(col("shingle_set")).as("shingle"))
+    probe.join(index, "shingle")
+      .where(col("_pm") < col("_xm") ||
+        (col("_pm") === col("_xm") && col("_pid") < col("_xid")))
+      .select(least(col("_pid"), col("_xid")).as("id1"),
+        greatest(col("_pid"), col("_xid")).as("id2"))
+      .distinct()
+  }
+
+  /** Containment near-dup pairs via prefix-filter candidates + exact
+    * verification — identical results to [[containmentPairs]] (the
+    * candidate generator is exact, see [[containmentCandidatesPrefix]]),
+    * but per-task work no longer grows quadratically in the hottest
+    * posting list. The d2→d3 discipline applied to the asymmetric
+    * measure: [[containmentPairs]] stays as the quadratic oracle twin.
+    */
+  def containmentPairsPrefix(docs: DataFrame, n: Int, threshold: Double,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val cands = containmentCandidatesPrefix(docs, n, threshold, idCol, textCol)
+      .localCheckpoint(false)
+    verifyOverlapPairs(docs, cands, n, idCol, textCol)
+      .withColumn("containment", col("_common") / least(col("_n1"), col("_n2")))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
   }
 
   /** Per-bit majority vote over token hashes in `_h` → one fingerprint

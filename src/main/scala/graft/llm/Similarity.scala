@@ -289,16 +289,15 @@ object Similarity {
 
   /** Same on-disk contract as [[saveIvfPq]]: tiny centroid table, the
     * assignments partitioned by list label (probe-time partition
-    * pruning), meta-last completeness marker.
+    * pruning). IVF carries no model dimensions beyond its tables, so
+    * unlike IVF-PQ there is no meta table; completeness is the stamp
+    * [[loadOrBuildIvf]] writes last (inside the staging dir, before the
+    * atomic publish).
     */
   def saveIvf(index: IvfIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index.lists.write.mode("overwrite").partitionBy("_cl")
       .parquet(s"$path/lists")
-    val spark = index.centroids.sparkSession
-    import spark.implicits._
-    Seq(Tuple1(1)).toDF("ok")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
@@ -315,11 +314,11 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): IvfIndex = {
     val path = ivfIndexPath(dir, nlist, iters)
-    val stamp = sourceStamp(spark, dir)
-    if (!indexFresh(spark, path, stamp)) {
-      saveIvf(buildIvf(corpus, nlist, iters, idCol, vecCol), path)
-      stampIndex(spark, path, stamp)
-    }
+    val stamp = sourceStamp(spark, dir, corpus)
+    if (!indexFresh(spark, path, stamp))
+      publishIndex(spark, path, stamp) { staging =>
+        saveIvf(buildIvf(corpus, nlist, iters, idCol, vecCol), staging)
+      }
     loadIvf(spark, path)
   }
 
@@ -504,11 +503,11 @@ object Similarity {
                     iters: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): PqIndex = {
     val path = pqIndexPath(dir, m, ksub, iters)
-    val stamp = sourceStamp(spark, dir)
-    if (!indexFresh(spark, path, stamp)) {
-      savePq(buildPq(corpus, m, ksub, iters, idCol, vecCol), path)
-      stampIndex(spark, path, stamp)
-    }
+    val stamp = sourceStamp(spark, dir, corpus)
+    if (!indexFresh(spark, path, stamp))
+      publishIndex(spark, path, stamp) { staging =>
+        savePq(buildPq(corpus, m, ksub, iters, idCol, vecCol), staging)
+      }
     loadPq(spark, path)
   }
 
@@ -684,15 +683,48 @@ object Similarity {
     s"$root/${sig.takeWhile(_ != '|')}_$hex"
   }
 
-  /** Source-identity stamp (length + mtime of the embeddings file), read
-    * through the Hadoop FileSystem of the dir's scheme.
+  /** Source-identity stamp: length + mtime of the embeddings file (read
+    * through the Hadoop FileSystem of the dir's scheme) PLUS the
+    * canonicalized semantic hash of the corpus DataFrame's logical plan.
+    * The plan hash closes the (dir, params)-collision footgun: a caller
+    * passing a FILTERED or otherwise different corpus from the same dir
+    * gets a different stamp and a rebuild, instead of silently serving
+    * an index trained on another corpus. Plan canonicalization
+    * normalizes expression ids, so the same read pipeline produces the
+    * same hash across JVM restarts — no spurious rebuilds for the
+    * intended "pass the unfiltered $dir/embeddings.parquet table" call
+    * shape, and no corpus-sized identity job on the load path.
     */
   private def sourceStamp(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): String = {
+                          dir: String, corpus: DataFrame): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(p)
-    s"${st.getLen}|${st.getModificationTime}"
+    val planHash = corpus.queryExecution.logical.canonicalized.semanticHash()
+    s"${st.getLen}|${st.getModificationTime}|$planHash"
+  }
+
+  /** Build into a staging directory next to `path`, stamp it, then
+    * publish with delete + rename — both metadata operations, so the
+    * window where a CONCURRENT reader (another JVM sharing the index
+    * root) could observe a half-written index shrinks from the whole
+    * train+write time to two FS calls. (True multi-writer coordination
+    * would need a lock service; a per-run GRAFT_INDEX_DIR sidesteps the
+    * question entirely.) A build killed mid-way leaves only an orphaned
+    * staging dir — the published path is never partially overwritten.
+    */
+  private def publishIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, stamp: String)
+                          (build: String => Unit): Unit = {
+    val staging = s"$path.staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    build(staging)
+    stampIndex(spark, staging, stamp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(s"could not publish index $staging -> $path")
   }
 
   /** The stored stamp matches the current source — written LAST by
@@ -801,11 +833,11 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): IvfPqIndex = {
     val path = ivfpqIndexPath(dir, nlist, m, ksub, iters)
-    val stamp = sourceStamp(spark, dir)
-    if (!indexFresh(spark, path, stamp)) {
-      saveIvfPq(buildIvfPq(corpus, nlist, m, ksub, iters, idCol, vecCol), path)
-      stampIndex(spark, path, stamp)
-    }
+    val stamp = sourceStamp(spark, dir, corpus)
+    if (!indexFresh(spark, path, stamp))
+      publishIndex(spark, path, stamp) { staging =>
+        saveIvfPq(buildIvfPq(corpus, nlist, m, ksub, iters, idCol, vecCol), staging)
+      }
     loadIvfPq(spark, path, corpus, idCol, vecCol)
   }
 

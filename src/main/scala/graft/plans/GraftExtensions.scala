@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, KGramFold31}
+import graft.functions.{BloomContains, DotProduct, KGramFold31}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_kgram31"),
       new ExpressionInfo(classOf[KGramFold31].getName, "graft_kgram31"),
       (children: Seq[Expression]) => KGramFold31(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomContains(children.head, children(1))))
     // free necessary-condition guard for levenshtein thresholds (see rule)
     ext.injectOptimizerRule(_ => new LevenshteinPrefilter)
   }

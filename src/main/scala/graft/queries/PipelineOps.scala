@@ -255,6 +255,40 @@ object PipelineOps {
         d.select("doc_id", "text").unionByName(snip), n = 3, threshold = 0.9)
     },
 
+    // ---- D13b: containment at SCALE — prefix-filter candidates (rarest-
+    //      first global shingle order, pigeonhole-exact: the smaller doc's
+    //      (1−t)·m+1 prefix must hit the larger doc's postings) + exact
+    //      verify over candidates only. Same oracle as d13 because the
+    //      candidate generator has ZERO miss probability — the d2→d3
+    //      discipline for the asymmetric measure, minus the recall
+    //      caveat. Hot boilerplate shingles sort last in the DF-ascending
+    //      order and stay out of prefixes, so the quadratic posting-list
+    //      blowup of the exact inverted index cannot happen (skew probe in
+    //      LlmSpec). ------------------------------------------------------
+    "d13b_containment_prefix" -> Q(
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 20000,
+        |                array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+        |              FROM documents WHERE doc_id < 20),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, c * 1.0 / least(n1.n, n2.n) AS containment
+        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / least(n1.n, n2.n) >= 0.9""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val snip = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      Dedup.containmentPairsPrefix(
+        d.select("doc_id", "text").unionByName(snip), n = 3, threshold = 0.9)
+    },
+
     // ---- X18: dedup-rate report — pipeline observability over the
     //      d-suite: which SOURCE is feeding the corpus duplicates (the
     //      dashboard a curation team actually watches). Near-dup doc set

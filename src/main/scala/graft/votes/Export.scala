@@ -128,35 +128,43 @@ object Export {
   }
 
   /** Distributed full-corpus export: ONE shuffle keyed by (year, chamber),
-    * each group's CSV assembled inside its executor task, small finished
-    * byte arrays collected and written by the driver. Replaces a driver
-    * loop of per-group filter + distinct + pivot + collect jobs over the
-    * whole corpus (38 × multiple full scans) with a single pass — and is
-    * the shape that still works when the corpus no longer fits one scan
-    * per output file.
+    * each group's CSV assembled AND written inside its executor task via
+    * the Hadoop FileSystem API (file://, hdfs://, s3a:// — whatever `root`
+    * resolves to). No bytes ever pass through the driver: the former
+    * toLocalIterator + driver write loop serialized every finished matrix
+    * through one machine, which caps export throughput at the driver NIC
+    * at corpus scale; here the only driver work is scheduling. The
+    * driver's Hadoop configuration is shipped as a plain property map so
+    * task-side FileSystem resolution honours session-level fs settings.
     */
   def writeAllDistributed(spark: SparkSession, long: DataFrame, root: String): Unit = {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
     val ds = long.select(
       (Seq("year", "chamber") ++ matrixCols).map(col): _*)
-    val files = ds
-      .groupByKey(r => (r.getInt(0), r.getInt(1)))
+    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val confB = spark.sparkContext.broadcast(confMap)
+    ds.groupByKey(r => (r.getInt(0), r.getInt(1)))
       .mapGroups { (key, it) =>
         // group rows carry (year, chamber) in front; strip to matrixCols order
         val bytes = csvBytesLocal(it.map(r =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(2))))
         (key._1, key._2, bytes)
       }
-    // toLocalIterator, not collect: the driver holds ONE finished matrix
-    // at a time, so driver memory is bounded by the largest group, not
-    // the whole export
-    val it = files.toLocalIterator()
-    while (it.hasNext) {
-      val (y, c, bytes) = it.next()
-      val dir = java.nio.file.Paths.get(root, y.toString)
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve(Chamber.title(c) + ".csv"), bytes)
-    }
+      .foreachPartition { (it: Iterator[(Int, Int, Array[Byte])]) =>
+        if (it.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          confB.value.foreach { case (k, v) => conf.set(k, v) }
+          it.foreach { case (y, c, bytes) =>
+            val path = new org.apache.hadoop.fs.Path(
+              s"$root/$y/${Chamber.title(c)}.csv")
+            val fs = path.getFileSystem(conf)
+            val out = fs.create(path, true) // mkdirs implied by create
+            try out.write(bytes) finally out.close()
+          }
+        }
+      }
   }
 
   /** Write every complete (year, chamber) group under `root` in the

@@ -96,4 +96,20 @@ class IvfPqPersistSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(run(idx1) === run(idx2))
   }
+
+  test("a different corpus from the same dir rebuilds instead of serving stale") {
+    // the stamp folds in the corpus plan's semantic hash: a FILTERED
+    // corpus over the same embeddings file must not be served the
+    // full-corpus index (the r4 footgun), and vice versa
+    val full = Similarity.loadOrBuildIvf(spark, dir, emb, nlist = 8)
+    val fullAssigned = full.lists.count()
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val halfIdx = Similarity.loadOrBuildIvf(spark, dir, half, nlist = 8)
+    val halfAssigned = halfIdx.lists.count()
+    assert(halfAssigned < fullAssigned,
+      s"filtered corpus served the full-corpus index ($halfAssigned rows)")
+    // and flipping back rebuilds again rather than serving the half index
+    val full2 = Similarity.loadOrBuildIvf(spark, dir, emb, nlist = 8)
+    assert(full2.lists.count() === fullAssigned)
+  }
 }

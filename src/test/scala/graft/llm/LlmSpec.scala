@@ -611,4 +611,64 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty, "split should produce real overlap")
     assert(bloom === exact)
   }
+
+  test("prefix-filter containment equals the exact quadratic operator") {
+    import spark.implicits._
+    val d = docs.select("doc_id", "text")
+    // plant snippet docs: first 30 words of 20 docs → containment 1.0
+    // against their source at Jaccard far below any τ
+    val snip = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+    val corpus = d.unionByName(snip)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id1"), col("id2"), round(col("containment"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = toSet(Dedup.containmentPairs(corpus, n = 3, threshold = 0.9))
+    val prefix = toSet(Dedup.containmentPairsPrefix(corpus, n = 3, threshold = 0.9))
+    assert(exact.nonEmpty, "planted snippets must produce containment pairs")
+    assert(prefix === exact,
+      "prefix filtering is pigeonhole-exact: identical pair set required")
+  }
+
+  test("prefix-filter candidates stay bounded under a 30%-shared boilerplate shingle") {
+    import spark.implicits._
+    // 300 docs of unique words; 90 (30%) share one boilerplate sentence.
+    // The exact inverted index expands the hot posting list to
+    // 90*89/2 = 4005 pairs; the DF-ascending prefix order keeps the
+    // boilerplate shingles out of every prefix (each doc has 10+ rarer
+    // unique shingles), so the prefix path generates ZERO candidates here.
+    val boiler = "terms of service apply to all pages on this site"
+    val rows = (0 until 300).map { i =>
+      val unique = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      val text = if (i % 10 < 3) s"$unique $boiler" else unique
+      (i.toLong, text)
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    val nCands =
+      Dedup.containmentCandidatesPrefix(corpus, n = 3, threshold = 0.9).count()
+    assert(nCands === 0,
+      s"boilerplate-only overlap must not reach the candidate set: $nCands")
+    // and the full operator still finds nothing (no pair reaches τ=0.9)
+    assert(Dedup.containmentPairsPrefix(corpus, n = 3, threshold = 0.9).count() === 0)
+  }
+
+  test("chunked posting-list expansion emits every pair exactly once") {
+    import spark.implicits._
+    // one hot posting list (97 ids — not a multiple of the chunk width) +
+    // one small list; chunked path must match the in-place expansion
+    val postings = Seq(
+      (1L to 97L).toArray.sorted,
+      Array(200L, 201L, 202L)
+    ).toDF("_ids")
+    def pairs(maxChunk: Int) =
+      Dedup.postingPairs(postings, maxChunk)
+        .as[(Long, Long)].collect().toSeq
+    val inPlace = pairs(maxChunk = 1000)
+    val chunked = pairs(maxChunk = 8)
+    assert(inPlace.size === 97 * 96 / 2 + 3)
+    assert(chunked.sorted === inPlace.sorted, "same multiset of pairs")
+    assert(chunked.distinct.size === chunked.size, "no pair emitted twice")
+    assert(chunked.forall { case (a, b) => a < b })
+  }
 }
