@@ -117,4 +117,96 @@ object Multimodal {
       .withColumn("meta", struct(length(col("data")).cast("long").as("n_bytes"),
         col("meta.source").as("source")))
   }
+
+  // --------------------------------------------------------------------
+  // REAL image decode — the JDK's javax.imageio needs no native codecs
+  // (PNG/JPEG/BMP/GIF), so this leg of m1 runs actual bytes→pixels in
+  // this sandbox. Same batched mapPartitions stage shape as the stub:
+  // swap `decodeImage` for a heavier codec and nothing else moves.
+  // --------------------------------------------------------------------
+
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode one payload. None for undecodable bytes (wrong format,
+    * truncated file) — corrupt records are a fact of any 100 TB media
+    * crawl, and a throw here would kill the task for the whole batch;
+    * flatMap'ing the Option drops them instead (count the drop rate
+    * upstream if it matters).
+    */
+  def decodeImage(data: Array[Byte]): Option[ImageFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException => null }
+    Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
+      val (w, h) = (i.getWidth, i.getHeight)
+      // one bulk grab, not w×h getRGB calls
+      val px = i.getRGB(0, 0, w, h, null, 0, w)
+      var (r, g, b) = (0L, 0L, 0L)
+      var j = 0
+      while (j < px.length) {
+        r += (px(j) >> 16) & 0xFF; g += (px(j) >> 8) & 0xFF; b += px(j) & 0xFF
+        j += 1
+      }
+      val n = w.toLong * h
+      ImageFeatures(0L, w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+  }
+
+  /** Real-decode twin of [[extractFeatures]]: dimensions + per-channel
+    * means via ImageIO, per-partition batched, undecodable rows dropped.
+    */
+  def extractImageFeatures(media: DataFrame, targetPartitions: Int = 0): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        decodeImage(data).map(_.copy(media_id = id))
+      })
+  }
+
+  /** Real resize: scale so the longer edge is ≤ `maxDim` (never
+    * upscales), re-encode as PNG. Returns the media frame shape — id,
+    * mime, data, meta — so it drops into the same pipeline slot as
+    * [[resizeStub]]. Undecodable payloads pass through UNCHANGED (same
+    * rationale as [[decodeImage]]: a resize stage must not drop or kill
+    * on corrupt records; a downstream decode stage counts them).
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("data"), col("meta.source"))
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, mime, data, source) =>
+        val resized = for {
+          img <- Option(
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+            catch { case _: java.io.IOException => null })
+          if img.getWidth > 0 && img.getHeight > 0
+          if math.max(img.getWidth, img.getHeight) > maxDim
+        } yield {
+          val s = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val (w, h) = (math.max(1, (img.getWidth * s).round.toInt),
+            math.max(1, (img.getHeight * s).round.toInt))
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, w, h, null)
+          g2.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          ("image/png", buf.toByteArray)
+        }
+        val (outMime, outData) = resized.getOrElse((mime, data))
+        (id, outMime, outData, outData.length.toLong, source)
+      })
+      .toDF("media_id", "mime", "data", "n_bytes", "source")
+      .select(col("media_id"), col("mime"), col("data"),
+        struct(col("n_bytes"), col("source")).as("meta"))
+  }
 }

@@ -777,8 +777,11 @@ object Similarity {
     val spark = index.codes.sparkSession
     import spark.implicits._
     // meta last: its _SUCCESS is the load-side completeness marker, so a
-    // partially-written index (killed mid-save) is rebuilt, never served
-    Seq((index.m, index.sub)).toDF("m", "sub")
+    // partially-written index (killed mid-save) is rebuilt, never served.
+    // n_base records the trained-corpus size — the denominator of the
+    // delta-share retrain trigger ([[ivfpqDeltaFraction]]).
+    val nBase = index.codes.select("cid").distinct().count()
+    Seq((index.m, index.sub, nBase)).toDF("m", "sub", "n_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -839,6 +842,123 @@ object Similarity {
         saveIvfPq(buildIvfPq(corpus, nlist, m, ksub, iters, idCol, vecCol), staging)
       }
     loadIvfPq(spark, path, corpus, idCol, vecCol)
+  }
+
+  /** Encode delta vectors against a FROZEN index model: coarse-assign to
+    * the EXISTING centroids, residual against the existing unit
+    * centroids, PQ codes from the existing codebook — the exact encode
+    * pipeline of [[buildIvfPq]] minus all training. Output schema matches
+    * the persisted codes table (cid, _cl, _s, _code).
+    */
+  def encodeIvfPqDelta(index: IvfPqIndex, delta: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val d = cleanVectors(delta, idCol, vecCol, "cid", "_cv")
+    val lists = nearestCentroid(d, "_cv", index.centroids, 1)
+    val dres = residuals(lists, "cid", "_cv", index.ucent)
+    val dsub = splitSub(dres, Seq("cid", "_cl"), "_rv", index.m, index.sub)
+    assignCodes(dsub, Seq("cid", "_cl"), index.codebook)
+      .select("cid", "_cl", "_s", "_code")
+  }
+
+  /** Incremental index maintenance: merge a delta into the persisted
+    * codes table at `path` WITHOUT retraining — new vectors are encoded
+    * with the frozen model ([[encodeIvfPqDelta]]) and appended into their
+    * list partitions (a metadata-committed parquet append: a crash
+    * mid-append leaves only uncommitted temp files, never half-visible
+    * rows). At 100 TB this is the difference between an O(delta) nightly
+    * ingest and an O(corpus) retrain; the price is drift — appended
+    * vectors are quantized by centroids/codebooks that never saw them —
+    * which [[ivfpqRetrainDue]] bounds by delta share.
+    *
+    * `grownCorpus` (base ∪ delta) supplies exact vectors for the refine
+    * re-rank of the returned index. Frequent small appends accumulate
+    * small files per list partition; the full retrain that
+    * [[maintainIvfPq]] eventually triggers doubles as the compaction.
+    */
+  def appendIvfPqDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                       delta: DataFrame, grownCorpus: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IvfPqIndex = {
+    require(indexComplete(spark, path), s"no complete index at $path to append to")
+    val index = loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
+    encodeIvfPqDelta(index, delta, idCol, vecCol)
+      .write.mode("append").partitionBy("_cl").parquet(s"$path/codes")
+    loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
+  }
+
+  /** Share of the served index that was delta-appended since the last
+    * full train: (vectors now − vectors at train) / vectors at train.
+    * Counts the codes table via parquet row-group metadata (no data
+    * scan). Pre-n_base indexes report 0 (never due — they predate the
+    * trigger; the next full rebuild stamps them).
+    */
+  def ivfpqDeltaFraction(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Double = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (!meta.columns.contains("n_base")) 0.0
+    else {
+      val row = meta.head()
+      val nBase = row.getAs[Long]("n_base")
+      val m = row.getAs[Int]("m")
+      val nNow = spark.read.parquet(s"$path/codes").count() / m
+      if (nBase <= 0) 0.0 else (nNow - nBase).toDouble / nBase
+    }
+  }
+
+  /** Retrain trigger: the appended share crossed `maxDeltaFraction`.
+    * Delta share is the right proxy for quantization drift here — every
+    * appended vector is coded by a model trained without it, so ADC
+    * error grows monotonically with the share of such vectors; a
+    * distribution-shift statistic would catch drift sooner but needs a
+    * baseline the index doesn't carry.
+    */
+  def ivfpqRetrainDue(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxDeltaFraction: Double = 0.2): Boolean =
+    ivfpqDeltaFraction(spark, path) > maxDeltaFraction
+
+  /** The maintenance entry point a scheduled ingest calls: append the
+    * delta while the accumulated delta share (INCLUDING the incoming
+    * batch) stays under `maxDeltaFraction`; once it crosses, full-retrain
+    * on the grown corpus through the staged atomic publish — which also
+    * compacts the appended partition files and resets the share to 0.
+    * Either way the persisted index ends stamped for `grownCorpus`, so a
+    * later [[loadOrBuildIvfPq]] with the same corpus serves it as-is.
+    */
+  def maintainIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    delta: DataFrame, grownCorpus: DataFrame,
+                    nlist: Int = 16, m: Int = 4, ksub: Int = 16,
+                    iters: Int = 2, maxDeltaFraction: Double = 0.2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfPqIndex = {
+    val path = ivfpqIndexPath(dir, nlist, m, ksub, iters)
+    val stamp = sourceStamp(spark, dir, grownCorpus)
+    val deltaShare =
+      if (!indexComplete(spark, path)) Double.PositiveInfinity
+      else {
+        val meta = spark.read.parquet(s"$path/meta")
+        if (!meta.columns.contains("n_base")) Double.PositiveInfinity
+        else {
+          val nBase = meta.head().getAs[Long]("n_base")
+          val nNow = spark.read.parquet(s"$path/codes").count() / m
+          if (nBase <= 0) Double.PositiveInfinity
+          else (nNow + delta.count() - nBase).toDouble / nBase
+        }
+      }
+    if (deltaShare > maxDeltaFraction) {
+      publishIndex(spark, path, stamp) { staging =>
+        saveIvfPq(buildIvfPq(grownCorpus, nlist, m, ksub, iters, idCol, vecCol),
+          staging)
+      }
+      loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
+    } else {
+      val merged = appendIvfPqDelta(spark, path, delta, grownCorpus, idCol, vecCol)
+      // restamp LAST: a crash between append and stamp leaves a stamp
+      // mismatching the grown corpus → the next loadOrBuild rebuilds
+      // fully; never a stale or half-merged serve
+      stampIndex(spark, path, stamp)
+      merged
+    }
   }
 
   def ivfpqQuery(index: IvfPqIndex, queries: DataFrame, k: Int,

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core peeling over a canonical undirected edge list (u < v, distinct):
+  * repeatedly drop every node whose degree fell below k, until no round
+  * changes the edge set — the fixpoint is THE k-core (the unique maximal
+  * subgraph with min degree ≥ k), independent of peel order.
+  *
+  * Shape per round: one map-side-combinable degree count over edge
+  * endpoints + two semi-join filters against the survivor list (node-table
+  * sized — Catalyst/AQE broadcasts it while it fits, shuffle-joins beyond;
+  * no hint on purpose). Lineage is cut every round (`localCheckpoint`),
+  * the same discipline as PageRank/LPA — without it the plan doubles per
+  * round and round 20 replays rounds 1–19.
+  *
+  * Convergence costs one `count()` action per round. Rounds are bounded by
+  * the CASCADE DEPTH (longest chain of "dropping A pulls B under k"), not
+  * the node count: on the sf0.01/sf0.1 co-purchase graph k=80 converges in
+  * 6 rounds (measured, recorded in KCoreSpec), and the per-round cost
+  * SHRINKS as edges peel away. A graph adversarially built as one long
+  * dependency chain degenerates to O(diameter) rounds — the known price of
+  * synchronous peeling; at that point a user wants the bounded-round
+  * operator (g4) as an explicit-contract fallback.
+  */
+object KCore {
+
+  /** Endpoint degrees of a canonical (u < v) edge list. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("_d"))
+
+  /** Peel `edges` to the k-core fixpoint. Returns the surviving edge list
+    * and the number of peel rounds executed (the final round is the one
+    * that observed no change — a 2-round result means one real cascade
+    * step plus the confirming no-op).
+    */
+  def peelToFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 100): (DataFrame, Int) = {
+    var e = edges.localCheckpoint(false)
+    var n = e.count()
+    var rounds = 0
+    var converged = n == 0L
+    while (!converged && rounds < maxRounds) {
+      val keep = degrees(e).filter(col("_d") >= k).select("node")
+      val next = e.join(keep.withColumnRenamed("node", "u"), "u")
+        .join(keep.withColumnRenamed("node", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint(false)
+      val m = next.count()
+      rounds += 1
+      converged = m == n
+      e = next
+      n = m
+    }
+    (e, rounds)
+  }
+
+  /** Per-node degrees inside the core — the publishable result shape
+    * (every degree ≥ k by construction once converged).
+    */
+  def coreDegrees(coreEdges: DataFrame): DataFrame =
+    coreEdges.select(col("u").as("node"))
+      .unionByName(coreEdges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+}

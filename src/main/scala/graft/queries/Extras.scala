@@ -29,6 +29,31 @@ object Extras {
     s"(((x >> $j) & 1) << ${2 * j})",
     s"(((y >> $j) & 1) << ${2 * j + 1})")).mkString(" | ")
 
+  /** g4b oracle: 8 unrolled peel rounds over the co-purchase graph —
+    * deeper than any measured convergence (6 rounds at sf0.01/sf0.1,
+    * KCoreSpec), and safe to over-unroll because peeling past the
+    * fixpoint is a no-op. Generated, not hand-written, so the round
+    * count is one constant.
+    */
+  private val g4bOracle: String = {
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // CTE three times, so inlining expands 3^8 copies of the lineitem
+    // scan (DuckDB dies on open file handles before it dies on work).
+    val rounds = (1 to 8).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |       GROUP BY 1 HAVING count(*) >= 80),
+         |e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+         |       JOIN k$i a ON a.node = e${i - 1}.u JOIN k$i b ON b.node = e${i - 1}.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |       FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS degree
+       |FROM (SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Stable scratch path under java.io.tmpdir, namespaced by pid so
     * concurrent JVMs (verify vs bench) never collide; reused across
     * invocations within a process (writers use overwrite mode).
@@ -1052,6 +1077,28 @@ object Extras {
       }
       e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
+    },
+
+    // ---- G4b: CONVERGENT k-core — the fixpoint the bounded-round g4
+    //      stops short of: peel until a round removes nothing, so the
+    //      result is the true k-core (unique maximal subgraph with min
+    //      degree ≥ k, peel-order independent). k = 80 is the regime
+    //      where this graph's core is NON-degenerate: a genuine 6-round
+    //      cascade to a surviving core at sf0.01 AND sf0.1 (measured in
+    //      KCoreSpec; k=85 empties it, k=60 converges in 2). The oracle
+    //      unrolls 8 rounds — more than any measured convergence depth —
+    //      which is safe BECAUSE peeling is idempotent at the fixpoint:
+    //      extra unrolled rounds are no-ops, so "Spark iterates until
+    //      converged" and "SQL replays 8 rounds" meet at the same edge
+    //      set. Note the synthetic co-purchase graph is near-regular
+    //      (deg 42..206 at sf0.01), so non-degeneracy needs k inside
+    //      that band; no projection of the uniform testdata is skewed
+    //      enough to cascade from a small k — probed across
+    //      customer–supplier, part–supplier, and doc-shingle graphs. ---
+    "g4b_kcore_converge" -> Q(g4bOracle) { (s, dir) =>
+      val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
+      val (core, _) = graft.ops.KCore.peelToFixpoint(e, k = 80)
+      graft.ops.KCore.coreDegrees(core)
     },
 
     // ---- G5: local clustering coefficient — how tightly each node's

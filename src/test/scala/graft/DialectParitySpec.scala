@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** SQL-frontend breadth gate: every `oracleSql` entry that parses as
+  * Spark SQL must, when run through `spark.sql` over the same tables,
+  * produce EXACTLY the rows of its DataFrame entry — the sql1_frontend
+  * pattern widened from 5 hand-picked shapes to the whole oracle corpus.
+  * A user porting raw-SQL callsites (the reference's metro_db usage is
+  * all raw SQL) gets the breadth of this corpus as the tested dialect
+  * surface.
+  *
+  * Classification is DYNAMIC: an oracle that Spark's parser/analyzer
+  * rejects (DuckDB-only forms: `//` integer division, strftime, epoch,
+  * AS MATERIALIZED, list lambdas) is recorded as dialect-incompatible —
+  * but anything that RUNS must MATCH, and the compatible count has a
+  * floor so a parser-level regression cannot silently drain the gate.
+  * `knownDifferent` is the manual escape hatch for oracles that run on
+  * both engines with different semantics; it is EMPTY — there are none.
+  */
+class DialectParitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** name → reason, for oracles that execute under Spark SQL but are
+    * allowed to differ. Kept empty on purpose: add an entry only with a
+    * documented engine-semantics difference.
+    */
+  private val knownDifferent: Map[String, String] = Map.empty
+
+  /** check.py's canon: columns sorted by name, every value stringified
+    * (floats that are whole print as ints), rows sorted — so "equal"
+    * here is the same equivalence the driver's gate hashes.
+    */
+  private def canon(df: DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted.toSeq
+    val re = df.select(cols.map(df.col): _*)
+    def num(d: Double): String =
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else f"$d%.9e"
+    def v(x: Any): String = x match {
+      case null => "NULL"
+      case d: Double => num(d)
+      case f: Float => num(f.toDouble)
+      // Spark SQL types `bigint / 100.0` as decimal (the literal parses
+      // as decimal(4,1)) where the Column form's lit(100.0) is a double —
+      // same values, different carrier; normalize through double
+      case d: java.math.BigDecimal => num(d.doubleValue)
+      case b: Boolean => if (b) "1" else "0"
+      case s: Seq[_] => s.map(v).mkString("[", ",", "]")
+      case r: Row => r.toSeq.map(v).mkString("(", ",", ")")
+      case other => other.toString
+    }
+    re.collect().toSeq.map(_.toSeq.map(v)).sortBy(_.mkString(""))
+  }
+
+  test("every Spark-parseable oracle matches its DataFrame entry at sf0.001") {
+    def registerViews(): Unit = Tables.names.foreach { n =>
+      Tables.t(spark, dir, n).createOrReplaceTempView(n)
+    }
+    val withOracle = SparkEntry.queries.keys.toSeq.sorted
+      .flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+    var compatible = List.empty[String]
+    var incompatible = List.empty[(String, String)]
+    var mismatched = List.empty[String]
+    withOracle.foreach { case (name, sql) =>
+      // re-register per oracle: an entry body (sql1-style) may have
+      // redefined a view between iterations
+      registerViews()
+      val sqlRows =
+        try Right(canon(spark.sql(sql)))
+        catch { case e: Throwable =>
+          Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))
+        }
+      sqlRows match {
+        case Left(reason) => incompatible ::= (name, reason)
+        case Right(viaSql) =>
+          compatible ::= name
+          if (!knownDifferent.contains(name)) {
+            val viaDf = canon(SparkEntry.queries(name)(spark, dir))
+            if (viaDf != viaSql) mismatched ::= name
+          }
+      }
+    }
+    info(s"oracle corpus: ${withOracle.size} — Spark-SQL-compatible: " +
+      s"${compatible.size}, dialect-incompatible: ${incompatible.size}")
+    incompatible.sortBy(_._1).foreach { case (n, r) => info(s"  [duckdb-only] $n — $r") }
+    assert(mismatched.isEmpty,
+      s"spark.sql(oracle) != DataFrame entry for: ${mismatched.sorted.mkString(", ")}")
+    // floor: a regression that starts rejecting previously-runnable
+    // oracles must trip the gate, not shrink the denominator (measured
+    // r5: 82 of 158 oracles run under Spark SQL as written — the rest
+    // are DuckDB-only forms: `//` integer division, strftime/epoch,
+    // quantile_cont, list lambdas, AS MATERIALIZED, FILTER clauses)
+    assert(compatible.size >= 78,
+      s"only ${compatible.size} oracles ran under Spark SQL (floor 78); " +
+        s"rejected: ${incompatible.sortBy(_._1).map(_._1).mkString(", ")}")
+  }
+}
