@@ -76,8 +76,10 @@ object Bench {
       "stores/partition setup (stateless t10 pays 1.0s on the same " +
       "harness), not state churn; export_writeall is a single run of the " +
       "distributed writeAllDistributed path (one shuffle, per-group " +
-      "executor-side CSV assembly — 16-22s incl. meltAll ingest of all 38 " +
-      "published CSVs, vs 616s for the r2 driver-loop pivot path); r3 " +
+      "executor-side CSV assembly AND task-side writes; r5: meltAll " +
+      "ingest parses the 38 published CSVs in executor tasks too — " +
+      "~7s end-to-end, vs 26s driver-side melt, vs 616s for the r2 " +
+      "driver-loop pivot path); r3 " +
       "TimeOne warm isolates: d7 4.7s, t12 7.1s (micro-batch drain + " +
       "exact-verify stage, both per-invocation fixed costs), d4b 4.3s " +
       "(verification twin — its 31-bit space deliberately saturates, " +

@@ -562,8 +562,8 @@ object Dedup {
     * last chunk absorbs the remainder when `maxDist + 1` does not divide
     * `bits` — any pair within distance d still shares ≥ 1 exact chunk.
     */
-  private def hammingPairs(fingerprints: DataFrame, maxDist: Int, bits: Int,
-                           idCol: String): DataFrame = {
+  private[llm] def hammingPairs(fingerprints: DataFrame, maxDist: Int, bits: Int,
+                                idCol: String): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64]: $bits")
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist must be in [0, $bits): $maxDist")

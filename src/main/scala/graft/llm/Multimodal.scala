@@ -168,6 +168,91 @@ object Multimodal {
       })
   }
 
+  /** Deterministic synthetic PNG: a 90×80 grid of 10×10 blocks whose
+    * brightness is MurmurHash3(pattern, row, col) — plus a global
+    * brightness shift, which dHash's local comparisons cancel. Two
+    * images with the same `pattern` are perceptual twins at any shifts;
+    * different patterns are far apart. The media generator for the m4
+    * entry and the specs: the testdata ships no images, so the demo
+    * corpus is rendered ON THE EXECUTORS (headless AWT), which also
+    * makes the decode stage's input real PNG bytes end-to-end.
+    */
+  def syntheticPatternPng(pattern: Long, brightnessShift: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(90, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    for (br <- 0 until 8; bc <- 0 until 9) {
+      val v0 = math.abs(scala.util.hashing.MurmurHash3
+        .productHash((pattern, br, bc)) % 200) + 20
+      val v = math.min(255, v0 + brightnessShift)
+      g.setColor(new java.awt.Color(v, v, v))
+      g.fillRect(bc * 10, br * 10, 10, 10)
+    }
+    g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) — the classic perceptual image
+    * fingerprint: resample the decoded image to a 9×8 luma grid
+    * (bilinear), set bit r·8+c when cell (r,c) is darker than its right
+    * neighbor. Robust to re-encoding, scaling, and mild global
+    * brightness/contrast shifts (the bit is a LOCAL comparison, so a
+    * constant added to every pixel cancels); Hamming distance between
+    * hashes tracks visual difference. None for undecodable bytes.
+    */
+  def dHash(data: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException => null }
+    Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
+      val grid = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = grid.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(i, 0, 0, 9, 8, null)
+      g2.dispose()
+      val px = grid.getRGB(0, 0, 9, 8, null, 0, 9)
+      def luma(p: Int): Int =
+        (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114) / 1000
+      var h = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (luma(px(r * 9 + c)) < luma(px(r * 9 + c + 1)))
+          h |= 1L << (r * 8 + c)
+      h
+    }
+  }
+
+  /** (media_id, simhash) perceptual fingerprints — the column is named
+    * `simhash` so the d4 Hamming machinery applies unchanged. Same
+    * batched stage shape as [[extractImageFeatures]]; undecodable rows
+    * drop.
+    */
+  def imageDHashes(media: DataFrame, targetPartitions: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) => dHash(data).map(id -> _) })
+      .toDF("media_id", "simhash")
+  }
+
+  /** Perceptual near-duplicate image pairs: real decode → dHash → the d4
+    * pigeonhole chunk equi-join (any pair within Hamming `maxDist` shares
+    * at least one exact chunk of the fingerprint split `maxDist`+1 ways).
+    * The 100 TB shape: pixels never shuffle — after the batched decode
+    * stage only 8-byte fingerprints move, and candidate generation is an
+    * equi-join, not an all-pairs scan.
+    */
+  def perceptualDupPairs(media: DataFrame, maxDist: Int,
+                         targetPartitions: Int = 0): DataFrame =
+    Dedup.hammingPairs(imageDHashes(media, targetPartitions), maxDist,
+      bits = 64, "media_id")
+
   /** Real resize: scale so the longer edge is ≤ `maxDim` (never
     * upscales), re-encode as PNG. Returns the media frame shape — id,
     * mime, data, meta — so it drops into the same pipeline slot as

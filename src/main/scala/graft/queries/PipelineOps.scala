@@ -1294,6 +1294,30 @@ object PipelineOps {
           count(lit(1)).as("n_copies"))
     },
 
+    // ---- M4: perceptual image dedup over REAL decoded pixels ----------
+    //      end-to-end distributed: render one PNG per document on the
+    //      executors (testdata ships no images; pattern = doc_id div 10,
+    //      brightness shift = doc_id mod 10 → groups of 10 perceptual
+    //      twins), ImageIO-decode → dHash 9×8 luma grid → pigeonhole
+    //      chunk equi-join. Only 8-byte fingerprints ever shuffle. NO
+    //      SQL oracle can decode PNGs → no_oracle; the kernel's
+    //      invariances (brightness cancels exactly, rescale survives,
+    //      patterns separate) are spec-verified in MultimodalImageSpec,
+    //      and the group structure here makes the expected pairing
+    //      self-evident: every pair inside a div-10 group, none across.
+    "m4_perceptual_dedup" -> Q.rowsOnly { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          id -> Multimodal.syntheticPatternPng(id / 10, (id % 10).toInt)
+        })
+        .toDF("media_id", "data")
+      Multimodal.perceptualDupPairs(media, maxDist = 10)
+        .groupBy((col("id1") / 10).cast("long").as("pattern_group"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("hamming")).as("max_hamming"))
+    },
+
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
     "t2_stream_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -1541,6 +1565,48 @@ object PipelineOps {
         EventStream.readEvents(ss, dir), gapMinutes = 240)
       EventStream.runToMemory(out.toDF(),
         s"t16_sess_${streamSeq.incrementAndGet()}", mode = "append")
+    },
+
+    // ---- T17 (stateful streaming): LEFT OUTER stream-stream join ------
+    //      the null-emission-on-watermark mechanism t6's inner join never
+    //      exercises: an unmatched click emits its single null-purchase
+    //      row only when the watermark proves no purchase can still
+    //      arrive (append mode cannot retract a premature null); clicks
+    //      whose expiry the final watermark hasn't passed never emit.
+    //      The oracle replays the eviction boundary in the same floored-
+    //      millisecond integer arithmetic as t16, with one join-specific
+    //      twist (calibrated against the engine at sf0.01): each side's
+    //      watermark node sees its own FILTERED stream, so the query
+    //      watermark is min(max click ts, max purchase ts) − delay, and a
+    //      click expires at (c_us // 1000) + window_ms < that, strict.
+    "t17_stream_outer_join" -> Q(
+      """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, event_id AS p_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.user_id, c.c_id, p.p_id FROM c JOIN p
+        |      ON c.user_id = p.p_user
+        |     AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000),
+        |wm AS (SELECT least((SELECT max(c_us) FROM c),
+        |                    (SELECT max(p_us) FROM p)) // 1000
+        |               - 3600000 AS w),
+        |x AS (SELECT c.user_id, c.c_id FROM c, wm
+        |      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+        |        AND (c.c_us // 1000) + 600000 < wm.w),
+        |u AS (SELECT user_id, CAST(1 AS BIGINT) AS pair, CAST(0 AS BIGINT) AS expired FROM m
+        |      UNION ALL
+        |      SELECT user_id, 0, 1 FROM x)
+        |SELECT user_id, CAST(sum(pair) AS BIGINT) AS n_pairs,
+        |       CAST(sum(expired) AS BIGINT) AS n_expired
+        |FROM u GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val joined = EventStream.clickPurchaseLeftJoin(
+        EventStream.readEvents(ss, dir), 10)
+      val drained = EventStream.runToMemory(joined,
+        s"t17_outer_${streamSeq.incrementAndGet()}", mode = "append")
+      drained.groupBy("user_id")
+        .agg(count(col("p_id")).as("n_pairs"),
+          count(when(col("p_id").isNull, 1)).as("n_expired"))
     },
 
     // ---- T5 (stateful streaming): gap sessionization -------------------

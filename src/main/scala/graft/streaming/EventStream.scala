@@ -150,6 +150,33 @@ object EventStream {
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the mechanism the inner
+    * join ([[clickPurchaseJoin]]) never exercises: an unmatched click
+    * emits exactly one null-purchase row at the moment the WATERMARK
+    * proves no purchase can still match it (right-side event time would
+    * have to exceed click + window, which the watermark has passed) —
+    * never earlier (a premature null would be retracted by a late
+    * purchase, which append mode cannot do), never twice. Clicks whose
+    * expiry the final watermark hasn't reached when the stream drains
+    * stay unemitted — the same bounded-state contract as t16's session
+    * timeouts, and the t17 oracle replays the boundary in integer
+    * millisecond arithmetic.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+  }
+
   final case class TimedSession(user_id: Long, session_start_us: Long,
                                 session_end_us: Long, n_events: Long)
   final case class TimedSessState(startUs: Long, lastUs: Long, n: Long)

@@ -84,8 +84,12 @@ object VoteMatrix {
     * (the reference's roll order is crawl-id-derived and not
     * reconstructible from the data — SURVEY.md §7 risk 5).
     */
-  def melt(spark: SparkSession, path: String, year: Int, chamber: Int): DataFrame = {
-    val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+  /** Pure melt core: one wide CSV's text → long rows. Serializable-free
+    * and Spark-free so it runs identically on the driver (single-file
+    * [[melt]]) and inside executor tasks ([[meltAll]]'s per-file parse).
+    */
+  private def meltRows(text: String, path: String, year: Int,
+                       chamber: Int): Seq[Row] = {
     val recs = parseCsv(text)
     val header = recs.head
     require(header.take(3) == Vector("Name", "Number", "Date"), s"bad header in $path")
@@ -102,31 +106,60 @@ object VoteMatrix {
         val p = body.head.drop(3); body = body.tail; p
       } else Vector.fill(nm)("")
 
-    val rows = for {
+    for {
       (rec, idx) <- body.zipWithIndex
       m <- 0 until nm
     } yield Row(year, chamber, idx, rec(0), rec(1).toInt, rec(2), m, members(m),
       if (m < districts.length && districts(m).nonEmpty) districts(m) else null,
       if (m < parties.length && parties(m).nonEmpty) parties(m) else null,
       if (rec(3 + m).nonEmpty) rec(3 + m) else null)
-
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), longSchema)
   }
 
-  /** Read every CSV under a vote_data-layout root into one long DataFrame. */
+  def melt(spark: SparkSession, path: String, year: Int, chamber: Int): DataFrame = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(meltRows(text, path, year, chamber)), longSchema)
+  }
+
+  /** Read every CSV under a vote_data-layout root into one long DataFrame.
+    * The per-file parse runs in EXECUTOR TASKS (one per file), not a
+    * driver loop: the former 38-iteration driver melt single-threaded
+    * ~2M long rows through one core and shipped them out via parallelize
+    * — the read-side mirror of the export write bottleneck. Listing and
+    * byte access go through the Hadoop FileSystem of the root's scheme,
+    * so hdfs:// and s3a:// corpora work like file://.
+    */
   def meltAll(spark: SparkSession, root: String): DataFrame = {
-    val base = Paths.get(root)
-    val files = Files.list(base).toArray.map(_.toString).sorted.flatMap { yearDir =>
-      val y = Paths.get(yearDir).getFileName.toString
-      if (y.forall(_.isDigit))
-        Files.list(Paths.get(yearDir)).toArray.map(_.toString).sorted.collect {
-          case f if f.endsWith(".csv") =>
-            val chamber = Chamber.fromLetter(Paths.get(f).getFileName.toString.stripSuffix(".csv"))
-            (f, y.toInt, chamber)
-        }
-      else Array.empty[(String, Int, Int)]
-    }
-    files.map { case (f, y, c) => melt(spark, f, y, c) }.reduce(_ unionByName _)
+    import scala.jdk.CollectionConverters._
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(rootPath).toSeq.map(_.getPath)
+      .sortBy(_.getName)
+      .flatMap { yearDir =>
+        val y = yearDir.getName
+        if (y.forall(_.isDigit))
+          fs.listStatus(yearDir).toSeq.map(_.getPath).sortBy(_.getName).collect {
+            case f if f.getName.endsWith(".csv") =>
+              (f.toString, y.toInt,
+                Chamber.fromLetter(f.getName.stripSuffix(".csv")))
+          }
+        else Seq.empty
+      }
+    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val confB = spark.sparkContext.broadcast(confMap)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { case (f, y, c) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(f)
+        val in = p.getFileSystem(conf).open(p)
+        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+        meltRows(text, f, y, c)
+      }
+    spark.createDataFrame(rows, longSchema)
   }
 
   /** Re-pivot one (year, chamber) long DataFrame back into the wide CSV

@@ -46,6 +46,65 @@ class MultimodalImageSpec extends SparkSpec {
       feats(3L).mean_b === 48.0)
   }
 
+  /** Deterministic 90×80 block-pattern image: 10×10 blocks whose
+    * brightness is a hash of (seed, block row, block col) — block-aligned
+    * with the 9×8 dHash grid, so the fingerprint reflects the pattern,
+    * not resampling noise.
+    */
+  private def patterned(seed: Int, brightnessShift: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(90, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    for (br <- 0 until 8; bc <- 0 until 9) {
+      // real mixing (MurmurHash3), not an affine form: an affine
+      // v(seed, cell) differs between seeds by a CONSTANT mod the range,
+      // which preserves every local comparison and makes all patterns
+      // perceptual twins of each other
+      val v0 = math.abs(
+        scala.util.hashing.MurmurHash3.productHash((seed, br, bc)) % 200) + 20
+      val v = math.min(255, v0 + brightnessShift)
+      g.setColor(new java.awt.Color(v, v, v))
+      g.fillRect(bc * 10, br * 10, 10, 10)
+    }
+    g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("perceptual dedup: dHash survives rescale + brightness, separates patterns") {
+    val base = patterned(1)
+    // near-dups of base: globally brightened, and downscaled 3×
+    val bright = patterned(1, brightnessShift = 12)
+    val small = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val out = new java.awt.image.BufferedImage(30, 27,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      g2.drawImage(img, 0, 0, 30, 27, null)
+      g2.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      buf.toByteArray
+    }
+    val other = patterned(2)
+    val media = mediaDf(Seq(1L -> base, 2L -> bright, 3L -> small,
+      4L -> other, 5L -> "junk".getBytes("UTF-8")))
+
+    val hashes = Multimodal.imageDHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L, 4L), "corrupt row drops")
+    // a global brightness shift cancels in the local comparisons exactly
+    assert(hashes(1L) === hashes(2L), "dHash must be brightness-invariant")
+
+    val pairs = Multimodal.perceptualDupPairs(media, maxDist = 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "brightened twin must pair with base")
+    assert(pairs.contains((1L, 3L)), "rescaled twin must pair with base")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"different pattern must not pair, got $pairs")
+  }
+
   test("resize: longer edge capped, aspect kept, small images untouched") {
     val media = mediaDf(Seq(
       1L -> png(64, 32, 0xAA5500),
