@@ -44,21 +44,33 @@ case class BloomContains(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_bloom_contains"
 
-  @transient private lazy val filter: BloomFilter = {
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-  }
+  /** None when the foldable filter literal evaluates to NULL — the
+    * codegen path must then emit always-null code, not force a
+    * deserialization NPE at plan compilation (the interpreted path gets
+    * null propagation for free from nullSafeEval's framework).
+    */
+  @transient private lazy val filter: Option[BloomFilter] =
+    Option(left.eval(null).asInstanceOf[Array[Byte]])
+      .map(bytes => BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     // `a` (the filter bytes) is intentionally unused per row: the lazy
     // val above deserializes the foldable left side exactly once
-    filter.mightContainLong(b.asInstanceOf[Long])
+    filter.get.mightContainLong(b.asInstanceOf[Long])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftBloom", filter,
-      classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, (_, b) => s"${ev.value} = $ref.mightContainLong($b);")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    filter match {
+      case Some(f) =>
+        val ref = ctx.addReferenceObj("graftBloom", f,
+          classOf[BloomFilter].getName)
+        nullSafeCodeGen(ctx, ev, (_, b) => s"${ev.value} = $ref.mightContainLong($b);")
+      case None => // null filter literal → null result, per the doc contract
+        import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+        ev.copy(code =
+          code"""
+            boolean ${ev.isNull} = true;
+            boolean ${ev.value} = false;""")
+    }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): BloomContains =

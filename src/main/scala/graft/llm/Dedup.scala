@@ -106,7 +106,8 @@ object Dedup {
     * path in [[postingPairs]]: per-task pair expansion is capped at
     * HotListChunk² regardless of how hot a shingle is, so one boilerplate
     * shingle shared by a large slice of the corpus cannot pin a straggler
-    * task. 512 → ≤ ~131k pairs per block-pair row.
+    * task. 512 → ≤ 512² = ~262k cross-block pairs per block-pair row
+    * (~131k for the diagonal within-block rows).
     */
   private[graft] val HotListChunk = 512
 
@@ -169,9 +170,14 @@ object Dedup {
     // corpora) produce no pairs at zero cost, and hot posting lists take
     // the chunked path in [[postingPairs]], so per-task work is bounded
     // even under join-key skew.
+    // lazy localCheckpoint: postingPairs reads this frame in BOTH its
+    // small-list and big-list branches — without the cut each branch
+    // re-runs the collect_list aggregation (the shuffle is reused, the
+    // final hash-agg building and sorting every posting list is not)
     val postings = sh.groupBy("shingle")
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .filter(size(col("_ids")) > 1)
+      .localCheckpoint(false)
     postingPairs(postings)
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("_common"))

@@ -135,9 +135,13 @@ object Multimodal {
     * upstream if it matters).
     */
   def decodeImage(data: Array[Byte]): Option[ImageFeatures] = {
+    // NonFatal, not just IOException: hostile/corrupt payloads surface as
+    // CMMException, IllegalArgumentException, ArrayIndexOutOfBounds …
+    // from inside ImageIO — any escape would fail the task 4× and abort
+    // the whole decode job
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
       val (w, h) = (i.getWidth, i.getHeight)
       // one bulk grab, not w×h getRGB calls
@@ -203,9 +207,10 @@ object Multimodal {
     * hashes tracks visual difference. None for undecodable bytes.
     */
   def dHash(data: Array[Byte]): Option[Long] = {
+    // NonFatal — see decodeImage
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
       val grid = new java.awt.image.BufferedImage(9, 8,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -267,9 +272,9 @@ object Multimodal {
       .as[(Long, String, Array[Byte], String)]
       .mapPartitions(_.map { case (id, mime, data, source) =>
         val resized = for {
-          img <- Option(
+          img <- Option( // NonFatal — see decodeImage
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-            catch { case _: java.io.IOException => null })
+            catch { case scala.util.control.NonFatal(_) => null })
           if img.getWidth > 0 && img.getHeight > 0
           if math.max(img.getWidth, img.getHeight) > maxDim
         } yield {

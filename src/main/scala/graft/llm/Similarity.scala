@@ -779,8 +779,11 @@ object Similarity {
     // meta last: its _SUCCESS is the load-side completeness marker, so a
     // partially-written index (killed mid-save) is rebuilt, never served.
     // n_base records the trained-corpus size — the denominator of the
-    // delta-share retrain trigger ([[ivfpqDeltaFraction]]).
-    val nBase = index.codes.select("cid").distinct().count()
+    // delta-share retrain trigger ([[ivfpqDeltaFraction]]) — counted from
+    // the JUST-WRITTEN parquet's row-group metadata (each vector is
+    // exactly m code rows), not a distinct() that would re-run the whole
+    // encode lineage plus a corpus-wide shuffle.
+    val nBase = spark.read.parquet(s"$path/codes").count() / index.m
     Seq((index.m, index.sub, nBase)).toDF("m", "sub", "n_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -887,24 +890,35 @@ object Similarity {
     loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
   }
 
-  /** Share of the served index that was delta-appended since the last
-    * full train: (vectors now − vectors at train) / vectors at train.
-    * Counts the codes table via parquet row-group metadata (no data
-    * scan). Pre-n_base indexes report 0 (never due — they predate the
-    * trigger; the next full rebuild stamps them).
+  /** (vectors at train, vectors now) for a persisted index, or None when
+    * the meta predates the n_base field (or records a degenerate base).
+    * The "now" count comes from parquet row-group metadata (no data
+    * scan). ONE definition feeding both [[ivfpqDeltaFraction]] and
+    * [[maintainIvfPq]]'s trigger, so the counting scheme cannot drift
+    * between them.
     */
-  def ivfpqDeltaFraction(spark: org.apache.spark.sql.SparkSession,
-                         path: String): Double = {
+  private def ivfpqCounts(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[(Long, Long)] = {
     val meta = spark.read.parquet(s"$path/meta")
-    if (!meta.columns.contains("n_base")) 0.0
+    if (!meta.columns.contains("n_base")) None
     else {
       val row = meta.head()
       val nBase = row.getAs[Long]("n_base")
-      val m = row.getAs[Int]("m")
-      val nNow = spark.read.parquet(s"$path/codes").count() / m
-      if (nBase <= 0) 0.0 else (nNow - nBase).toDouble / nBase
+      val nNow = spark.read.parquet(s"$path/codes").count() / row.getAs[Int]("m")
+      if (nBase <= 0) None else Some((nBase, nNow))
     }
   }
+
+  /** Share of the served index that was delta-appended since the last
+    * full train: (vectors now − vectors at train) / vectors at train.
+    * Pre-n_base indexes report 0 (never due — they predate the trigger;
+    * the next full rebuild stamps them).
+    */
+  def ivfpqDeltaFraction(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Double =
+    ivfpqCounts(spark, path)
+      .map { case (nBase, nNow) => (nNow - nBase).toDouble / nBase }
+      .getOrElse(0.0)
 
   /** Retrain trigger: the appended share crossed `maxDeltaFraction`.
     * Delta share is the right proxy for quantization drift here — every
@@ -917,6 +931,25 @@ object Similarity {
                       maxDeltaFraction: Double = 0.2): Boolean =
     ivfpqDeltaFraction(spark, path) > maxDeltaFraction
 
+  /** `_pending_delta` marks an append IN FLIGHT. A parquet append whose
+    * job never committed leaves no visible rows, but a crash BETWEEN the
+    * append's commit and the restamp leaves committed delta rows with no
+    * record that they landed — a naive retry would append the same delta
+    * twice (duplicate code rows, duplicate query candidates). The marker
+    * makes that window detectable: while it exists the index is treated
+    * as possibly-half-merged and the only exit is a full retrain (which
+    * replaces the whole directory, marker included).
+    */
+  private def pendingDeltaFlag(spark: org.apache.spark.sql.SparkSession,
+                               path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_pending_delta")
+
+  private def pendingDelta(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Boolean = {
+    val p = pendingDeltaFlag(spark, path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The maintenance entry point a scheduled ingest calls: append the
     * delta while the accumulated delta share (INCLUDING the incoming
     * batch) stays under `maxDeltaFraction`; once it crosses, full-retrain
@@ -924,6 +957,13 @@ object Similarity {
     * compacts the appended partition files and resets the share to 0.
     * Either way the persisted index ends stamped for `grownCorpus`, so a
     * later [[loadOrBuildIvfPq]] with the same corpus serves it as-is.
+    *
+    * RETRY-SAFE: a crashed previous call cannot double-apply a delta —
+    * if the index is already stamped for `grownCorpus` the merge
+    * completed and is served as-is; if a `_pending_delta` marker is
+    * present a previous append may have half-landed and the call falls
+    * through to the full retrain, which rebuilds the directory from the
+    * grown corpus exactly.
     */
   def maintainIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
                     delta: DataFrame, grownCorpus: DataFrame,
@@ -933,18 +973,22 @@ object Similarity {
                     vecCol: String = "embedding"): IvfPqIndex = {
     val path = ivfpqIndexPath(dir, nlist, m, ksub, iters)
     val stamp = sourceStamp(spark, dir, grownCorpus)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (indexComplete(spark, path) && indexFresh(spark, path, stamp)) {
+      // this exact merge already completed (a retry after a crash between
+      // stamp and marker-clear lands here — finish the cleanup)
+      fs.delete(pendingDeltaFlag(spark, path), false)
+      return loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
+    }
     val deltaShare =
-      if (!indexComplete(spark, path)) Double.PositiveInfinity
-      else {
-        val meta = spark.read.parquet(s"$path/meta")
-        if (!meta.columns.contains("n_base")) Double.PositiveInfinity
-        else {
-          val nBase = meta.head().getAs[Long]("n_base")
-          val nNow = spark.read.parquet(s"$path/codes").count() / m
-          if (nBase <= 0) Double.PositiveInfinity
-          else (nNow + delta.count() - nBase).toDouble / nBase
+      if (!indexComplete(spark, path) || pendingDelta(spark, path))
+        Double.PositiveInfinity
+      else ivfpqCounts(spark, path)
+        .map { case (nBase, nNow) =>
+          (nNow + delta.count() - nBase).toDouble / nBase
         }
-      }
+        .getOrElse(Double.PositiveInfinity)
     if (deltaShare > maxDeltaFraction) {
       publishIndex(spark, path, stamp) { staging =>
         saveIvfPq(buildIvfPq(grownCorpus, nlist, m, ksub, iters, idCol, vecCol),
@@ -952,11 +996,12 @@ object Similarity {
       }
       loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
     } else {
+      // marker BEFORE the append, stamp after, clear last — every crash
+      // window either serves the completed merge or forces the retrain
+      fs.create(pendingDeltaFlag(spark, path), true).close()
       val merged = appendIvfPqDelta(spark, path, delta, grownCorpus, idCol, vecCol)
-      // restamp LAST: a crash between append and stamp leaves a stamp
-      // mismatching the grown corpus → the next loadOrBuild rebuilds
-      // fully; never a stale or half-merged serve
       stampIndex(spark, path, stamp)
+      fs.delete(pendingDeltaFlag(spark, path), false)
       merged
     }
   }

@@ -956,6 +956,40 @@ object PipelineOps {
         s"t13_ingest_${streamSeq.incrementAndGet()}", mode = "append")
     },
 
+    // ---- T18 (streaming): INDEX MAINTENANCE under ingest — each
+    //      micro-batch of embeddings is written to the corpus store
+    //      (idempotent, batch-keyed) and merged into the persisted
+    //      IVF-PQ index via maintainIvfPq: the first batch full-builds,
+    //      later batches frozen-model-append until the delta share trips
+    //      the staged retrain. No SQL oracle can replay Lloyd training →
+    //      rows-only; the append/retrain decision sequence, recall
+    //      parity with a from-scratch rebuild, and replay idempotence
+    //      are spec-verified (VectorIngestSpec, IvfPqDeltaSpec). Output:
+    //      per-list code counts of the final maintained index.
+    "t18_stream_index_maintain" -> Q.rowsOnly { (s, dir) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_t18_").toString
+      val corpusDir = s"$work/corpus"
+      val emb = t(s, dir, "embeddings")
+      emb.filter(col("vec_id") < 300)
+        .write.parquet(s"$corpusDir/embeddings.parquet/base")
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .coalesce(1).write.parquet(s"$work/in/d0")
+      emb.filter(col("vec_id") >= 400)
+        .coalesce(1).write.parquet(s"$work/in/d1")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$work/in/d0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in/d*")
+      VectorIngest.maintainIndexStream(stream, corpusDir, s"$work/chk",
+        nlist = 16, m = 8, ksub = 16, maxDeltaFraction = 0.3)
+      val grown = VectorIngest.readCorpusStore(s, corpusDir)
+      val idx = Similarity.loadIvfPq(s,
+        Similarity.ivfpqIndexPath(corpusDir, 16, 8, 16, 2), grown)
+      idx.codes.groupBy(col("_cl").cast("long").as("list"))
+        .agg(count(lit(1)).as("n_codes"))
+    },
+
     // ---- X14: composite quality GATE — per-rule booleans + conjunction
     //      (word band, TTR floor, dup-2-gram ceiling), so a pipeline can
     //      filter AND audit which rule fired. Pure scalar scan-path

@@ -42,4 +42,57 @@ object VectorIngest {
       .filter(Similarity.dot(col("_qv"), col("_qv")) > 0)
       .select(col(idCol),
         Similarity.assignToLiteralCentroids(col("_qv"), centroids).as("cluster"))
+
+  /** The corpus store a maintained stream grows: batch-id-keyed
+    * subdirectories under `$corpusDir/embeddings.parquet`, read back
+    * recursively as one table. Per-batch OVERWRITE into its own subdir
+    * makes the corpus write idempotent under checkpoint replay — the
+    * foreachBatch exactly-once discipline (t9's versioned upsert, applied
+    * to an append-only corpus).
+    */
+  def readCorpusStore(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$corpusDir/embeddings.parquet")
+
+  /** Streaming INDEX MAINTENANCE — the online half completed: each
+    * micro-batch of embeddings is (1) written into the corpus store
+    * (idempotent, batch-keyed) and (2) merged into the persisted IVF-PQ
+    * index for `corpusDir` via [[Similarity.maintainIvfPq]] — an
+    * O(batch) frozen-model append per trigger until the accumulated
+    * delta share trips the staged full retrain (the first batch over an
+    * empty index IS that retrain). Runs with AvailableNow and returns
+    * after the drain; the serving path is [[Similarity.loadIvfPq]] on
+    * the maintained index, fully decoupled from the stream.
+    *
+    * Crash/replay: a replayed batch overwrites its own corpus subdir
+    * (no duplicate vectors); the index side either serves the completed
+    * merge (stamp match) or — because the overwrite touched the store's
+    * mtime or a `_pending_delta` marker survived — falls through to the
+    * full retrain. Never a double-append, never a half-merged serve.
+    */
+  def maintainIndexStream(vectors: DataFrame, corpusDir: String,
+                          checkpoint: String,
+                          nlist: Int = 16, m: Int = 4, ksub: Int = 16,
+                          iters: Int = 2, maxDeltaFraction: Double = 0.2,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    val q = vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          batch.write.mode("overwrite")
+            .parquet(s"$corpusDir/embeddings.parquet/b$batchId")
+          Similarity.maintainIvfPq(s, corpusDir, batch.toDF(),
+            readCorpusStore(s, corpusDir), nlist, m, ksub, iters,
+            maxDeltaFraction, idCol, vecCol)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

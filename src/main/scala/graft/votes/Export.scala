@@ -160,8 +160,22 @@ object Export {
             val path = new org.apache.hadoop.fs.Path(
               s"$root/$y/${Chamber.title(c)}.csv")
             val fs = path.getFileSystem(conf)
-            val out = fs.create(path, true) // mkdirs implied by create
+            // write-then-rename, never create(final, overwrite): a task
+            // attempt that dies mid-write (or a speculative twin racing
+            // this one) must not leave a torn CSV at the final path —
+            // same publish discipline as the index writer. The tmp name
+            // is attempt-unique; rename is a metadata op on real
+            // filesystems, and losers of a rename race just clean up.
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$root/$y/.${Chamber.title(c)}.csv.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+            val out = fs.create(tmp, true) // mkdirs implied by create
             try out.write(bytes) finally out.close()
+            fs.delete(path, false)
+            if (!fs.rename(tmp, path)) {
+              fs.delete(tmp, false)
+              if (!fs.exists(path))
+                throw new java.io.IOException(s"could not publish $path")
+            }
           }
         }
       }

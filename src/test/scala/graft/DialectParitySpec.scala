@@ -50,7 +50,10 @@ class DialectParitySpec extends SparkSpec {
       case r: Row => r.toSeq.map(v).mkString("(", ",", ")")
       case other => other.toString
     }
-    re.collect().toSeq.map(_.toSeq.map(v)).sortBy(_.mkString(""))
+    // NUL-joined sort key: mkString("") is not injective (("1","23") vs
+    // ("12","3") collide), and colliding keys let the two sides' tied
+    // rows interleave differently — a spurious mismatch
+    re.collect().toSeq.map(_.toSeq.map(v)).sortBy(_.mkString("\u0000"))
   }
 
   test("every Spark-parseable oracle matches its DataFrame entry at sf0.001") {

@@ -39,6 +39,17 @@ class BloomContainsSpec extends SparkSpec {
     assert(nullRow.get(1) == null, "null hash must yield null, not false")
   }
 
+  test("null FILTER literal yields null rows, not a planning crash") {
+    // the codegen path forces the filter lazy val at plan compilation;
+    // a null (foldable, binary-typed) literal must emit always-null code
+    // per the doc contract instead of NPE-ing in doGenCode
+    val out = Seq(1L, 2L).toDF("h")
+      .select(call_function("graft_bloom_contains",
+        lit(null).cast("binary"), col("h")).as("hit"))
+      .collect()
+    assert(out.length == 2 && out.forall(_.get(0) == null))
+  }
+
   test("non-member rejection rate is near the configured fpp") {
     val members = (1L to 2000L).map(_ * 7919L)
     val bytes = serializedBloom(members, fpp = 0.01)
