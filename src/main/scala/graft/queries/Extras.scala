@@ -54,6 +54,31 @@ object Extras {
        |GROUP BY 1""".stripMargin
   }
 
+  /** g6 oracle: 5 unrolled min-combine BFS rounds (deeper than the
+    * measured eccentricity — 1/2/3 at sf0.001/0.01/0.1 from the 10
+    * lowest-id sources; over-unrolling is a no-op once the min labels
+    * stabilize). MATERIALIZED for the same 3^rounds-inlining reason as
+    * g4b.
+    */
+  private val g6Oracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+         |        SELECT node, d FROM d${i - 1}
+         |        UNION ALL
+         |        SELECT sym.t AS node, d${i - 1}.d + 1 AS d
+         |        FROM d${i - 1} JOIN sym ON sym.s = d${i - 1}.node)
+         |       GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+       |sym AS MATERIALIZED (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+       |src AS (SELECT DISTINCT s AS node FROM sym ORDER BY node LIMIT 10),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d FROM src),
+       |$rounds
+       |SELECT node, CAST(d AS BIGINT) AS dist FROM d5""".stripMargin
+  }
+
   /** Stable scratch path under java.io.tmpdir, namespaced by pid so
     * concurrent JVMs (verify vs bench) never collide; reused across
     * invocations within a process (writers use overwrite mode).
@@ -1099,6 +1124,26 @@ object Extras {
       val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
       val (core, _) = graft.ops.KCore.peelToFixpoint(e, k = 80)
       graft.ops.KCore.coreDegrees(core)
+    },
+
+    // ---- G6: multi-source BFS hop distances — the reachability /
+    //      shortest-path member of the graph family (components say IF
+    //      connected, BFS says HOW FAR): synchronous frontier expansion
+    //      with a min-combine, CONVERGENT like g4b (a round that adds no
+    //      node proves every reachable node holds its final distance —
+    //      first touch IS the shortest hop count on unit weights).
+    //      Sources = the 10 lowest-id nodes; unreachable nodes are
+    //      absent by contract. The oracle unrolls 5 MATERIALIZED rounds,
+    //      past the measured eccentricity at every SF (the graph gets
+    //      DENSER and therefore shallower as it scales — 1/2/3 rounds at
+    //      sf0.001/0.01/0.1). ----------------------------------------
+    "g6_bfs_distances" -> Q(g6Oracle) { (s, dir) =>
+      val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
+      val sources = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .distinct().orderBy("node").limit(10)
+      val (dist, _) = graft.ops.Bfs.distances(e, sources)
+      dist
     },
 
     // ---- G5: local clustering coefficient — how tightly each node's

@@ -1643,6 +1643,47 @@ object PipelineOps {
           count(when(col("p_id").isNull, 1)).as("n_expired"))
     },
 
+    // ---- T19 (streaming): stream-static SCD2 temporal join ------------
+    //      an event stream resolving a slowly-changing dimension AS OF
+    //      each event's time — the range-predicate upgrade of t10's
+    //      equi stream-static join, and the streaming form of j15's
+    //      batch temporal dim join. Stream-static joins are STATELESS
+    //      (each micro-batch row probes the static side; no watermark,
+    //      no state store), so the dim broadcast is the entire cost —
+    //      exactly how a 100 TB ingest resolves reference data. The dim
+    //      is deterministic from the data: every user changes tier at a
+    //      fixed cutover inside the event range, so both validity
+    //      windows get real traffic.
+    "t19_stream_scd2_join" -> Q(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |dim AS (SELECT user_id, 'T' || CAST(user_id % 3 AS VARCHAR) AS tier,
+        |         TIMESTAMP '2023-01-01' AS vf, TIMESTAMP '2024-01-15' AS vt FROM u
+        |        UNION ALL
+        |        SELECT user_id, 'U' || CAST(user_id % 2 AS VARCHAR),
+        |         TIMESTAMP '2024-01-15', TIMESTAMP '2025-01-01' FROM u)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        | AND e.ts >= d.vf AND e.ts < d.vt
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val users = t(s, dir, "events").select("user_id").distinct()
+      def side(tag: String, mod: Int, from: String, to: String) =
+        users.select(col("user_id"),
+          concat(lit(tag), (col("user_id") % mod).cast("string")).as("tier"),
+          lit(from).cast("timestamp").as("vf"), lit(to).cast("timestamp").as("vt"))
+      val dim = side("T", 3, "2023-01-01", "2024-01-15")
+        .unionByName(side("U", 2, "2024-01-15", "2025-01-01"))
+      val ev = EventStream.readEvents(s, dir)
+      val joined = ev.join(broadcast(dim),
+          ev("user_id") === dim("user_id") &&
+            ev("ts") >= dim("vf") && ev("ts") < dim("vt"))
+        .select(ev("user_id").as("user_id"), col("tier"))
+      val drained = EventStream.runToMemory(joined,
+        s"t19_scd2_${streamSeq.incrementAndGet()}", mode = "append")
+      drained.groupBy("tier")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,
