@@ -4,49 +4,58 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multi-source BFS hop distances over a canonical undirected edge list
-  * (u < v, distinct): synchronous frontier expansion with a min-combine —
-  * round k reaches exactly the nodes at hop distance k, so the first
-  * label a node ever gets IS its shortest distance (unit weights), and
-  * the iteration is CONVERGENT: once a round adds no node, every
-  * reachable node holds its final distance (one count() per round, the
-  * same fixpoint discipline as [[KCore]]).
+  * (u < v, distinct): FRONTIER-DELTA expansion — each round joins only
+  * the nodes discovered in the previous round against the edge list,
+  * anti-joins the already-known set, and stops when the frontier comes
+  * back empty. First touch IS the shortest distance (unit weights,
+  * level-synchronous expansion), so no relaxation pass is ever needed
+  * and every edge is crossed O(1) times total — a full-set re-expansion
+  * (the g1/g2 shape) would redo all prior rounds' joins every round,
+  * which compounds on a convergent unbounded-depth iteration.
   *
-  * Shape per round: one edge join from the known set + one
-  * map-side-combinable min aggregation; lineage cut per round (the
-  * g1/g2/KCore discipline). Unreachable nodes are ABSENT from the result
-  * — a left join against the node table surfaces them as null if a
-  * caller wants that. Rounds are bounded by graph eccentricity from the
-  * source set; a 100×-denser graph gets SHALLOWER, not deeper.
+  * Per round: one frontier⋈edges join + map-side-combinable min + one
+  * anti-join; lineage cut per round; one count() action (the frontier,
+  * not the full known set). Rounds = eccentricity of the graph from the
+  * source set + the final empty-frontier confirmation. Measured on the
+  * co-purchase graph from a fixed 10-source set the eccentricity GROWS
+  * slowly with scale — 1/2/3 at sf0.001/0.01/0.1 — because the node
+  * count outruns the densification; bounds derived from it must follow
+  * that trend, not assume density wins.
+  *
+  * Unreachable nodes are ABSENT from the result — a left join against
+  * the node table surfaces them as null if a caller wants that.
   */
 object Bfs {
 
-  /** Hop distances from `sources` (a (node) frame). Returns
-    * ((node, dist), rounds) where rounds includes the final confirming
-    * no-change round.
+  /** Hop distances from `sources` (a (node) frame; deduplicated here —
+    * duplicate source rows must not distort the convergence counts).
+    * Returns ((node, dist), rounds) where rounds includes the final
+    * empty-frontier round.
     */
   def distances(edges: DataFrame, sources: DataFrame,
                 maxRounds: Int = 50): (DataFrame, Int) = {
     val sym = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint(false)
-    var dist = sources.select(col("node"), lit(0L).as("d"))
+    var known = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("d"))
       .localCheckpoint(false)
-    var n = dist.count()
+    var frontier = known
+    var nf = frontier.count()
     var rounds = 0
-    var converged = n == 0L
-    while (!converged && rounds < maxRounds) {
-      val next = dist
-        .unionByName(
-          dist.join(sym, dist("node") === sym("s"))
-            .select(col("t").as("node"), (col("d") + 1).as("d")))
+    while (nf > 0 && rounds < maxRounds) {
+      val next = frontier.join(sym, frontier("node") === sym("s"))
+        .select(col("t").as("node"), (col("d") + 1).as("d"))
         .groupBy("node").agg(min(col("d")).as("d"))
+        .join(known.select("node"), Seq("node"), "left_anti")
         .localCheckpoint(false)
-      val m = next.count()
+      nf = next.count()
       rounds += 1
-      converged = m == n
-      dist = next
-      n = m
+      if (nf > 0) {
+        known = known.unionByName(next).localCheckpoint(false)
+        frontier = next
+      }
     }
-    (dist.select(col("node"), col("d").as("dist")), rounds)
+    (known.select(col("node"), col("d").as("dist")), rounds)
   }
 }

@@ -54,14 +54,17 @@ object Extras {
        |GROUP BY 1""".stripMargin
   }
 
-  /** g6 oracle: 5 unrolled min-combine BFS rounds (deeper than the
-    * measured eccentricity — 1/2/3 at sf0.001/0.01/0.1 from the 10
-    * lowest-id sources; over-unrolling is a no-op once the min labels
-    * stabilize). MATERIALIZED for the same 3^rounds-inlining reason as
-    * g4b.
+  /** g6 oracle: 8 unrolled min-combine BFS rounds. The measured
+    * eccentricity from the 10 lowest-id sources GROWS slowly with scale
+    * — 1/2/3 at sf0.001/0.01/0.1 (node count outruns densification) —
+    * so the unroll depth must dominate the upward trend, not assume
+    * density keeps it flat: 8 leaves ≥ 4 rounds of headroom over a
+    * linear extrapolation to sf1. Over-unrolling is a no-op once the
+    * min labels stabilize. MATERIALIZED for the same 3^rounds-inlining
+    * reason as g4b.
     */
   private val g6Oracle: String = {
-    val rounds = (1 to 5).map { i =>
+    val rounds = (1 to 8).map { i =>
       s"""d$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
          |        SELECT node, d FROM d${i - 1}
          |        UNION ALL
@@ -76,7 +79,7 @@ object Extras {
        |src AS (SELECT DISTINCT s AS node FROM sym ORDER BY node LIMIT 10),
        |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d FROM src),
        |$rounds
-       |SELECT node, CAST(d AS BIGINT) AS dist FROM d5""".stripMargin
+       |SELECT node, CAST(d AS BIGINT) AS dist FROM d8""".stripMargin
   }
 
   /** Stable scratch path under java.io.tmpdir, namespaced by pid so
@@ -1133,10 +1136,11 @@ object Extras {
     //      node proves every reachable node holds its final distance —
     //      first touch IS the shortest hop count on unit weights).
     //      Sources = the 10 lowest-id nodes; unreachable nodes are
-    //      absent by contract. The oracle unrolls 5 MATERIALIZED rounds,
-    //      past the measured eccentricity at every SF (the graph gets
-    //      DENSER and therefore shallower as it scales — 1/2/3 rounds at
-    //      sf0.001/0.01/0.1). ----------------------------------------
+    //      absent by contract. The oracle unrolls 8 MATERIALIZED rounds
+    //      — the measured eccentricity GROWS slowly with SF (1/2/3 at
+    //      sf0.001/0.01/0.1: node count outruns densification), so the
+    //      depth margin follows that trend upward; extra rounds no-op
+    //      once the labels stabilize. ---------------------------------
     "g6_bfs_distances" -> Q(g6Oracle) { (s, dir) =>
       val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
       val sources = e.select(col("u").as("node"))

@@ -1674,10 +1674,11 @@ object PipelineOps {
       val dim = side("T", 3, "2023-01-01", "2024-01-15")
         .unionByName(side("U", 2, "2024-01-15", "2025-01-01"))
       val ev = EventStream.readEvents(s, dir)
-      val joined = ev.join(broadcast(dim),
-          ev("user_id") === dim("user_id") &&
-            ev("ts") >= dim("vf") && ev("ts") < dim("vt"))
-        .select(ev("user_id").as("user_id"), col("tier"))
+      // the SAME op as j15's batch temporal join (one boundary-semantics
+      // definition for both entries), on a streaming fact side
+      val joined = graft.ops.TemporalJoin.pointInTime(
+          ev, "user_id", "ts", broadcast(dim), "user_id", "vf", "vt")
+        .select(col("user_id"), col("tier"))
       val drained = EventStream.runToMemory(joined,
         s"t19_scd2_${streamSeq.incrementAndGet()}", mode = "append")
       drained.groupBy("tier")

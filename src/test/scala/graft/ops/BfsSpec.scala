@@ -42,6 +42,16 @@ class BfsSpec extends SparkSpec {
     assert(rounds == 2, s"one expansion + one confirm on a triangle, got $rounds")
   }
 
+  test("duplicate source rows neither distort convergence nor the result") {
+    // the r5 review scenario: sources [1, 1] on path 1–2–3 made the old
+    // count-based convergence check stop after round 1 (dedup shrank the
+    // set by exactly the expansion's growth) and silently drop node 3
+    val e = edges((1L, 2L), (2L, 3L))
+    val dup = Seq(1L, 1L).toDF("node")
+    val d = Bfs.distances(e, dup)._1.as[(Long, Long)].collect().toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("empty source set converges immediately") {
     val e = edges((1L, 2L))
     val (dist, rounds) = Bfs.distances(e, srcs())
