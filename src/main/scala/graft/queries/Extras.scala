@@ -82,6 +82,35 @@ object Extras {
        |SELECT node, CAST(d AS BIGINT) AS dist FROM d8""".stripMargin
   }
 
+  /** g7 oracle: 3 unrolled Bellman-Ford relaxation rounds over the
+    * WEIGHTED co-purchase graph (edge cost = 11 − min(shared orders,
+    * 10): heavier co-purchase ⇒ cheaper hop — a similarity distance).
+    * Fixed-round like g1/g4, NOT convergent: weighted distances can
+    * keep improving long after first touch, so the bounded-round
+    * relaxation IS the published contract, replayed exactly.
+    * MATERIALIZED as in g4b/g6.
+    */
+  private val g7Oracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+         |        SELECT node, d FROM d${i - 1}
+         |        UNION ALL
+         |        SELECT sym.t AS node, d${i - 1}.d + sym.w AS d
+         |        FROM d${i - 1} JOIN sym ON sym.s = d${i - 1}.node)
+         |       GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |ew AS (SELECT u, v, 11 - least(cnt, 10) AS w FROM (
+       |        SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)),
+       |sym AS MATERIALIZED (SELECT u AS s, v AS t, w FROM ew
+       |                     UNION ALL SELECT v, u, w FROM ew),
+       |src AS (SELECT DISTINCT s AS node FROM sym ORDER BY node LIMIT 10),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d FROM src),
+       |$rounds
+       |SELECT node, CAST(d AS BIGINT) AS dist FROM d3""".stripMargin
+  }
+
   /** Stable scratch path under java.io.tmpdir, namespaced by pid so
     * concurrent JVMs (verify vs bench) never collide; reused across
     * invocations within a process (writers use overwrite mode).
@@ -1148,6 +1177,44 @@ object Extras {
         .distinct().orderBy("node").limit(10)
       val (dist, _) = graft.ops.Bfs.distances(e, sources)
       dist
+    },
+
+    // ---- G7: bounded Bellman-Ford relaxation — WEIGHTED shortest
+    //      distances (min-plus semiring), the member g6's unit-weight
+    //      BFS can't express: edge cost = 11 − min(shared orders, 10),
+    //      so heavy co-purchase pairs are CLOSE and the 3-round distance
+    //      is a similarity radius. Fixed-round contract like g1/g4 (the
+    //      oracle replays the same 3 unrolled relaxations): weighted
+    //      labels keep improving after first touch, so frontier-delta
+    //      BFS does not apply and convergence needs up to |V| rounds in
+    //      theory — the bounded relaxation is the honest operator. Each
+    //      round: one edge join from the CURRENT label set + one
+    //      combinable min, lineage cut per round. ---------------------
+    "g7_sssp_relax" -> Q(g7Oracle) { (s, dir) =>
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val ew = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("u"), col("v"),
+          (lit(11L) - least(col("cnt"), lit(10L))).as("w"))
+      val sym = ew.select(col("u").as("s"), col("v").as("t"), col("w"))
+        .unionByName(ew.select(col("v").as("s"), col("u").as("t"), col("w")))
+        .localCheckpoint(false)
+      val sources = sym.select(col("s").as("node")).distinct()
+        .orderBy("node").limit(10)
+      var dist = sources.select(col("node"), lit(0L).as("d"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        dist = dist.unionByName(
+            dist.join(sym, dist("node") === sym("s"))
+              .select(col("t").as("node"), (col("d") + col("w")).as("d")))
+          .groupBy("node").agg(min(col("d")).as("d"))
+          .localCheckpoint(false)
+      }
+      dist.select(col("node"), col("d").as("dist"))
     },
 
     // ---- G5: local clustering coefficient — how tightly each node's
