@@ -1685,6 +1685,57 @@ object PipelineOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     },
 
+    // ---- T20 (stateful streaming): FULL OUTER stream-stream join ------
+    //      both null-emission directions of t17: unmatched CLICKS expire
+    //      when their match window closes under the watermark
+    //      ((c // 1000) + window_ms < wm, the t17 boundary); unmatched
+    //      PURCHASES expire when their own event time passes it — a
+    //      future click above the watermark can only open windows for
+    //      purchases above it too ((p // 1000) < wm, strict, calibrated
+    //      at sf0.01). wm is the min over the two FILTERED sides' maxima
+    //      minus the delay (the t17 lesson). The user grouping keys on
+    //      whichever side is present (full-outer rows carry exactly one
+    //      id when unmatched).
+    "t20_stream_full_outer_join" -> Q(
+      """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, event_id AS p_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.user_id, c.c_id, p.p_id FROM c JOIN p
+        |      ON c.user_id = p.p_user
+        |     AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000),
+        |wm AS (SELECT least((SELECT max(c_us) FROM c),
+        |                    (SELECT max(p_us) FROM p)) // 1000
+        |               - 3600000 AS w),
+        |xc AS (SELECT c.user_id, c.c_id FROM c, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+        |         AND (c.c_us // 1000) + 600000 < wm.w),
+        |xp AS (SELECT p.p_user AS user_id, p.p_id FROM p, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+        |         AND (p.p_us // 1000) < wm.w),
+        |u AS (SELECT user_id, CAST(1 AS BIGINT) AS pair,
+        |             CAST(0 AS BIGINT) AS ec, CAST(0 AS BIGINT) AS ep FROM m
+        |      UNION ALL SELECT user_id, 0, 1, 0 FROM xc
+        |      UNION ALL SELECT user_id, 0, 0, 1 FROM xp)
+        |SELECT user_id, CAST(sum(pair) AS BIGINT) AS n_pairs,
+        |       CAST(sum(ec) AS BIGINT) AS n_expired_clicks,
+        |       CAST(sum(ep) AS BIGINT) AS n_expired_purchases
+        |FROM u GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val joined = EventStream.clickPurchaseFullJoin(
+        EventStream.readEvents(ss, dir), 10)
+      val drained = EventStream.runToMemory(joined,
+        s"t20_full_${streamSeq.incrementAndGet()}", mode = "append")
+      drained
+        .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+          col("c_id"), col("p_id"))
+        .groupBy("user_id")
+        .agg(count(when(col("c_id").isNotNull && col("p_id").isNotNull, 1))
+            .as("n_pairs"),
+          count(when(col("p_id").isNull, 1)).as("n_expired_clicks"),
+          count(when(col("c_id").isNull, 1)).as("n_expired_purchases"))
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,

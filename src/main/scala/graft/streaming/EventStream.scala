@@ -177,6 +177,29 @@ object EventStream {
       "left_outer")
   }
 
+  /** FULL OUTER watermarked stream-stream join — both null-emission
+    * directions: an unmatched click emits once its match window is
+    * watermark-closed (as in [[clickPurchaseLeftJoin]]), and an
+    * unmatched purchase emits once no FUTURE click could still open a
+    * window containing it — its own event time passing the watermark
+    * (condition p ∈ [c, c+W] ⇔ c ∈ [p−W, p], so a future click above
+    * the watermark can only match purchases still above it too).
+    */
+  def clickPurchaseFullJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "full_outer")
+  }
+
   final case class TimedSession(user_id: Long, session_start_us: Long,
                                 session_end_us: Long, n_events: Long)
   final case class TimedSessState(startUs: Long, lastUs: Long, n: Long)
