@@ -124,4 +124,22 @@ object Triangles {
       .distinct()
       .localCheckpoint(false)
   }
+
+  /** WEIGHTED co-purchase projection: the same canonical (u < v) pairs
+    * as [[coPurchaseEdges]] carrying `cnt` = number of shared orders —
+    * for consumers that need edge strength (g7's similarity distance).
+    * One definition beside the unweighted helper so the projection
+    * semantics (distinct (o, p), o-equal / p< self-join) cannot drift
+    * between them; lineage-cut for the same fan-out reasons.
+    */
+  def coPurchaseWeights(lineitem: DataFrame): DataFrame = {
+    val lp = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+  }
 }

@@ -1191,13 +1191,10 @@ object Extras {
     //      round: one edge join from the CURRENT label set + one
     //      combinable min, lineage cut per round. ---------------------
     "g7_sssp_relax" -> Q(g7Oracle) { (s, dir) =>
-      val lp = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val ew = lp.as("x").join(lp.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("u"), col("y.p").as("v"))
-        .agg(count(lit(1)).as("cnt"))
+      // shared weighted projection (checkpointed INSIDE the helper, so
+      // the symmetric union below reads the materialized edge set twice
+      // instead of running the self-join aggregate once per branch)
+      val ew = graft.ops.Triangles.coPurchaseWeights(t(s, dir, "lineitem"))
         .select(col("u"), col("v"),
           (lit(11L) - least(col("cnt"), lit(10L))).as("w"))
       val sym = ew.select(col("u").as("s"), col("v").as("t"), col("w"))

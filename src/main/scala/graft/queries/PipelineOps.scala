@@ -1621,9 +1621,10 @@ object PipelineOps {
         |m AS (SELECT c.user_id, c.c_id, p.p_id FROM c JOIN p
         |      ON c.user_id = p.p_user
         |     AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000),
-        |wm AS (SELECT least((SELECT max(c_us) FROM c),
-        |                    (SELECT max(p_us) FROM p)) // 1000
-        |               - 3600000 AS w),
+        |wm AS (SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+        |               ELSE least(mc, mp) // 1000 - 3600000 END AS w
+        |       FROM (SELECT (SELECT max(c_us) FROM c) AS mc,
+        |                    (SELECT max(p_us) FROM p) AS mp)),
         |x AS (SELECT c.user_id, c.c_id FROM c, wm
         |      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
         |        AND (c.c_us // 1000) + 600000 < wm.w),
@@ -1704,9 +1705,10 @@ object PipelineOps {
         |m AS (SELECT c.user_id, c.c_id, p.p_id FROM c JOIN p
         |      ON c.user_id = p.p_user
         |     AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 600000000),
-        |wm AS (SELECT least((SELECT max(c_us) FROM c),
-        |                    (SELECT max(p_us) FROM p)) // 1000
-        |               - 3600000 AS w),
+        |wm AS (SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+        |               ELSE least(mc, mp) // 1000 - 3600000 END AS w
+        |       FROM (SELECT (SELECT max(c_us) FROM c) AS mc,
+        |                    (SELECT max(p_us) FROM p) AS mp)),
         |xc AS (SELECT c.user_id, c.c_id FROM c, wm
         |       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
         |         AND (c.c_us // 1000) + 600000 < wm.w),

@@ -130,13 +130,14 @@ object EventStream {
     spark.read.parquet(current.get())
   }
 
-  /** Watermarked stream-stream inner join: click→purchase attribution
-    * within `windowMinutes`. Both sides carry event-time watermarks and the
-    * join condition bounds purchase time to [click, click + window], so
-    * state for either side is droppable once the other's watermark passes —
-    * the join runs with bounded state at any stream length.
+  /** ONE definition of the click→purchase attribution join body —
+    * sides, watermark delay, and the [click, click + window] condition —
+    * shared by the inner/left/full variants so a recalibration (e.g. the
+    * 1-hour delay) can never desynchronize t6/t17/t20 and the boundary
+    * spec's constants.
     */
-  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+  private def clickPurchaseJoined(events: DataFrame, windowMinutes: Int,
+                                  joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
       .withWatermark("c_ts", "1 hour")
@@ -147,8 +148,18 @@ object EventStream {
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
   }
+
+  /** Watermarked stream-stream inner join: click→purchase attribution
+    * within `windowMinutes`. Both sides carry event-time watermarks and the
+    * join condition bounds purchase time to [click, click + window], so
+    * state for either side is droppable once the other's watermark passes —
+    * the join runs with bounded state at any stream length.
+    */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int): DataFrame =
+    clickPurchaseJoined(events, windowMinutes, "inner")
 
   /** Watermarked stream-stream LEFT OUTER join — the mechanism the inner
     * join ([[clickPurchaseJoin]]) never exercises: an unmatched click
@@ -162,20 +173,8 @@ object EventStream {
     * timeouts, and the t17 oracle replays the boundary in integer
     * millisecond arithmetic.
     */
-  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "1 hour")
-    clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
-      "left_outer")
-  }
+  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int): DataFrame =
+    clickPurchaseJoined(events, windowMinutes, "left_outer")
 
   /** FULL OUTER watermarked stream-stream join — both null-emission
     * directions: an unmatched click emits once its match window is
@@ -185,20 +184,8 @@ object EventStream {
     * (condition p ∈ [c, c+W] ⇔ c ∈ [p−W, p], so a future click above
     * the watermark can only match purchases still above it too).
     */
-  def clickPurchaseFullJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "1 hour")
-    clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
-      "full_outer")
-  }
+  def clickPurchaseFullJoin(events: DataFrame, windowMinutes: Int): DataFrame =
+    clickPurchaseJoined(events, windowMinutes, "full_outer")
 
   final case class TimedSession(user_id: Long, session_start_us: Long,
                                 session_end_us: Long, n_events: Long)

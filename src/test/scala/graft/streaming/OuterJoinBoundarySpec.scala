@@ -48,8 +48,10 @@ class OuterJoinBoundarySpec extends SparkSpec {
     (3L, T - 1, 2L, "purchase"),         // T−1 < T → null EMITTED
     (4L, T, 2L, "purchase"))             // T, not < T → withheld
 
+  // one shared write: both tests only read the immutable crafted table
+  private lazy val dir = eventsDir(rows)
+
   test("left-outer: click-null emission is strict ms-floored watermark eviction") {
-    val dir = eventsDir(rows)
     val ss = EventStream.statefulSession(spark)
     val out = EventStream.runToMemory(
       EventStream.clickPurchaseLeftJoin(EventStream.readEvents(ss, dir), 10),
@@ -64,7 +66,6 @@ class OuterJoinBoundarySpec extends SparkSpec {
   }
 
   test("full-outer adds the purchase direction: own-time strict eviction") {
-    val dir = eventsDir(rows)
     val ss = EventStream.statefulSession(spark)
     val out = EventStream.runToMemory(
       EventStream.clickPurchaseFullJoin(EventStream.readEvents(ss, dir), 10),
