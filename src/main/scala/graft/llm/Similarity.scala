@@ -289,15 +289,22 @@ object Similarity {
 
   /** Same on-disk contract as [[saveIvfPq]]: tiny centroid table, the
     * assignments partitioned by list label (probe-time partition
-    * pruning). IVF carries no model dimensions beyond its tables, so
-    * unlike IVF-PQ there is no meta table; completeness is the stamp
-    * [[loadOrBuildIvf]] writes last (inside the staging dir, before the
-    * atomic publish).
+    * pruning). Completeness is the stamp [[loadOrBuildIvf]] writes last
+    * (inside the staging dir, before the atomic publish). The meta table
+    * carries ONLY n_base — the trained-corpus size read by
+    * [[ivfDeltaFraction]]'s retrain trigger (the r4 meta was dropped as
+    * dead weight; this one has a reader) — counted from the just-written
+    * parquet's row-group metadata, one assignment row per vector.
     */
   def saveIvf(index: IvfIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index.lists.write.mode("overwrite").partitionBy("_cl")
       .parquet(s"$path/lists")
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    val nBase = spark.read.parquet(s"$path/lists").count()
+    Seq(nBase).toDF("n_base")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
@@ -320,6 +327,93 @@ object Similarity {
         saveIvf(buildIvf(corpus, nlist, iters, idCol, vecCol), staging)
       }
     loadIvf(spark, path)
+  }
+
+  /** IVF twin of [[encodeIvfPqDelta]]+[[appendIvfPqDelta]]: coarse-assign
+    * the delta to the EXISTING centroids and append the (cid, _cl)
+    * assignments into their list partitions — O(delta), no retrain, no
+    * vectors copied (the IVF index stores assignments only).
+    */
+  def appendIvfDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                     delta: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): IvfIndex = {
+    val index = loadIvf(spark, path)
+    val d = cleanVectors(delta, idCol, vecCol, "cid", "_cv")
+    nearestCentroid(d, "_cv", index.centroids, 1).select("cid", "_cl")
+      .write.mode("append").partitionBy("_cl").parquet(s"$path/lists")
+    loadIvf(spark, path)
+  }
+
+  /** (vectors at train, vectors now) for a persisted IVF index — one
+    * assignment row per vector; None when meta predates n_base. Twin of
+    * [[ivfpqCounts]].
+    */
+  private def ivfCounts(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Option[(Long, Long)] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) None
+    else {
+      val nBase = spark.read.parquet(s"$path/meta").head().getAs[Long]("n_base")
+      val nNow = spark.read.parquet(s"$path/lists").count()
+      if (nBase <= 0) None else Some((nBase, nNow))
+    }
+  }
+
+  /** Delta share of a maintained IVF index — 0 for pre-n_base indexes
+    * (they predate the trigger; the next rebuild stamps them).
+    */
+  def ivfDeltaFraction(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Double =
+    ivfCounts(spark, path)
+      .map { case (nBase, nNow) => (nNow - nBase).toDouble / nBase }
+      .getOrElse(0.0)
+
+  def ivfRetrainDue(spark: org.apache.spark.sql.SparkSession, path: String,
+                    maxDeltaFraction: Double = 0.2): Boolean =
+    ivfDeltaFraction(spark, path) > maxDeltaFraction
+
+  /** Maintenance entry point for the assignments-only index — same
+    * contract and crash/retry discipline as [[maintainIvfPq]] (append
+    * under the threshold, staged full retrain past it, `_pending_delta`
+    * marker bracketing the append so a retry can never double-apply).
+    * IVF drift is MILDER than IVF-PQ's (appended vectors are exactly
+    * scored at query time; only their LIST placement is frozen), so a
+    * caller may reasonably run a higher threshold here.
+    */
+  def maintainIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  delta: DataFrame, grownCorpus: DataFrame,
+                  nlist: Int = 16, iters: Int = 2,
+                  maxDeltaFraction: Double = 0.2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): IvfIndex = {
+    val path = ivfIndexPath(dir, nlist, iters)
+    val stamp = sourceStamp(spark, dir, grownCorpus)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (indexFresh(spark, path, stamp)) {
+      fs.delete(pendingDeltaFlag(spark, path), false)
+      return loadIvf(spark, path)
+    }
+    val deltaShare =
+      if (pendingDelta(spark, path)) Double.PositiveInfinity
+      else ivfCounts(spark, path)
+        .map { case (nBase, nNow) =>
+          (nNow + delta.count() - nBase).toDouble / nBase
+        }
+        .getOrElse(Double.PositiveInfinity)
+    if (deltaShare > maxDeltaFraction) {
+      publishIndex(spark, path, stamp) { staging =>
+        saveIvf(buildIvf(grownCorpus, nlist, iters, idCol, vecCol), staging)
+      }
+      loadIvf(spark, path)
+    } else {
+      fs.create(pendingDeltaFlag(spark, path), true).close()
+      val merged = appendIvfDelta(spark, path, delta, idCol, vecCol)
+      stampIndex(spark, path, stamp)
+      fs.delete(pendingDeltaFlag(spark, path), false)
+      merged
+    }
   }
 
   /** Query a (possibly persisted) IVF index: probe the `nprobe` nearest
