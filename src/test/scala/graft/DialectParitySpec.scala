@@ -91,8 +91,8 @@ class DialectParitySpec extends SparkSpec {
       s"spark.sql(oracle) != DataFrame entry for: ${mismatched.sorted.mkString(", ")}")
     // floor: a regression that starts rejecting previously-runnable
     // oracles must trip the gate, not shrink the denominator (measured
-    // r5: 82 of 158 oracles run under Spark SQL as written — the rest
-    // are DuckDB-only forms: `//` integer division, strftime/epoch,
+    // r5 end: 82 of 163 oracles run under Spark SQL as written — the
+    // rest are DuckDB-only forms: `//` integer division, strftime/epoch,
     // quantile_cont, list lambdas, AS MATERIALIZED, FILTER clauses)
     assert(compatible.size >= 78,
       s"only ${compatible.size} oracles ran under Spark SQL (floor 78); " +
