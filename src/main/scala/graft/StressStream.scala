@@ -64,6 +64,10 @@ object StressStream {
           .coalesce(1)
           .write.mode("overwrite").parquet(f"$work%s/events/r$k%03d")
       }
+      // explicit strictly-increasing mtimes: an mtime tie between epochs
+      // replays them out of order and the watermark drops the earlier one
+      EventStream.stampMtimeOrder(
+        (0 until replicas).map(k => f"$work%s/events/r$k%03d"))
     }
 
     val evStream = Tables.restoreTs(
@@ -122,6 +126,8 @@ object StressStream {
           .coalesce(1)
           .write.mode("overwrite").parquet(f"$work%s/docs/r$k%03d")
       }
+      EventStream.stampMtimeOrder(
+        (0 until replicas).map(k => f"$work%s/docs/r$k%03d"))
     }
     val (bands, rowsPerBand) = (8, 2)
     val docStream = spark.readStream

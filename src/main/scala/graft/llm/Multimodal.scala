@@ -128,21 +128,30 @@ object Multimodal {
   final case class ImageFeatures(media_id: Long, width: Int, height: Int,
                                  mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Decode one payload. None for undecodable bytes (wrong format,
-    * truncated file) — corrupt records are a fact of any 100 TB media
-    * crawl, and a throw here would kill the task for the whole batch;
-    * flatMap'ing the Option drops them instead (count the drop rate
-    * upstream if it matters).
+  /** THE safe decode — one definition for every ImageIO entry point
+    * (features, dHash, resize). None for undecodable bytes: corrupt
+    * records are a fact of any 100 TB media crawl, and a throw here
+    * would fail the task 4× and abort the whole job — NonFatal, not
+    * just IOException, because hostile payloads surface as CMMException
+    * / IllegalArgumentException / ArrayIndexOutOfBounds from inside
+    * ImageIO. Disables ImageIO's DISK cache first (JVM-global,
+    * idempotent): the default wraps every read/write in a temp FILE on
+    * executor-local disk — one create+delete per record of pure
+    * overhead when the bytes are already in memory.
     */
-  def decodeImage(data: Array[Byte]): Option[ImageFeatures] = {
-    // NonFatal, not just IOException: hostile/corrupt payloads surface as
-    // CMMException, IllegalArgumentException, ArrayIndexOutOfBounds …
-    // from inside ImageIO — any escape would fail the task 4× and abort
-    // the whole decode job
+  private def readImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
       catch { case scala.util.control.NonFatal(_) => null }
-    Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
+    Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0)
+  }
+
+  /** Decode one payload into summary features ([[readImage]] contract:
+    * corrupt bytes drop, never throw).
+    */
+  def decodeImage(data: Array[Byte]): Option[ImageFeatures] = {
+    readImage(data).map { i =>
       val (w, h) = (i.getWidth, i.getHeight)
       // one bulk grab, not w×h getRGB calls
       val px = i.getRGB(0, 0, w, h, null, 0, w)
@@ -207,11 +216,7 @@ object Multimodal {
     * hashes tracks visual difference. None for undecodable bytes.
     */
   def dHash(data: Array[Byte]): Option[Long] = {
-    // NonFatal — see decodeImage
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      catch { case scala.util.control.NonFatal(_) => null }
-    Option(img).filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
+    readImage(data).map { i =>
       val grid = new java.awt.image.BufferedImage(9, 8,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g2 = grid.createGraphics()
@@ -272,10 +277,7 @@ object Multimodal {
       .as[(Long, String, Array[Byte], String)]
       .mapPartitions(_.map { case (id, mime, data, source) =>
         val resized = for {
-          img <- Option( // NonFatal — see decodeImage
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-            catch { case scala.util.control.NonFatal(_) => null })
-          if img.getWidth > 0 && img.getHeight > 0
+          img <- readImage(data)
           if math.max(img.getWidth, img.getHeight) > maxDim
         } yield {
           val s = maxDim.toDouble / math.max(img.getWidth, img.getHeight)

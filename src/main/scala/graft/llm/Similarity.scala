@@ -344,21 +344,34 @@ object Similarity {
     loadIvf(spark, path)
   }
 
+  /** The complete meta table of a persisted index, or None when it is
+    * absent/incomplete (no index yet, or a save killed mid-write) or
+    * predates the n_base field (an index persisted by an older release
+    * sharing the same tmpdir root). ONE guard shared by both index
+    * kinds' count readers — each previously carried exactly half of it.
+    */
+  private def metaWithNBase(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[org.apache.spark.sql.Row] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val meta = spark.read.parquet(s"$path/meta")
+      if (!meta.columns.contains("n_base")) None else Some(meta.head())
+    }
+  }
+
   /** (vectors at train, vectors now) for a persisted IVF index — one
-    * assignment row per vector; None when meta predates n_base. Twin of
-    * [[ivfpqCounts]].
+    * assignment row per vector; None when meta is absent or predates
+    * n_base. Twin of [[ivfpqCounts]].
     */
   private def ivfCounts(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Option[(Long, Long)] = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath)) None
-    else {
-      val nBase = spark.read.parquet(s"$path/meta").head().getAs[Long]("n_base")
+                        path: String): Option[(Long, Long)] =
+    metaWithNBase(spark, path).flatMap { row =>
+      val nBase = row.getAs[Long]("n_base")
       val nNow = spark.read.parquet(s"$path/lists").count()
       if (nBase <= 0) None else Some((nBase, nNow))
     }
-  }
 
   /** Delta share of a maintained IVF index — 0 for pre-n_base indexes
     * (they predate the trigger; the next rebuild stamps them).
@@ -992,16 +1005,12 @@ object Similarity {
     * between them.
     */
   private def ivfpqCounts(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Option[(Long, Long)] = {
-    val meta = spark.read.parquet(s"$path/meta")
-    if (!meta.columns.contains("n_base")) None
-    else {
-      val row = meta.head()
+                          path: String): Option[(Long, Long)] =
+    metaWithNBase(spark, path).flatMap { row =>
       val nBase = row.getAs[Long]("n_base")
       val nNow = spark.read.parquet(s"$path/codes").count() / row.getAs[Int]("m")
       if (nBase <= 0) None else Some((nBase, nNow))
     }
-  }
 
   /** Share of the served index that was delta-appended since the last
     * full train: (vectors now − vectors at train) / vectors at train.

@@ -56,6 +56,11 @@ object Bfs {
         frontier = next
       }
     }
+    // fail loudly, never truncate: a maxRounds exit with a live frontier
+    // would return missing nodes indistinguishable from "unreachable by
+    // contract" (and silently diverge from the g6 oracle)
+    require(nf == 0,
+      s"BFS did not converge within $maxRounds rounds ($nf frontier nodes left) — raise maxRounds")
     (known.select(col("node"), col("d").as("dist")), rounds)
   }
 }

@@ -54,6 +54,11 @@ object KCore {
       e = next
       n = m
     }
+    // fail loudly, never truncate: a maxRounds exit would return a
+    // non-fixpoint edge set that g4b's oracle (a true fixpoint) rejects
+    // with a hash mismatch pointing at the wrong culprit
+    require(converged,
+      s"k-core peel did not converge within $maxRounds rounds — raise maxRounds")
     (e, rounds)
   }
 

@@ -16,6 +16,28 @@ object PipelineOps {
 
   private val streamSeq = new AtomicInteger(0)
 
+  /** ONE containment oracle for d13 AND d13b — the prefix-filter
+    * candidate generator is pigeonhole-exact, so both entries share the
+    * same contract string (a recalibration cannot reach one and miss
+    * the other).
+    */
+  private val containmentOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 20000,
+        |                array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+        |              FROM documents WHERE doc_id < 20),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, c * 1.0 / least(n1.n, n2.n) AS containment
+        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / least(n1.n, n2.n) >= 0.9""".stripMargin
+
   /** Fan a small scan out to the cluster's parallelism. A table that
     * arrives as a handful of parquet splits (one, for the local test files)
     * would otherwise serialize every downstream per-row computation —
@@ -231,22 +253,7 @@ object PipelineOps {
     //      τ) so the entry demonstrably finds what d2 can't; the oracle
     //      replays the same union. Shares d2's inverted-index pair
     //      generation — only the normalization differs. ------------------
-    "d13_containment_pairs" -> Q(
-      """WITH base AS (SELECT doc_id, text FROM documents
-        |              UNION ALL
-        |              SELECT doc_id + 20000,
-        |                array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
-        |              FROM documents WHERE doc_id < 20),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
-        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT id1, id2, c * 1.0 / least(n1.n, n2.n) AS containment
-        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
-        |WHERE c * 1.0 / least(n1.n, n2.n) >= 0.9""".stripMargin) { (s, dir) =>
+    "d13_containment_pairs" -> Q(containmentOracleSql) { (s, dir) =>
       val d = docs(s, dir)
       val snip = d.filter(col("doc_id") < 20)
         .select((col("doc_id") + 20000).as("doc_id"),
@@ -265,22 +272,7 @@ object PipelineOps {
     //      order and stay out of prefixes, so the quadratic posting-list
     //      blowup of the exact inverted index cannot happen (skew probe in
     //      LlmSpec). ------------------------------------------------------
-    "d13b_containment_prefix" -> Q(
-      """WITH base AS (SELECT doc_id, text FROM documents
-        |              UNION ALL
-        |              SELECT doc_id + 20000,
-        |                array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
-        |              FROM documents WHERE doc_id < 20),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
-        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT id1, id2, c * 1.0 / least(n1.n, n2.n) AS containment
-        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
-        |WHERE c * 1.0 / least(n1.n, n2.n) >= 0.9""".stripMargin) { (s, dir) =>
+    "d13b_containment_prefix" -> Q(containmentOracleSql) { (s, dir) =>
       val d = docs(s, dir)
       val snip = d.filter(col("doc_id") < 20)
         .select((col("doc_id") + 20000).as("doc_id"),
@@ -977,6 +969,9 @@ object PipelineOps {
         .coalesce(1).write.parquet(s"$work/in/d0")
       emb.filter(col("vec_id") >= 400)
         .coalesce(1).write.parquet(s"$work/in/d1")
+      // deterministic batch order: an mtime tie would let d1 full-build
+      // first and shift which batch appends (and the per-list counts)
+      EventStream.stampMtimeOrder(Seq(s"$work/in/d0", s"$work/in/d1"))
       val stream = s.readStream
         .schema(s.read.parquet(s"$work/in/d0").schema)
         .option("maxFilesPerTrigger", "1")

@@ -46,6 +46,28 @@ object EventStream {
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}"))
 
+  /** Force a deterministic FileStreamSource processing order over
+    * locally-written epoch directories: the source orders files by
+    * modification time with unstable tie-breaking, and back-to-back
+    * writes can land on ONE mtime (coarse-granularity filesystems) — a
+    * tie replayed out of order runs a later epoch first, and its
+    * watermark then drops the earlier epoch as late data. Stamps every
+    * file under `dirs(i)` with a strictly increasing per-dir mtime; no
+    * sleeps (the Thread.sleep(1100) workaround this replaces cost a
+    * second per boundary).
+    */
+  def stampMtimeOrder(dirs: Seq[String]): Unit = {
+    val t0 = System.currentTimeMillis() - dirs.size * 2000L
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val ft = java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try walk.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.setLastModifiedTime(p, ft)
+      } finally walk.close()
+    }
+  }
+
   /** Tumbling-window counts with a watermark: the canonical streaming agg.
     * Returns the streaming DataFrame; run it with [[runToMemory]].
     */

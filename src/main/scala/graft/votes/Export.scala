@@ -134,17 +134,17 @@ object Export {
     * toLocalIterator + driver write loop serialized every finished matrix
     * through one machine, which caps export throughput at the driver NIC
     * at corpus scale; here the only driver work is scheduling. The
-    * driver's Hadoop configuration is shipped as a plain property map so
-    * task-side FileSystem resolution honours session-level fs settings.
+    * driver's Hadoop configuration ships via one serializable carrier
+    * (graft.sources.SerializableHadoopConf) so task-side FileSystem
+    * resolution honours session-level fs settings.
     */
   def writeAllDistributed(spark: SparkSession, long: DataFrame, root: String): Unit = {
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
     val ds = long.select(
       (Seq("year", "chamber") ++ matrixCols).map(col): _*)
-    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap
-    val confB = spark.sparkContext.broadcast(confMap)
+    val confB = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     ds.groupByKey(r => (r.getInt(0), r.getInt(1)))
       .mapGroups { (key, it) =>
         // group rows carry (year, chamber) in front; strip to matrixCols order
@@ -154,8 +154,7 @@ object Export {
       }
       .foreachPartition { (it: Iterator[(Int, Int, Array[Byte])]) =>
         if (it.hasNext) {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          confB.value.foreach { case (k, v) => conf.set(k, v) }
+          val conf = confB.value.value
           it.foreach { case (y, c, bytes) =>
             val path = new org.apache.hadoop.fs.Path(
               s"$root/$y/${Chamber.title(c)}.csv")

@@ -130,7 +130,6 @@ object VoteMatrix {
     * so hdfs:// and s3a:// corpora work like file://.
     */
   def meltAll(spark: SparkSession, root: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(rootPath).toSeq.map(_.getPath)
@@ -145,16 +144,16 @@ object VoteMatrix {
           }
         else Seq.empty
       }
-    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => e.getKey -> e.getValue).toMap
-    val confB = spark.sparkContext.broadcast(confMap)
+    // one serializable conf carrier, rebuilt once per task deserialization
+    // (not once per partition from a property map)
+    val confB = spark.sparkContext.broadcast(
+      new graft.sources.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
     val rows = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { case (f, y, c) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        confB.value.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(f)
-        val in = p.getFileSystem(conf).open(p)
+        val in = p.getFileSystem(confB.value.value).open(p)
         val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
         meltRows(text, f, y, c)

@@ -44,9 +44,10 @@ class VectorIngestSpec extends SparkSpec {
       .write.parquet(s"$corpusDir/embeddings.parquet/base")
     emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
       .coalesce(1).write.parquet(s"$work/in/d0")
-    Thread.sleep(1100) // distinct mtimes -> deterministic file order
     emb.filter(col("vec_id") >= 400)
       .coalesce(1).write.parquet(s"$work/in/d1")
+    // distinct mtimes -> deterministic file order (no sleep needed)
+    EventStream.stampMtimeOrder(Seq(s"$work/in/d0", s"$work/in/d1"))
 
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$work/in/d0").schema)
