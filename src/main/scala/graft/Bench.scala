@@ -10,12 +10,16 @@ object Bench {
     // first measured query isn't charged ~3s of session bring-up.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "nation").count()
-    // Best-of-2 per query: the queries are deterministic, so the lower
-    // time is the better estimate of engine cost — the host this runs on
-    // shows multi-second noisy-neighbor spikes that would otherwise be
-    // attributed to whichever query they landed on. A query that throws
-    // reports -1 (NOT its time-to-throw, which would read as a speedup)
-    // and is listed in "failures".
+    // Best-of-3 per query, with the (min, max) spread recorded per query
+    // in the JSON: the queries are deterministic, so the minimum is the
+    // best estimate of engine cost — the host this runs on shows
+    // multi-second noisy-neighbor spikes that would otherwise be
+    // attributed to whichever query they landed on (r4: d13 2.9↔16.4s,
+    // r5: g3/t12 "regressions" with unchanged code). The spread makes
+    // noise distinguishable from true regressions round-over-round:
+    // flag a regression only when min_rN > max_r(N-1). A query that
+    // throws reports -1 (NOT its time-to-throw, which would read as a
+    // speedup) and is listed in "failures".
     // optional comma-separated name filter for fast local iteration (the
     // driver sets no filter → full run); "export_writeall" selects the
     // export block below
@@ -31,8 +35,9 @@ object Bench {
           -1.0
         }
       }
-      val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq(once(), once(), once())
+      name -> (if (runs.exists(_ < 0)) (-1.0, -1.0, -1.0)
+               else (runs.min, runs.min, runs.max))
     }
     // Full-corpus export as a named entry (single run — IO-bound, and the
     // golden-byte spec covers correctness): meltAll over the reference's
@@ -52,16 +57,22 @@ object Bench {
     }
     val results = // -2.0 = filtered out by SPARK_GRAFT_BENCH_ONLY, omit entirely
       if (exportSec == -2.0) queryResults
-      else queryResults :+ ("export_writeall" -> exportSec)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      else queryResults :+ ("export_writeall" -> ((exportSec, exportSec, exportSec)))
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val spread = results
+      .map { case (k, (_, lo, hi)) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+      .mkString("{", ",", "}")
+    val failures = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // r1 follow-up: j3/j5 bench spikes (~5s) were re-measured in isolation
     // (graft.TimeOne) at 0.46s / ~1.0s warm — host noisy-neighbor window,
     // not plan cost; nation auto-broadcasts in j3 (25 rows << threshold).
-    val notes = "\"best-of-2 per query; multi-second host noise spikes possible; " +
+    val notes = "\"best-of-3 per query, value=min, per-query [min,max] in " +
+      "'spread' — treat a round-over-round delta as a true regression only " +
+      "when min_rN exceeds max_r(N-1) (r4 d13 and r5 g3/t12 'regressions' " +
+      "were host noise on unchanged code); " +
       "j3/j5 isolated warm times 0.46s/1.0s (TimeOne); slowest entries " +
       "(d2/d7/d9) are the deliberately-exact dedup verifiers + iterative " +
       "connected components — their scale paths are d3 (LSH) and d8; " +
@@ -91,7 +102,7 @@ object Bench {
       "adjacency intersection (per-run time in the queries map — the r3 " +
       "entry benched a %4 sample); g3b keeps the id-oriented twin on " +
       "the sampled scope\""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"notes":$notes,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failures":$failures,"notes":$notes,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a tail cap, which has truncated the
     // per-query map two rounds running ("parsed": null in BENCH_r2/r3).

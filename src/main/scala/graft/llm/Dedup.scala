@@ -376,11 +376,10 @@ object Dedup {
       .toDF(idCol, "band_idx", "band_hash")
 
   /** Exact-Jaccard verification of a candidate pair set — with true
-    * Jaccard computed ONLY over candidate documents: the candidate id set
-    * is tiny by LSH's design, so it broadcasts, the semi-join prunes the
-    * scan before the explode, and the candidate shingle sets checkpoint
-    * cheaply for their three consumers. Shared by [[minhashLshPairs]] and
-    * the streaming-ingest verify stage.
+    * Jaccard computed ONLY over candidate documents: the semi-join prunes
+    * the scan before the explode, and the candidate shingle sets
+    * checkpoint cheaply for their three consumers. Shared by
+    * [[minhashLshPairs]] and the streaming-ingest verify stage.
     */
   private[graft] def verifyJaccardPairs(docs: DataFrame, cands: DataFrame,
                                         n: Int, threshold: Double,
@@ -394,9 +393,14 @@ object Dedup {
 
   /** Exact-overlap verification of a candidate pair set: (id1, id2,
     * `_common` = |A∩B|, `_n1`, `_n2`) with true counts computed ONLY over
-    * candidate documents — the candidate id set is small by the candidate
-    * generator's design, so it broadcasts and the semi-join prunes the
-    * corpus scan before the explode. Shared by the Jaccard verifier
+    * candidate documents — the semi-join prunes the corpus scan before
+    * the explode. The candidate id set is deliberately NOT hint-broadcast:
+    * it is output-sized, and on a duplicate-heavy corpus at a low
+    * threshold it can be a large fraction of the corpus — a forced
+    * broadcast would then fail the job at the driver/broadcast memory
+    * wall instead of degrading to a shuffle join. AQE picks the strategy
+    * from the candidate set's RUNTIME size (broadcast when genuinely
+    * small, shuffle otherwise). Shared by the Jaccard verifier
     * ([[minhashLshPairs]], streaming ingest) and the containment verifier
     * ([[containmentPairsPrefix]]).
     */
@@ -406,7 +410,7 @@ object Dedup {
     val candIds = cands.select(col("id1").as(idCol))
       .union(cands.select(col("id2").as(idCol))).distinct()
     val candSets = shingleSets(
-      docs.join(broadcast(candIds), Seq(idCol), "left_semi"), n, idCol, textCol)
+      docs.join(candIds, Seq(idCol), "left_semi"), n, idCol, textCol)
       .localCheckpoint(false)
     val sh = candSets.select(col(idCol), explode(col("shingle_set")).as("shingle"))
     val counts = candSets.select(col(idCol),

@@ -790,9 +790,10 @@ object Similarity {
     s"$root/${sig.takeWhile(_ != '|')}_$hex"
   }
 
-  /** Source-identity stamp: length + mtime of the embeddings file (read
-    * through the Hadoop FileSystem of the dir's scheme) PLUS the
-    * canonicalized semantic hash of the corpus DataFrame's logical plan.
+  /** Source-identity stamp: a digest of the embeddings file's recursive
+    * data-file listing (read through the Hadoop FileSystem of the dir's
+    * scheme) PLUS the canonicalized semantic hash of the corpus
+    * DataFrame's logical plan.
     * The plan hash closes the (dir, params)-collision footgun: a caller
     * passing a FILTERED or otherwise different corpus from the same dir
     * gets a different stamp and a rebuild, instead of silently serving
@@ -805,10 +806,35 @@ object Similarity {
   private def sourceStamp(spark: org.apache.spark.sql.SparkSession,
                           dir: String, corpus: DataFrame): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    // Content-derived component: digest of the recursive DATA-file
+    // listing (path|len|mtime per file). The top-level directory status
+    // alone is not trustworthy — object stores (s3a) synthesize
+    // directory mtimes, so a corpus that GREW between maintain calls
+    // could otherwise stamp-match spuriously and the maintenance
+    // early-return would serve a stale index missing the new vectors.
+    // The listing digest changes whenever data files are added, removed,
+    // replaced, or resized, and costs one metadata listing (O(#files) —
+    // the same listing every read performs), never a data scan.
+    val listing: Seq[String] =
+      if (!st.isDirectory) Seq(s"${st.getLen}|${st.getModificationTime}")
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith("."))
+            buf += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val planHash = corpus.queryExecution.logical.canonicalized.semanticHash()
-    s"${st.getLen}|${st.getModificationTime}|$planHash"
+    s"$digest|$planHash"
   }
 
   /** Build into a staging directory next to `path`, stamp it, then

@@ -1154,7 +1154,14 @@ object Extras {
     //      customer–supplier, part–supplier, and doc-shingle graphs. ---
     "g4b_kcore_converge" -> Q(g4bOracle) { (s, dir) =>
       val e = graft.ops.Triangles.coPurchaseEdges(t(s, dir, "lineitem"))
-      val (core, _) = graft.ops.KCore.peelToFixpoint(e, k = 80)
+      val (core, rounds) = graft.ops.KCore.peelToFixpoint(e, k = 80)
+      // calibration guard, not a correctness condition: the oracle
+      // unrolls exactly 8 peel rounds, so a deeper cascade at an
+      // untested scale factor must surface HERE as a loud calibration
+      // error — not as an under-iterated oracle's hash mismatch
+      // blaming the operator
+      require(rounds <= 8, s"k-core cascade took $rounds rounds > the " +
+        "g4b oracle's 8 unrolled rounds — raise g4bOracle's unroll depth")
       graft.ops.KCore.coreDegrees(core)
     },
 
@@ -1175,7 +1182,12 @@ object Extras {
       val sources = e.select(col("u").as("node"))
         .unionByName(e.select(col("v").as("node")))
         .distinct().orderBy("node").limit(10)
-      val (dist, _) = graft.ops.Bfs.distances(e, sources)
+      val (dist, rounds) = graft.ops.Bfs.distances(e, sources)
+      // calibration guard (same contract as g4b's): eccentricity past
+      // the oracle's 8 unrolled rounds must fail loudly here, not as a
+      // spurious hash mismatch from an under-iterated oracle
+      require(rounds <= 8, s"BFS took $rounds rounds > the g6 oracle's " +
+        "8 unrolled rounds — raise g6Oracle's unroll depth")
       dist
     },
 

@@ -171,9 +171,24 @@ object Export {
             try out.write(bytes) finally out.close()
             fs.delete(path, false)
             if (!fs.rename(tmp, path)) {
-              fs.delete(tmp, false)
-              if (!fs.exists(path))
-                throw new java.io.IOException(s"could not publish $path")
+              // A rename loser may find a racing twin's file — whose
+              // bytes are the same deterministic group output — but a
+              // bare exists() can't tell that fresh CSV from a STALE one
+              // left by a previous run over the same root (a transient
+              // rename failure would then silently keep outdated data).
+              // Accept only a length-matching file; otherwise retry the
+              // delete+rename once and fail the task if it still loses
+              // (Spark re-runs the task).
+              val twinPublished = fs.exists(path) &&
+                fs.getFileStatus(path).getLen == bytes.length.toLong
+              if (twinPublished) fs.delete(tmp, false)
+              else {
+                fs.delete(path, false)
+                val renamed = fs.rename(tmp, path)
+                if (!renamed) fs.delete(tmp, false)
+                if (!renamed)
+                  throw new java.io.IOException(s"could not publish $path")
+              }
             }
           }
         }

@@ -35,6 +35,39 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH recall $recall below 0.95 (${lsh.size}/${exact.size})")
   }
 
+  test("verify stage survives an output-sized candidate set with no forced broadcast") {
+    // Adversarial volume: every pair of 100 docs is a candidate (4,950
+    // pairs; the candidate ID set IS the corpus). With broadcast disabled
+    // — the stand-in for "candidate set too big for the driver at 100 TB"
+    // — the verifier must degrade to a shuffle join, not force a
+    // broadcast (a re-added broadcast() hint overrides the threshold and
+    // would reintroduce a BroadcastExchange here, failing this assert).
+    val d = docs.select("doc_id", "text").limit(100).cache()
+    val ids = d.select("doc_id")
+    val allPairs = ids.toDF("id1").crossJoin(ids.toDF("id2"))
+      .filter(col("id1") < col("id2"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val verified = Dedup.verifyJaccardPairs(d, allPairs, n = 3, threshold = 0.6)
+      val got = verified.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = verified.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"verify must not force a broadcast of the candidate set:\n${plan.take(1500)}")
+      // Correctness unchanged under the shuffle strategy: all-pairs
+      // candidates + exact verification == the exact Jaccard operator.
+      val exact = Dedup.jaccardPairs(d, n = 3, threshold = 0.6)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty && got === exact)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      d.unpersist()
+    }
+  }
+
   test("SimHash finds all exact duplicates at hamming distance 0") {
     val d = docs.select("doc_id", "text").limit(50)
     val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
