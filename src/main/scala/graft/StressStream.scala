@@ -171,6 +171,126 @@ object StressStream {
       f"$residentIds ids = $bytesPerId%.1f B/id, " +
       f"${spark.read.parquet(s"$work/pairs").count()} candidate pairs")
 
+    // ---- t17/t20: stream-stream FULL OUTER join — BOTH sides' state ----
+    // The outer-join family holds clicks AND purchases in state until the
+    // watermark closes their match windows. Replay N shifted epochs (ids
+    // restriped so every row names its epoch) and assert:
+    //   (a) state stays bounded at O(one live epoch's join rows), never
+    //       O(rows × epochs);
+    //   (b) every non-final epoch's unmatched rows emit EXACTLY ONCE, and
+    //       never before their epoch's last input batch (a premature null
+    //       would be a retractable emission, which append mode forbids);
+    //   (c) matched pairs emit exactly once per epoch, all epochs.
+    val windowMinutes = 10
+    // per-epoch shift: span + watermark delay (1h) + window + 1 min margin
+    // — epoch k+1's watermark passes every epoch-k click's expiry
+    // (c_ts + window) and purchase's own time, so both null directions
+    // evict between epochs, not once at drain
+    val jshift = (maxUs - minUs) + 3600L * 1000000L +
+      windowMinutes * 60L * 1000000L + 60L * 1000000L
+    val idStride = base.agg(max("event_id")).head().getLong(0) + 1
+    stage(s"write $replicas join epochs") {
+      (0 until replicas).foreach { k =>
+        base.withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + lit(k * jshift)))
+          .withColumn("event_id", col("event_id") + lit(k * idStride))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(f"$work%s/jevents/r$k%03d")
+      }
+      EventStream.stampMtimeOrder(
+        (0 until replicas).map(k => f"$work%s/jevents/r$k%03d"))
+    }
+    val jStream = Tables.restoreTs(
+      spark.readStream
+        .schema(spark.read.parquet(s"$work/jevents/r000").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/jevents/r*"))
+    val joinedOut = s"$work/joined"
+    val q3 = EventStream.clickPurchaseFullJoin(jStream, windowMinutes)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/chk_t20")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // batch id rides along so "when did this row emit" is queryable
+        b.withColumn("_batch", lit(id)).write.mode("append").parquet(joinedOut)
+        ()
+      }
+      .start()
+    stage("drain t20 full outer join")(q3.awaitTermination())
+
+    // batch replay of ONE epoch = the per-epoch expectation (epochs are
+    // time-disjoint by construction, so the streamed answer is this
+    // expectation repeated with restriped ids)
+    val ep0 = spark.read.parquet(s"$work/jevents/r000")
+    val bc = ep0.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val bp = ep0.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val bj = bc.join(bp,
+      col("user_id") === col("p_user") && col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "full_outer").localCheckpoint(false)
+    val m0 = bj.filter(col("c_id").isNotNull && col("p_id").isNotNull).count()
+    val uc0 = bj.filter(col("p_id").isNull).select("c_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val up0 = bj.filter(col("c_id").isNull).select("p_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val perEpochJoinRows = bc.count() + bp.count()
+
+    val res = spark.read.parquet(joinedOut).localCheckpoint(false)
+    // (c) matched pairs: exactly once, every epoch including the last
+    // (the data path emits matches immediately; no watermark needed)
+    val matched = res.filter(col("c_id").isNotNull && col("p_id").isNotNull)
+    require(matched.count() == replicas * m0,
+      s"${matched.count()} matched rows, expected ${replicas}×$m0")
+    require(matched.groupBy("c_id", "p_id").count()
+        .filter(col("count") > 1).count() == 0, "a matched pair emitted twice")
+    // (b) unmatched rows: exactly once, never premature. An epoch-k null
+    // can only emit after the watermark advanced past epoch k — which
+    // requires epoch k+1's input (or the trailing no-data flush), so
+    // _batch must exceed k. The final epoch's stragglers past the last
+    // watermark stay unemitted by contract.
+    def onceAndNotPremature(nullSide: String, idCol: String,
+                            expected: Set[Long]): Int = {
+      val rows = res.filter(col(nullSide).isNull)
+        .select(col(idCol).cast("long").as("id"), col("_batch"))
+        .collect()
+      val dup = rows.groupBy(_.getLong(0)).filter(_._2.size > 1)
+      require(dup.isEmpty,
+        s"${dup.size} unmatched $idCol rows emitted more than once")
+      var fullEpochs = 0
+      (0 until replicas).foreach { k =>
+        val want = expected.map(_ + k * idStride)
+        val got = rows.filter(r => r.getLong(0) / idStride == k)
+        got.foreach { r =>
+          require(r.getAs[Long]("_batch") > k,
+            s"epoch-$k unmatched $idCol ${r.getLong(0)} emitted in batch " +
+              s"${r.getAs[Long]("_batch")} — premature null")
+          require(want.contains(r.getLong(0)),
+            s"unexpected unmatched $idCol ${r.getLong(0)} in epoch $k")
+        }
+        if (got.map(_.getLong(0)).toSet == want) fullEpochs += 1
+      }
+      fullEpochs
+    }
+    val fullC = onceAndNotPremature("p_id", "c_id", uc0)
+    val fullP = onceAndNotPremature("c_id", "p_id", up0)
+    // every epoch the watermark could close must have emitted COMPLETELY
+    require(fullC >= replicas - 2 && fullP >= replicas - 2,
+      s"only $fullC/$fullP of ${replicas - 2}+ closable epochs fully emitted")
+    // (a) bounded state from the engine's own metrics
+    val prog3 = q3.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    val joinStateRows = prog3.map(_.stateOperators.head.numRowsTotal)
+    require(joinStateRows.max <= 3 * perEpochJoinRows,
+      s"join state peaked at ${joinStateRows.max} rows for " +
+        s"$perEpochJoinRows join rows/epoch — eviction broke")
+    println(s"[stress-stream] OK t20: ${replicas}×$m0 matches, " +
+      s"$fullC/$fullP fully-emitted unmatched epochs (clicks/purchases, " +
+      s"of ${replicas - 1} closable), state peak ${joinStateRows.max} rows " +
+      s"(≤ 3×$perEpochJoinRows)")
+
     parent.stop()
   }
 }

@@ -263,6 +263,17 @@ object Multimodal {
     Dedup.hammingPairs(imageDHashes(media, targetPartitions), maxDist,
       bits = 64, "media_id")
 
+  /** The pairing stage of [[perceptualDupPairs]] alone, over an
+    * already-computed (media_id, simhash) fingerprint table — split out
+    * so the post-decode tail of m4 is hash-checkable: persist the
+    * fingerprints, pair through the persisted bytes, and let a SQL
+    * oracle replay the pigeonhole chunk equi-join + bit_count filter
+    * over the same parquet (the d4b discipline applied to m4; the decode
+    * itself has no SQL-expressible oracle and stays spec-verified).
+    */
+  def pairsFromFingerprints(fingerprints: DataFrame, maxDist: Int): DataFrame =
+    Dedup.hammingPairs(fingerprints, maxDist, bits = 64, "media_id")
+
   /** Real resize: scale so the longer edge is ≤ `maxDim` (never
     * upscales), re-encode as PNG. Returns the media frame shape — id,
     * mime, data, meta — so it drops into the same pipeline slot as

@@ -150,7 +150,7 @@ object Extras {
     * concurrent JVMs (verify vs bench) never collide; reused across
     * invocations within a process (writers use overwrite mode).
     */
-  private def scratchDir(name: String): String = {
+  private[queries] def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"${name}_${ProcessHandle.current().pid()}")
     Files.createDirectories(p)

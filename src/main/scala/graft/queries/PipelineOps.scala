@@ -38,6 +38,39 @@ object PipelineOps {
         |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
         |WHERE c * 1.0 / least(n1.n, n2.n) >= 0.9""".stripMargin
 
+  /** Scratch parquet path for m4b's persisted fingerprints — fixed per
+    * process (overwrite mode) and embedded in the oracle SQL below, so
+    * the DuckDB replay reads exactly the bytes the entry paired through.
+    */
+  private val m4bFpDir = Extras.scratchDir("graft_m4b_fp")
+
+  /** m4b oracle: replay [[graft.llm.Dedup.hammingPairs]]'s pigeonhole
+    * chunk equi-join + bit_count filter over the PERSISTED dHash
+    * fingerprints. The chunk table is generated from the same
+    * (bits, maxDist) arithmetic as the Scala (11 chunks over 64 bits:
+    * ten 5-bit, one 14-bit remainder); both engines mask after the
+    * arithmetic shift, so sign extension cancels identically.
+    */
+  private val m4bOracle: String = {
+    val (bits, maxDist) = (64, 10)
+    val chunks = maxDist + 1
+    val bitsPer = bits / chunks
+    val rows = (0 until chunks).map { c =>
+      val width = if (c == chunks - 1) bits - c * bitsPer else bitsPer
+      s"($c, ${c * bitsPer}, ${(1L << width) - 1})"
+    }.mkString(", ")
+    s"""WITH fp AS (SELECT media_id, simhash
+       |            FROM read_parquet('$m4bFpDir/*.parquet')),
+       |ch AS (SELECT media_id, simhash, chunk_idx,
+       |        (simhash >> sh) & mask AS chunk_val
+       |       FROM fp, (VALUES $rows) c(chunk_idx, sh, mask))
+       |SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+       |      AND a.chunk_val = b.chunk_val AND a.media_id < b.media_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+  }
+
   /** Fan a small scan out to the cluster's parallelism. A table that
     * arrives as a handful of parquet splits (one, for the local test files)
     * would otherwise serialize every downstream per-row computation —
@@ -1345,6 +1378,28 @@ object PipelineOps {
         .groupBy((col("id1") / 10).cast("long").as("pattern_group"))
         .agg(count(lit(1)).as("n_pairs"),
           max(col("hamming")).as("max_hamming"))
+    },
+
+    // ---- M4b: HASH-CHECKED pairing stage of m4 -------------------------
+    //      The decode can't be oracled (no SQL engine reads PNGs), but
+    //      everything after the fingerprint can: the entry persists the
+    //      executor-rendered corpus' dHashes to parquet, then pairs
+    //      THROUGH the persisted bytes, and the oracle replays the
+    //      pigeonhole chunk equi-join + bit_count filter over the very
+    //      same parquet — so m4's candidate generation and Hamming
+    //      filter are now hash-green, with only the pixel→fingerprint
+    //      kernel left to MultimodalImageSpec's invariance checks. ------
+    "m4b_perceptual_pairing" -> Q(m4bOracle) { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          id -> Multimodal.syntheticPatternPng(id / 10, (id % 10).toInt)
+        })
+        .toDF("media_id", "data")
+      Multimodal.imageDHashes(media)
+        .write.mode("overwrite").parquet(m4bFpDir)
+      Multimodal.pairsFromFingerprints(s.read.parquet(m4bFpDir), maxDist = 10)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
     },
 
     // ---- T2 (streaming): tumbling-window counts with watermark ---------

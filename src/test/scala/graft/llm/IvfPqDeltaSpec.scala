@@ -56,6 +56,47 @@ class IvfPqDeltaSpec extends SparkSpec {
     assert(!Similarity.ivfpqRetrainDue(spark, path, maxDeltaFraction = 0.3))
   }
 
+  test("delta-only neighbors reach the same recall floor as base-resident ones") {
+    // The 20% retrain trigger guards quantization drift of frozen-model
+    // appends; this pins the bound it guards from the QUERY side: plant
+    // 5 tight clones of each query vector in the DELTA — every true
+    // neighbor delta-resident, none base-resident — and assert the
+    // merged index recalls them, i.e. appended vectors are first-class
+    // at query time, not placement-frozen stragglers.
+    import spark.implicits._
+    val base = emb.filter(col("vec_id") < 400)
+    val seedsById = base.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val rnd = new scala.util.Random(7)
+    def jitter(v: Array[Float], eps: Float) =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 2 * eps)
+    // queries: jittered copies of 10 base seeds, ids outside every corpus
+    val queries = (0L until 10L).map(i => (20000L + i, jitter(seedsById(i), 0.05f)))
+    // delta: 5 clones per QUERY, an order of magnitude tighter than the
+    // query-to-seed gap, so the true top-5 is exactly the clone set
+    val delta = queries.flatMap { case (qid, qv) =>
+      (0 until 5).map(j => (30000L + (qid - 20000L) * 5 + j, jitter(qv, 0.002f)))
+    }
+    val queryDf = queries.toDF("vec_id", "embedding")
+    val deltaDf = delta.toDF("vec_id", "embedding")
+    val grown = base.select("vec_id", "embedding").unionByName(deltaDf)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_donly_").toString
+    val path = s"$tmp/idx"
+    Similarity.saveIvfPq(Similarity.buildIvfPq(base, nlist = 16, m = 8, ksub = 16), path)
+    val merged = Similarity.appendIvfPqDelta(spark, path, deltaDf, grown)
+
+    val exact = Similarity.bruteForceTopK(queryDf, grown, k = 5)
+    // sanity: the construction worked — every true neighbor IS delta-resident
+    assert(exact.filter(col("neighbor_id") < 30000L).count() === 0L,
+      "planted clones should be the exact top-5 for every query")
+    val r = Similarity.recallAtK(
+      Similarity.ivfpqQuery(merged, queryDf, k = 5, nprobe = 8), exact)
+    info(f"delta-only-neighbor recall@5 = $r%.3f")
+    assert(r >= 0.9, f"delta-resident neighbors under-recalled: $r%.3f " +
+      "(frozen-model append is starving fresh vectors)")
+  }
+
   test("IVF twin: appended assignments serve the grown corpus at rebuilt recall") {
     val base = emb.filter(col("vec_id") < 400)
     val delta = emb.filter(col("vec_id") >= 400)
