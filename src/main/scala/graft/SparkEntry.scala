@@ -45,5 +45,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+
+  /** Hand-written Spark-SQL twins for the oracles whose DuckDB dialect
+    * has no mechanical translation (see [[graft.sql.DuckDialect]]); the
+    * dialect-parity gate prefers these when present and requires them to
+    * match the DataFrame entry row-exactly.
+    */
+  def oracleSqlAnsi: Map[String, String] =
+    all.collect { case (k, q) if q.ansi.isDefined => k -> q.ansi.get }
 }

@@ -179,6 +179,26 @@ object Extras {
       |       cast(rank() OVER (PARTITION BY o_year ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rk
       |FROM rev""".stripMargin
 
+  /** sql2's DuckDB-dialect text — runnable by DuckDB as written, runnable
+    * by Spark only through [[graft.sql.DuckDialect.translate]]; exercises
+    * the translator's big families in one query (split, 1-based indexing,
+    * lambda filter, ordered-aggregate fusion, floor division, the
+    * FROM-comma generator). The `tk` CTE head-token sample is 1-based on
+    * BOTH sides via the translation's element_at rebase.
+    */
+  private val sql2Text: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |f AS (SELECT doc_id, ws, list_filter(ws, x -> strlen(x) >= 4) AS lw FROM w),
+      |tk AS (SELECT doc_id, ws[i] AS tok
+      |       FROM w, unnest(generate_series(1, least(len(ws), 5))) AS u(i))
+      |SELECT f.doc_id,
+      |       CAST(len(f.ws) AS BIGINT) AS n_words,
+      |       CAST(len(f.lw) AS BIGINT) AS n_long,
+      |       CAST(len(f.ws) * 100 // greatest(len(f.lw), 1) AS BIGINT) AS ratio_pct,
+      |       array_to_string(list(tk.tok ORDER BY tk.tok), ',') AS head_sorted
+      |FROM f JOIN tk ON tk.doc_id = f.doc_id
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Same SQL text on both engines (the sql1 pattern): NOT IN under
     * three-valued logic. Probe-side NULLs (every 97th order) must vanish.
     */
@@ -245,6 +265,20 @@ object Extras {
       Seq("lineitem", "orders", "customer", "nation")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(sql1Text)
+    },
+
+    // ---- SQL2: the DuckDB-dialect entry point — the oracle text is
+    //      deliberately written in the FOREIGN dialect (string_split,
+    //      1-based ws[i] indexing, list(… ORDER BY) ordered aggregation,
+    //      strlen/len, `//` floor division, FROM-comma unnest) and the
+    //      entry runs graft.sql.DuckDialect.translate() over it before
+    //      spark.sql. The driver's DuckDB gate runs the SAME untranslated
+    //      text, so the TRANSLATOR itself is hash-checked here — the
+    //      porting path a raw-SQL user actually takes (DialectParitySpec
+    //      additionally pushes all 165 oracles through it). ------------
+    "sql2_duckdb_dialect" -> Q(sql2Text) { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(graft.sql.DuckDialect.translate(sql2Text))
     },
 
     // ---- F1: chamber letter ↔ int codec (pa_legislature.py:7-23) -------
@@ -401,7 +435,20 @@ object Extras {
         |           FROM orders)
         |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
         |FROM events e ASOF LEFT JOIN o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.ts2""".stripMargin) { (s, dir) =>
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ts2""".stripMargin,
+      // ansi twin: Spark has no ASOF JOIN — a correlated LATERAL picking
+      // the greatest at-or-before row expresses the same contract ((key,
+      // ts2) is unique on this projection, so the orderkey tie-break is
+      // inert; it just keeps the twin deterministic)
+      ansi = """WITH o AS (SELECT o_custkey, o_orderkey,
+        |            timestampadd(SECOND, o_orderkey % 86400,
+        |                         CAST(o_orderdate AS TIMESTAMP)) AS ts2
+        |           FROM orders)
+        |SELECT e.event_id, e.user_id, l.o_orderkey AS last_orderkey
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o.o_orderkey FROM o
+        |  WHERE o.o_custkey = e.user_id AND o.ts2 <= e.ts
+        |  ORDER BY o.ts2 DESC, o.o_orderkey DESC LIMIT 1) l""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
       val ord = t(s, dir, "orders").select(
         col("o_custkey").as("user_id"),
@@ -697,7 +744,19 @@ object Extras {
         |       first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
         |       last_value(event_type) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_type
         |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin) { (s, dir) =>
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin,
+      // ansi twin: Spark supports the WINDOW clause but not refining a
+      // named window inline (`OVER (w ROWS …)`) — expand each window
+      ansi = """WITH e AS (SELECT event_id, user_id, event_type,
+        |            cast(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |       avg(cents) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mov_avg3,
+        |       cast(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile,
+        |       percent_rank() OVER (PARTITION BY user_id ORDER BY event_id) AS prk,
+        |       cume_dist() OVER (PARTITION BY user_id ORDER BY event_id) AS cd,
+        |       first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+        |       last_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_type
+        |FROM e""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("event_id")
       val wMov = w.rowsBetween(-1, 1)
       val wHead = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -756,6 +815,22 @@ object Extras {
         |      LEFT JOIN d ON d.user_id = spine.user_id AND d.day = spine.day)
         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
         |       last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+        |       cents IS NULL AS filled
+        |FROM j""".stripMargin,
+      // ansi twin: Spark forbids a generator nested inside a cast
+      // (sequence over dates already yields DATE elements, so the cast
+      // drops) and spells IGNORE NULLS outside the value argument
+      ansi = """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |            cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |spine AS (SELECT user_id, day
+        |          FROM s LATERAL VIEW explode(sequence(d0, d1, INTERVAL 1 DAY)) u AS day),
+        |j AS (SELECT spine.user_id, spine.day, d.cents FROM spine
+        |      LEFT JOIN d ON d.user_id = spine.user_id AND d.day = spine.day)
+        |SELECT user_id, date_format(day, 'yyyy-MM-dd') AS day,
+        |       last_value(cents) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
         |       cents IS NULL AS filled
         |FROM j""".stripMargin) { (s, dir) =>
@@ -1665,6 +1740,13 @@ object Extras {
       """SELECT p_partkey,
         |       array_to_string(list_transform(string_split(upper(p_name), ' '),
         |         w -> upper(w[1]) || lower(w[2:])), ' ') AS decap
+        |FROM part""".stripMargin,
+      // ansi twin: DuckDB's open-ended string slice w[2:] has no single
+      // Spark equivalent (substring for strings, slice for arrays — the
+      // translator can't know the type), so spell the substrings out
+      ansi = """SELECT p_partkey,
+        |       array_join(transform(split(upper(p_name), ' '),
+        |         w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))), ' ') AS decap
         |FROM part""".stripMargin) { (s, dir) =>
       t(s, dir, "part")
         .select(col("p_partkey"),

@@ -1171,6 +1171,18 @@ object PipelineOps {
         |FROM (SELECT doc_id, ws,
         |        list_filter(ws, (x, i) -> i = 1 OR x <> ws[i-1]) AS cw
         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents))""".stripMargin,
+      // ansi twin: the filter lambda's index is 1-based in DuckDB and
+      // 0-based in Spark — an index-BASE gap inside an arbitrary lambda
+      // that no mechanical rewrite can see (note ws[i-1] here is Spark's
+      // native 0-based access, which IS "the previous element")
+      ansi = """SELECT doc_id,
+        |  CAST(size(ws) AS BIGINT) AS n_words,
+        |  CAST(size(cw) AS BIGINT) AS n_after,
+        |  array_join(cw, ' ') AS clean_text
+        |FROM (SELECT doc_id, ws,
+        |        filter(ws, (x, i) -> i = 0 OR x <> ws[i-1]) AS cw
+        |      FROM (SELECT doc_id, split(text, ' ') AS ws
         |            FROM documents))""".stripMargin) { (s, dir) =>
       docs(s, dir)
         .withColumn("_ws", split(col("text"), " "))

@@ -79,6 +79,16 @@ object Scalar {
         |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
         |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
         |       cast(dayofweek(o_orderdate) AS int) AS dow
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+      // ansi twin: Spark's dayofweek is 1-based Sunday=1 where DuckDB's
+      // is 0-based Sunday=0 — the one semantic (not syntactic) gap here,
+      // so the mechanical translation can't be row-exact
+      ansi = """SELECT o_orderkey,
+        |       date_format(o_orderdate + INTERVAL 30 DAY, 'yyyy-MM-dd') AS due,
+        |       datediff(o_orderdate, DATE '1992-01-01') AS age_days,
+        |       date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS month_start,
+        |       date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS month_end,
+        |       cast(dayofweek(o_orderdate) - 1 AS int) AS dow
         |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .filter(col("o_orderkey") < 1000)
