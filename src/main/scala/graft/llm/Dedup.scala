@@ -646,4 +646,56 @@ object Dedup {
           x => x.getField("chunk")), " ").as("clean_text"),
         count(col("_dup")).as("n_removed"))
   }
+
+  /** EXACT repeated-substring span detection — the character-level form
+    * of training-data dedup (suffix-array substring dedup, Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"),
+    * re-derived for Spark: instead of a global suffix array (a serial,
+    * memory-resident structure), every position p of every doc emits its
+    * k-char gram; a gram appearing in ≥ `minDocs` DISTINCT docs flags
+    * its positions; per doc, flagged positions within k of each other
+    * condense into maximal spans (the gaps-and-islands kernel, A11). A
+    * duplicated region of length L ≥ k is covered by L−k+1 flagged
+    * grams that all chain (consecutive positions 1 apart ≤ k), so every
+    * maximal duplicated substring surfaces as one span with its exact
+    * boundaries — no probabilistic shingle banding, character-exact.
+    *
+    * Scale shape: the gram explode is a narrow map-side fan-out (len
+    * rows/doc of k+12 bytes); ONE shuffle groups grams (map-side
+    * combinable count-distinct), one broadcast-or-shuffle semi-join
+    * flags positions, one per-doc window condenses. The gram text
+    * itself shuffles (k = 20 bytes ≈ the two 64-bit hashes d1 ships) to
+    * keep the operator character-exact under the oracle; at larger k
+    * shuffle `xxhash64(gram)` pairs instead, d1's exact-dedup
+    * discipline. Chunking (d8) answers "drop the paragraph"; this
+    * answers "WHERE inside the doc is the copied text" — the snippet
+    * needed for surgical span removal rather than whole-chunk drops.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int, minDocs: Long = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col(textCol)) >= k) // sequence(1, n<1) would DESCEND
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), length(col(textCol)) - (k - 1)),
+        p => col(textCol).substr(p, lit(k)))))
+      .toDF(idCol, "_p0", "gram")
+      .select(col(idCol), (col("_p0") + 1).as("p"), col("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("gram")
+    val flagged = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val brk = when(col("p") - lag("p", 1).over(w) <= k, 0).otherwise(1)
+    flagged
+      .select(col(idCol), col("p"), brk.as("_brk"))
+      .select(col(idCol), col("p"),
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("_sid"))
+      .groupBy(col(idCol), col("_sid"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(idCol, "span_start", "span_end", "n_grams")
+  }
 }

@@ -538,6 +538,23 @@ object Extras {
           col("o_orderstatus").as("status_at_ship"))
     },
 
+    // ---- J16: edit-distance (Levenshtein ≤ 1) similarity self-join —
+    //      symmetric-delete (SymSpell) candidate generation: recall 1.0
+    //      by construction, no cartesian, banded-levenshtein verify
+    //      (ops.EditDistanceJoin scaladoc has the completeness proof).
+    //      The oracle IS the quadratic definition — fine at sf, which is
+    //      exactly why the blocked path exists for scale. ---------------
+    "j16_editdist_join" -> Q(
+      """WITH c AS (SELECT c_custkey, c_name FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) { (s, dir) =>
+      graft.ops.EditDistanceJoin.ed1Pairs(
+          t(s, dir, "customer"), "c_custkey", "c_name")
+        .select("id1", "id2")
+    },
+
     // ---- U4: intersect (engine completeness; the reference has none) ---
     "u4_intersect" -> Q(
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -706,6 +723,37 @@ object Extras {
           col("sum_qty"), col("n"))
     },
 
+    // ---- A22: arbitrary GROUPING SETS (the general form a13's ROLLUP
+    //      and a14's CUBE are shorthands for) via Spark 4's native
+    //      Dataset.groupingSets — here the cross-tab margins WITHOUT the
+    //      all-pairs interior a cube would add. grouping() bits
+    //      disambiguate a real value from a rolled-up one, which the
+    //      'ALL' coalesce alone cannot (it would collide with genuine
+    //      NULL group keys). One pass, one shuffle — not four unioned
+    //      aggregations. ------------------------------------------------
+    "a22_grouping_sets" -> Q(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pri,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          (grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("gid"), col("n"), col("cents"))
+    },
+
     // ---- W4: ranking / lag / lead window family ------------------------
     "w4_ranking_windows" -> Q(
       """SELECT o_custkey, o_orderkey,
@@ -840,6 +888,76 @@ object Extras {
       GapFill.daily(dailyAgg, "user_id", "day", "cents")
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("cents"), col("filled"))
+    },
+
+    // ---- W11: linear interpolation over calendar gaps — w8's spine with
+    //      the interpolated value emitted as an EXACT rational num/den
+    //      (integer arithmetic only; no IEEE division to diverge between
+    //      engines). Interior gaps always have both neighbors because the
+    //      spine is bounded per key. ------------------------------------
+    "w11_interpolate" -> Q(
+      """WITH d AS (SELECT user_id, ts::DATE AS day,
+        |            CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |          FROM s),
+        |j AS (SELECT spine.user_id, spine.day, d.cents FROM spine
+        |      LEFT JOIN d ON d.user_id = spine.user_id AND d.day = spine.day),
+        |w AS (SELECT user_id, day, cents,
+        |        CAST(day - DATE '1970-01-01' AS BIGINT) AS h,
+        |        last_value(cents IGNORE NULLS) OVER wp AS pc,
+        |        last_value(CASE WHEN cents IS NOT NULL
+        |          THEN CAST(day - DATE '1970-01-01' AS BIGINT) END IGNORE NULLS) OVER wp AS ph,
+        |        first_value(cents IGNORE NULLS) OVER wn AS nc,
+        |        first_value(CASE WHEN cents IS NOT NULL
+        |          THEN CAST(day - DATE '1970-01-01' AS BIGINT) END IGNORE NULLS) OVER wn AS nh
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY user_id ORDER BY day
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |            ELSE pc*(nh-ph) + (nc-pc)*(h-ph) END AS BIGINT) AS num,
+        |       CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE nh-ph END AS BIGINT) AS den,
+        |       cents IS NULL AS filled
+        |FROM w""".stripMargin,
+      // ansi twin: Spark spells IGNORE NULLS outside the value argument,
+      // sequence over dates needs no cast, and date difference is datediff
+      ansi = """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |            CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |spine AS (SELECT user_id, day
+        |          FROM s LATERAL VIEW explode(sequence(d0, d1, INTERVAL 1 DAY)) u AS day),
+        |j AS (SELECT spine.user_id, spine.day, d.cents FROM spine
+        |      LEFT JOIN d ON d.user_id = spine.user_id AND d.day = spine.day),
+        |w AS (SELECT user_id, day, cents,
+        |        CAST(datediff(day, DATE '1970-01-01') AS BIGINT) AS h,
+        |        last_value(cents) IGNORE NULLS OVER wp AS pc,
+        |        last_value(CASE WHEN cents IS NOT NULL
+        |          THEN CAST(datediff(day, DATE '1970-01-01') AS BIGINT) END) IGNORE NULLS OVER wp AS ph,
+        |        first_value(cents) IGNORE NULLS OVER wn AS nc,
+        |        first_value(CASE WHEN cents IS NOT NULL
+        |          THEN CAST(datediff(day, DATE '1970-01-01') AS BIGINT) END) IGNORE NULLS OVER wn AS nh
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY user_id ORDER BY day
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, date_format(day, 'yyyy-MM-dd') AS day,
+        |       CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |            ELSE pc*(nh-ph) + (nc-pc)*(h-ph) END AS BIGINT) AS num,
+        |       CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE nh-ph END AS BIGINT) AS den,
+        |       cents IS NULL AS filled
+        |FROM w""".stripMargin) { (s, dir) =>
+      val dailyAgg = t(s, dir, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      GapFill.dailyInterpolated(dailyAgg, "user_id", "day", "cents")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("num"), col("den"), col("filled"))
     },
 
     // ---- W9: event-time RANGE frame — trailing 1-hour sum/count per
@@ -1540,6 +1658,45 @@ object Extras {
         .agg(count(lit(1)).as("n_rows"),
           count(col("n_chars")).as("n_with_chars"),
           sum(col("n_chars")).as("total_chars"))
+    },
+
+    // ---- S18: multi-action MERGE — WHEN MATCHED AND src.st='D' DELETE /
+    //      WHEN MATCHED UPDATE (whole-row image) / WHEN NOT MATCHED
+    //      INSERT, in ONE full-outer shuffle join (ops.Merge), each
+    //      survivor tagged with its action. The CDC-apply kernel s8's
+    //      plain upsert can't express (no delete action). Changeset is
+    //      derived deterministically from orders: key%7==0 → delete,
+    //      ==1 → update, ==3 → insert under a shifted key. --------------
+    "s18_merge_multi" -> Q(
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |u AS (SELECT k, 'U' AS st, cents + 555 AS cents FROM t WHERE k % 7 = 1),
+        |d AS (SELECT k, 'D' AS st, CAST(0 AS BIGINT) AS cents FROM t WHERE k % 7 = 0),
+        |i AS (SELECT k + 100000000 AS k, 'I' AS st, CAST(42 AS BIGINT) AS cents
+        |      FROM t WHERE k % 7 = 3),
+        |s AS (SELECT * FROM u UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+        |m AS (SELECT coalesce(s.k, t.k) AS k,
+        |             CASE WHEN s.k IS NOT NULL THEN s.st ELSE t.st END AS st,
+        |             CASE WHEN s.k IS NOT NULL THEN s.cents ELSE t.cents END AS cents,
+        |             CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN 'update'
+        |                  WHEN s.k IS NOT NULL THEN 'insert' ELSE 'keep' END AS action,
+        |             s.st AS s_st, s.k AS sk
+        |      FROM t FULL OUTER JOIN s ON t.k = s.k)
+        |SELECT k, st, cents, action FROM m
+        |WHERE NOT (sk IS NOT NULL AND s_st = 'D')""".stripMargin) { (s, dir) =>
+      val target = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val updates = target.filter(col("k") % 7 === 1)
+        .select(col("k"), lit("U").as("st"), (col("cents") + 555).as("cents"))
+      val deletes = target.filter(col("k") % 7 === 0)
+        .select(col("k"), lit("D").as("st"), lit(0L).as("cents"))
+      val inserts = target.filter(col("k") % 7 === 3)
+        .select((col("k") + 100000000L).as("k"), lit("I").as("st"),
+          lit(42L).as("cents"))
+      graft.ops.Merge(target,
+        updates.unionByName(deletes).unionByName(inserts),
+        Seq("k"), deleteWhen = col("st") === "D")
     },
 
     // ---- W6: unpivot (wide→long melt as a native operator) — the inverse

@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables.t
 import graft.llm.{Components, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
-import graft.streaming.{EventStream, IngestDedup, VectorIngest}
+import graft.streaming.{EventStream, IngestDedup, TransformWithStateOps, VectorIngest}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
@@ -312,6 +312,35 @@ object PipelineOps {
           array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
       Dedup.containmentPairsPrefix(
         d.select("doc_id", "text").unionByName(snip), n = 3, threshold = 0.9)
+    },
+
+    // ---- D14: EXACT repeated-substring spans — character-level dedup
+    //      (the suffix-array substring dedup of Lee et al. 2022,
+    //      re-derived shuffle-native): every position's 20-char gram,
+    //      grams in ≥2 distinct docs flag their positions, flagged
+    //      positions within k condense into maximal spans (the A11
+    //      islands kernel per doc). Character-exact boundaries — the
+    //      "WHERE inside the doc is the copied text" answer d8's chunk
+    //      dropping can't give. -----------------------------------------
+    "d14_span_dedup" -> Q(
+      """WITH pos AS (
+        |  SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
+        |  FROM documents, unnest(generate_series(1, length(text) - 19)) AS u(p)
+        |),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        |b AS (SELECT doc_id, p,
+        |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 20
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM f),
+        |s AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |                                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM b)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 19 AS BIGINT) AS span_end,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM s GROUP BY doc_id, sid""".stripMargin) { (s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), k = 20, minDocs = 2)
     },
 
     // ---- X18: dedup-rate report — pipeline observability over the
@@ -930,6 +959,40 @@ object PipelineOps {
         |       cast(sum(wm) AS BIGINT) AS score_micro
         |FROM w GROUP BY doc_id""".stripMargin) { (s, dir) =>
       Ranking.bm25(docs(s, dir), Seq("hash", "join", "window", "merge"))
+    },
+
+    // ---- X22: per-doc keyword extraction — top-3 terms by ratio-IDF
+    //      (tf/df): "frequent here, rare elsewhere", x12's notion per
+    //      document instead of per query. Deliberately LOG-FREE: IEEE
+    //      division is correctly-rounded and identical across engines,
+    //      while ln() is libm-dependent (x12's micro-rounding papers over
+    //      that; here the sort key is bit-deterministic by construction).
+    //      Ties broken by term, so the rank is a total order. -----------
+    "x22_keywords" -> Q(
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |             FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |                   FROM documents), unnest(ws) AS u(t)
+        |             WHERE u.t <> ''),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |       row_number() OVER (PARTITION BY tf.doc_id
+        |         ORDER BY CAST(tf.tf AS DOUBLE) / dfx.df DESC, tf.term) AS rnk
+        |      FROM tf JOIN dfx USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+      tf.join(dfx, "term")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
     },
 
     // ---- X9: self-trained unigram document-frequency quality score —
@@ -1798,6 +1861,53 @@ object PipelineOps {
             .as("n_pairs"),
           count(when(col("p_id").isNull, 1)).as("n_expired_clicks"),
           count(when(col("c_id").isNull, 1)).as("n_expired_purchases"))
+    },
+
+    // ---- T21 (stateful streaming, Spark 4 transformWithState): --------
+    //      the successor API to flatMapGroupsWithState with COMPOSABLE
+    //      state — multiple named state variables per key (ValueState
+    //      running aggregate + MapState per-type counter), explicit
+    //      event-time timers, TTL, RocksDB-only. Per-user milestone
+    //      rows emit from the data path (every 25th event: running
+    //      count/cents/distinct-types); a per-user event-time timer at
+    //      lastSeen + 4h emits one `final` row and clears both state
+    //      vars — users the final watermark never REACHES emit no final.
+    //      Timer firing is NON-strict (`timer <= watermark`, measured by
+    //      TwsBoundarySpec with ±1 ms crafted events — NOT the strict <
+    //      of flatMapGroupsWithState timeouts, t16); the oracle replays
+    //      that boundary in floored-ms integer arithmetic.
+    "t21_transform_with_state" -> Q(
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT user_id, us, event_id, c,
+        |       CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |                                    ORDER BY us, event_id) = 1
+        |            THEN 1 ELSE 0 END AS isnew
+        |      FROM ev),
+        |o AS (SELECT user_id, us, c,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        |       sum(c) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum,
+        |       sum(isnew) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS nty
+        |      FROM m),
+        |wm AS (SELECT (max(us) // 1000) - 3600000 AS w FROM ev),
+        |fin AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(c) AS BIGINT) AS cents,
+        |               CAST(count(DISTINCT event_type) AS BIGINT) AS nty,
+        |               max(us) AS last_us
+        |        FROM ev GROUP BY 1)
+        |SELECT user_id, 'milestone' AS kind, CAST(rn AS BIGINT) AS n,
+        |       CAST(cum AS BIGINT) AS cents, CAST(nty AS BIGINT) AS n_types
+        |FROM o WHERE rn % 25 = 0
+        |UNION ALL
+        |SELECT f.user_id, 'final', f.n, f.cents, f.nty
+        |FROM fin f, wm WHERE (f.last_us // 1000) + 14400000 <= wm.w""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val out = TransformWithStateOps.milestoneSummary(
+        EventStream.readEvents(ss, dir), gapMinutes = 240, milestoneEvery = 25)
+      EventStream.runToMemory(out.toDF(),
+        s"t21_tws_${streamSeq.incrementAndGet()}", mode = "append")
     },
 
     // ---- T5 (stateful streaming): gap sessionization -------------------

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Arbitrary stateful streaming on Spark 4's `transformWithState` API —
+  * the successor to `flatMapGroupsWithState` (t5/t16) with COMPOSABLE
+  * state: multiple named state variables per key (here a ValueState
+  * running aggregate plus a MapState per-event-type counter), explicit
+  * event-time timers (register/delete, not one implicit timeout slot),
+  * and TTL support. Requires the RocksDB state store provider
+  * ([[EventStream.statefulSession]] sets it), which is also the
+  * production cluster backend — state spills to disk instead of
+  * living on-heap.
+  *
+  * The operator: a per-user milestone emitter + timer-flushed final
+  * summary. Every `milestoneEvery`-th event of a user emits a running
+  * snapshot from the DATA path (count, cents so far, distinct event
+  * types so far); when a user goes quiet for `gapMinutes` of EVENT time
+  * (watermark passes lastSeen + gap), the registered timer fires and
+  * emits one `final` row, then clears BOTH state variables. Users whose
+  * timer the final watermark never passes emit no final row — the t16
+  * eviction discipline, replayed exactly by the oracle in floored-ms
+  * integer arithmetic.
+  *
+  * Mirrors the reference's crawl-freshness bookkeeping
+  * (`crawl.py:678`, `crawl.py:725`: act when `last_crawl` is older
+  * than a cutoff) as first-class streaming state instead of a polled
+  * timestamp column.
+  *
+  * Determinism contract (same as t5/t16): each micro-batch's rows are
+  * sorted by (us, event_id) before folding, and the single-file source
+  * delivers one batch, so the fold order equals the oracle's global
+  * (us, event_id) order. Across batches the watermark bounds disorder.
+  *
+  * Timer-firing boundary, measured by `TwsBoundarySpec` with crafted
+  * ±1 ms events: a timer registered at T ms fires iff
+  * `T <= watermark` — NON-strict, where the final watermark is
+  * `(max_us // 1000) − delay_ms`. Note this is the OPPOSITE boundary
+  * from the flatMapGroupsWithState timeout, which fires on strict `<`
+  * (t16) — the two stateful APIs genuinely disagree at the equality
+  * millisecond, so porting a pipeline between them shifts rows whose
+  * timer lands exactly on a watermark.
+  */
+object TransformWithStateOps {
+
+  /** One input event, pre-projected: integer µs + exact cents. `ts` rides
+    * along because the event-time column must survive into the stateful
+    * operator for watermark tracking.
+    */
+  final case class TwsEvent(user_id: Long, event_id: Long, us: Long,
+                            event_type: String, cents: Long,
+                            ts: java.sql.Timestamp)
+
+  /** Output row: kind ∈ {milestone, final}. */
+  final case class TwsOut(user_id: Long, kind: String, n: Long,
+                          cents: Long, n_types: Long)
+
+  /** ValueState payload: running totals + the currently registered timer
+    * (so a later batch can delete-and-re-register instead of leaking a
+    * second timer that would double-emit the final row).
+    */
+  final case class TwsAgg(n: Long, cents: Long, nTypes: Long,
+                          lastUs: Long, timerMs: Long)
+
+  /** The StatefulProcessor. State: `agg` (ValueState[TwsAgg]) and
+    * `types` (MapState[String, Long] — per-event-type counts; its key
+    * set is the distinct-type count surfaced as `n_types`).
+    */
+  final class MilestoneProcessor(gapMs: Long, milestoneEvery: Int)
+      extends StatefulProcessor[Long, TwsEvent, TwsOut] {
+    @transient private var agg: ValueState[TwsAgg] = _
+    @transient private var types: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[TwsAgg]("agg", Encoders.product[TwsAgg],
+        TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long]("types", Encoders.STRING,
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[TwsEvent],
+                                 timerValues: TimerValues): Iterator[TwsOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TwsOut]
+      var st =
+        if (agg.exists()) agg.get()
+        else TwsAgg(0L, 0L, 0L, Long.MinValue, Long.MinValue)
+      for (e <- rows.toArray.sortBy(r => (r.us, r.event_id))) {
+        val newType = !types.containsKey(e.event_type)
+        types.updateValue(e.event_type,
+          (if (newType) 0L else types.getValue(e.event_type)) + 1L)
+        st = TwsAgg(st.n + 1, st.cents + e.cents,
+          st.nTypes + (if (newType) 1L else 0L),
+          math.max(st.lastUs, e.us), st.timerMs)
+        if (st.n % milestoneEvery == 0)
+          out += TwsOut(user, "milestone", st.n, st.cents, st.nTypes)
+      }
+      // one live timer per key: delete the stale one before re-arming.
+      // Guarded on n > 0 so a degenerate empty-input invocation can
+      // neither arm a timer off the Long.MinValue sentinel nor store
+      // state that would later emit a final row with n = 0.
+      if (st.n > 0) {
+        if (st.timerMs != Long.MinValue) getHandle.deleteTimer(st.timerMs)
+        val timerMs = st.lastUs / 1000 + gapMs // floor-µs→ms, the engine's clock
+        getHandle.registerTimer(timerMs)
+        agg.update(st.copy(timerMs = timerMs))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsOut] = {
+      if (!agg.exists()) Iterator.empty
+      else {
+        val st = agg.get()
+        agg.clear()
+        types.clear()
+        Iterator.single(TwsOut(user, "final", st.n, st.cents, st.nTypes))
+      }
+    }
+  }
+
+  /** Wire the processor over a (possibly streaming) events DataFrame. */
+  def milestoneSummary(events: DataFrame, gapMinutes: Int,
+                       milestoneEvery: Int,
+                       watermark: String = "1 hour"): Dataset[TwsOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new MilestoneProcessor(gapMinutes * 60L * 1000L, milestoneEvery),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

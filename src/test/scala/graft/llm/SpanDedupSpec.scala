@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Planted-corpus coverage for [[Dedup.duplicateSpans]]: exact span
+  * boundaries for a known copied region, island separation past the k
+  * gap, within-doc repeats of a cross-doc gram, and the short-doc guard
+  * (sequence(1, n<1) would descend, not produce an empty array).
+  */
+class SpanDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val k = 10
+
+  private def spans(rows: (Long, String)*): Map[Long, Set[(Long, Long, Long)]] =
+    Dedup.duplicateSpans(rows.toSeq.toDF("doc_id", "text"), k = k, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, xs) =>
+        id -> xs.map(x => (x._2, x._3, x._4)).toSet
+      }
+
+  test("copied region surfaces with character-exact boundaries in BOTH docs") {
+    // 30-char shared region, distinct elsewhere; region at pos 11 in doc 1
+    // (1-based) and pos 1 in doc 2
+    val shared = "SHARED-REGION-COPIED-TEXT-XYZ!" // 30 chars
+    val out = spans(
+      1L -> ("aaaaaaaaaa" + shared + "bbbbbbbbbbbbbbbb"),
+      2L -> (shared + "cccccccccccccccccccc"))
+    // L=30, k=10 → 21 flagged grams chaining into one span of length 30
+    assert(out(1L) === Set((11L, 40L, 21L)), s"doc 1 spans: ${out(1L)}")
+    assert(out(2L) === Set((1L, 30L, 21L)), s"doc 2 spans: ${out(2L)}")
+  }
+
+  test("two shared regions past the k-gap split into separate islands") {
+    val r1 = "FIRST-DUP!" // 10 chars, exactly one gram each
+    val r2 = "SECND-DUP!"
+    // gap between flagged positions must exceed k to split
+    val out = spans(
+      1L -> (r1 + "x" * 15 + r2),           // positions 1 and 26: 25 > k
+      2L -> (r2 + "y" * 20 + r1))
+    assert(out(1L) === Set((1L, 10L, 1L), (26L, 35L, 1L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) === Set((1L, 10L, 1L), (31L, 40L, 1L)), s"doc 2: ${out(2L)}")
+  }
+
+  test("within-doc repeats of a cross-doc gram flag every occurrence") {
+    val r = "REPEATED!!" // 10 chars
+    val out = spans(
+      1L -> (r + "z" * 15 + r), // twice in doc 1
+      2L -> (r + "w" * 20))
+    assert(out(1L) === Set((1L, 10L, 1L), (26L, 35L, 1L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) === Set((1L, 10L, 1L)), s"doc 2: ${out(2L)}")
+  }
+
+  test("docs shorter than k neither crash nor emit") {
+    val out = spans(
+      1L -> "short", 2L -> "short", // identical but < k: no grams at all
+      3L -> ("LONGENOUGH" + "a" * 5), 4L -> ("LONGENOUGH" + "b" * 5))
+    assert(!out.contains(1L) && !out.contains(2L))
+    assert(out(3L) === Set((1L, 10L, 1L)) && out(4L) === Set((1L, 10L, 1L)))
+  }
+}
