@@ -398,6 +398,38 @@ object Extras {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- S19 (scale layout): DYNAMIC partition pruning — the runtime
+    //      complement of s10's static pruning: the fact is partitioned on
+    //      the join key, the dim filter is on a NON-key attribute (so no
+    //      static partition predicate exists at plan time), and Catalyst
+    //      injects a dynamicpruningexpression into the fact scan that
+    //      reuses the broadcast dim's key set — at 100 TB the difference
+    //      between scanning 2/7 of the fact and all of it, decided at
+    //      runtime. require()d on the plan: verify fails loudly if DPP
+    //      ever stops firing. --------------------------------------------
+    "s19_dynamic_pruning" -> Q(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val tmp = scratchDir("graft_s19")
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+      val dim = t(s, dir, "orders").select("o_orderpriority").distinct()
+        .withColumn("tier",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "fast")
+            .otherwise("slow"))
+      val joined = s.read.parquet(tmp)
+        .join(broadcast(dim.filter(col("tier") === "fast")), Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      require(planStr.toLowerCase.contains("dynamicpruning"),
+        "runtime partition pruning must reach the fact scan (DPP regression)")
+      joined
+    },
+
     // ---- S14 (scale layout): Z-order multi-dimensional clustering ------
     //      The data-skipping layout for scans filtering on MORE than one
     //      column (ops.ZOrder): interleave (custkey, order-day) bits →
@@ -1635,6 +1667,64 @@ object Extras {
           count(when(col("event_type") === "click" && col("next_p").isNotNull &&
             col("next_p") <= col("ts") + expr("INTERVAL 1 HOUR"), 1))
             .as("n_quick_convert"))
+    },
+
+    // ---- W12: THREE-state sequence pattern (MATCH_RECOGNIZE `A B+ C`):
+    //      signup → at least one view → purchase within 24 h. One
+    //      window pass: per signup, the argmin-following view and
+    //      purchase as (us, event_id) STRUCTS — lexicographic struct
+    //      order makes the "first following" tie-safe at identical
+    //      microsecond stamps, and `nv < np` proves a view strictly
+    //      between (any other view is ≥ nv). w10's 2-step lookahead
+    //      can't see the middle quantifier; this is the smallest shape
+    //      that can. ------------------------------------------------------
+    "w12_funnel_pattern" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT user_id, event_type, us,
+        |       min(CASE WHEN event_type = 'view'
+        |            THEN struct_pack(u := us, i := event_id) END) OVER w AS nv,
+        |       min(CASE WHEN event_type = 'purchase'
+        |            THEN struct_pack(u := us, i := event_id) END) OVER w AS np
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signups,
+        |  CAST(count(CASE WHEN event_type = 'signup' AND np IS NOT NULL
+        |              AND nv IS NOT NULL AND nv < np
+        |              AND np.u <= us + 86400000000 THEN 1 END) AS BIGINT) AS n_funnels
+        |FROM o GROUP BY 1""".stripMargin,
+      // ansi twin: named_struct instead of struct_pack, unix_micros
+      ansi = """WITH e AS (SELECT user_id, event_id, event_type,
+        |            unix_micros(ts) AS us FROM events),
+        |o AS (SELECT user_id, event_type, us,
+        |       min(CASE WHEN event_type = 'view'
+        |            THEN named_struct('u', us, 'i', event_id) END) OVER w AS nv,
+        |       min(CASE WHEN event_type = 'purchase'
+        |            THEN named_struct('u', us, 'i', event_id) END) OVER w AS np
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signups,
+        |  CAST(count(CASE WHEN event_type = 'signup' AND np IS NOT NULL
+        |              AND nv IS NOT NULL AND nv < np
+        |              AND np.u <= us + 86400000000 THEN 1 END) AS BIGINT) AS n_funnels
+        |FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("nv", min(when(col("event_type") === "view",
+          struct(col("us").as("u"), col("event_id").as("i")))).over(w))
+        .withColumn("np", min(when(col("event_type") === "purchase",
+          struct(col("us").as("u"), col("event_id").as("i")))).over(w))
+        .groupBy("user_id")
+        .agg(count(when(col("event_type") === "signup", 1)).as("n_signups"),
+          count(when(col("event_type") === "signup" && col("np").isNotNull &&
+            col("nv").isNotNull && col("nv") < col("np") &&
+            col("np.u") <= col("us") + 86400000000L, 1)).as("n_funnels"))
     },
 
     // ---- S17: schema-evolution roundtrip — a long-lived corpus is
