@@ -1910,6 +1910,29 @@ object PipelineOps {
         s"t21_tws_${streamSeq.incrementAndGet()}", mode = "append")
     },
 
+    // ---- T22 (stateful streaming, transformWithState ListState): ------
+    //      CONSECUTIVE-triple pattern matching on the stream — the
+    //      per-key sliding type buffer lives in ListState (the state
+    //      type t21 doesn't touch), and a match row emits the moment the
+    //      closing purchase arrives. Stricter than w12's subsequence
+    //      funnel: view→click→purchase with NOTHING between. No timers,
+    //      no watermark — state is O(pattern) per key, eviction-free by
+    //      construction; the oracle is two lag() windows. ---------------
+    "t22_stream_liststate" -> Q(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |o AS (SELECT user_id, event_type, us, event_id,
+        |       lag(event_type, 2) OVER w AS t2, lag(event_type, 1) OVER w AS t1
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id AS purchase_id
+        |FROM o WHERE t2 = 'view' AND t1 = 'click'
+        |  AND event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val out = TransformWithStateOps.consecutiveMatches(
+        EventStream.readEvents(ss, dir), List("view", "click", "purchase"))
+      EventStream.runToMemory(out.toDF(),
+        s"t22_tws_${streamSeq.incrementAndGet()}", mode = "append")
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,

@@ -121,6 +121,58 @@ object TransformWithStateOps {
     }
   }
 
+  /** One consecutive-pattern match: the purchase (last pattern element)
+    * event's id, emitted the moment it arrives.
+    */
+  final case class TwsMatch(user_id: Long, purchase_id: Long)
+
+  /** ListState leg of the transformWithState surface (t22) — the third
+    * state type, which [[MilestoneProcessor]]'s ValueState + MapState
+    * don't touch: a per-key sliding buffer of the last `pattern.size−1`
+    * event types lives in ListState across micro-batches, and a row
+    * emits from the data path whenever the buffer + the arriving event
+    * spell the pattern CONSECUTIVELY (stricter than w12's `A B+ C`
+    * subsequence match — no other event may intervene). No timers, no
+    * watermark: state is O(pattern) per key forever, eviction-free by
+    * construction.
+    */
+  final class ConsecutivePatternProcessor(pattern: List[String])
+      extends StatefulProcessor[Long, TwsEvent, TwsMatch] {
+    @transient private var buf: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[String]("buf", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[TwsEvent],
+                                 timerValues: TimerValues): Iterator[TwsMatch] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TwsMatch]
+      var window = if (buf.exists()) buf.get().toList else Nil
+      for (e <- rows.toArray.sortBy(r => (r.us, r.event_id))) {
+        if (window == pattern.init && e.event_type == pattern.last)
+          out += TwsMatch(user, e.event_id)
+        window = (window :+ e.event_type).takeRight(pattern.length - 1)
+      }
+      buf.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** Wire [[ConsecutivePatternProcessor]] over an events DataFrame. */
+  def consecutiveMatches(events: DataFrame,
+                         pattern: List[String]): Dataset[TwsMatch] = {
+    require(pattern.size >= 2, s"pattern needs >= 2 steps: $pattern")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new ConsecutivePatternProcessor(pattern),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Wire the processor over a (possibly streaming) events DataFrame. */
   def milestoneSummary(events: DataFrame, gapMinutes: Int,
                        milestoneEvery: Int,

@@ -52,6 +52,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2L) === Set((1L, 10L, 1L)), s"doc 2: ${out(2L)}")
   }
 
+  test("boilerplate gram in EVERY doc stays skew-safe: one exact span per doc") {
+    // the d2-style failure mode (one hot shingle → quadratic posting-list
+    // pairs) is structurally impossible here: no pair generation exists —
+    // a universal gram only raises one map-side-combinable count and
+    // flags positions. 200 docs share a 4k-char header; each must get
+    // exactly the header span, boundaries exact, unique tails unflagged.
+    val header = ("BOILERPLATE-HEADER-" * 250).take(4000)
+    val rows = (1L to 200L).map(i => i -> (header + s"#$i"))
+    val out = spans(rows: _*)
+    assert(out.size === 200)
+    // ONE island per doc covering the whole header (boundary grams that
+    // mix header chars with shared suffix prefixes may extend the end by
+    // up to the suffix length — chained, never split)
+    assert(out.values.forall(s => s.size == 1 && {
+      val (start, end, _) = s.head
+      start == 1L && end >= 4000L && end <= 4004L
+    }), s"every doc must carry exactly one header-covering span, got ${out.take(3)}")
+  }
+
   test("docs shorter than k neither crash nor emit") {
     val out = spans(
       1L -> "short", 2L -> "short", // identical but < k: no grams at all
