@@ -56,4 +56,134 @@ object EditDistanceJoin {
       .distinct() // dedupe BEFORE the verify: one band computation per pair
       .filter(levenshtein(col("s1"), col("s2"), 1) >= 0)
   }
+
+  /** Levenshtein ≤ 2 similarity self-join — the k the symmetric-delete
+    * scheme can't reach (k-fold deletion neighborhoods explode
+    * combinatorially; see [[ed1Pairs]]). This is the PassJoin
+    * partition-filter re-derived for Spark: each INDEXED string splits
+    * into k+1 = 3 segments; by pigeonhole, 2 edits leave at least one
+    * segment untouched, and its copy appears in the other string at a
+    * position shifted by at most ±2 (the net indels before it). So the
+    * PROBE side enumerates, for every candidate indexed length
+    * Lc ∈ [L−2, L+2] and segment slot i, the substrings of segment-i
+    * length at positions within ±2 of segment-i's start — ≤ 75 probes
+    * per string — and an equi-join on (gram, slot, Lc) yields a
+    * candidate set with recall 1.0 BY CONSTRUCTION. A banded
+    * `levenshtein(s1, s2, 2)` prunes false positives.
+    *
+    * Skew guard (the d2 posting-list lesson): on corpora with shared
+    * boilerplate prefixes (`Customer#…`), one segment key can carry a
+    * corpus-sized posting list, and a naive join would expand that
+    * bucket's cross product in ONE task. Candidates are instead built
+    * from per-key bipartite (probe-ids × index-ids) lists; lists whose
+    * cross product exceeds maxChunk² are cut into maxChunk-wide blocks
+    * whose block pairs round-robin SHUFFLE before expanding — per-task
+    * work is capped at maxChunk² regardless of key heat. Candidate
+    * volume is lower-bounded by the true pair count (dense-duplicate
+    * corpora are inherently pair-dense); the guard bounds the per-task
+    * maximum, not the total.
+    *
+    * Strings shorter than k+1 = 3 chars cannot be segmented; pairs with
+    * one tiny side are still found through the probe of the longer
+    * string, and tiny×tiny pairs go through a dedicated bounded leg.
+    */
+  def ed2Pairs(df: DataFrame, idCol: String, strCol: String,
+               maxChunk: Int = 512): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .withColumn("_len", length(col("_s")))
+
+    // segment geometry for a string of length L, slot i ∈ {0,1,2}:
+    // first (L mod 3) segments get the extra char
+    def segLen(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      (l / 3).cast("int") + when(i < l % 3, 1).otherwise(0)
+    def segStart(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      lit(1) + i * (l / 3).cast("int") + least(i, l % 3)
+
+    val idx = base.filter(col("_len") >= 3)
+      .select(col("_id"), col("_s"), col("_len"),
+        explode(sequence(lit(0), lit(2))).as("_i"))
+      .select(struct(
+        col("_s").substr(segStart(col("_len"), col("_i")),
+          segLen(col("_len"), col("_i"))).as("g"),
+        col("_i").as("i"), col("_len").as("l")).as("_key"), col("_id"))
+
+    val prb = base
+      .select(col("_id"), col("_s"), col("_len"),
+        explode(sequence(col("_len") - 2, col("_len") + 2)).as("_lc"))
+      .filter(col("_lc") >= 3)
+      .select(col("_id"), col("_s"), col("_len"), col("_lc"),
+        explode(sequence(lit(0), lit(2))).as("_i"))
+      .withColumn("_sl", segLen(col("_lc"), col("_i")))
+      .withColumn("_st", segStart(col("_lc"), col("_i")))
+      .select(col("_id"), col("_s"), col("_len"), col("_lc"), col("_i"),
+        col("_sl"), explode(sequence(col("_st") - 2, col("_st") + 2)).as("_pos"))
+      .filter(col("_pos") >= 1 && col("_pos") + col("_sl") - 1 <= col("_len"))
+      .select(struct(col("_s").substr(col("_pos"), col("_sl")).as("g"),
+        col("_i").as("i"), col("_lc").as("l")).as("_key"), col("_id"))
+
+    val candidates = bipartitePairs(
+      prb.select(col("_key"), col("_id").as("_pid"),
+          lit(null).cast(base.schema("_id").dataType).as("_iid"))
+        .unionByName(idx.select(col("_key"),
+          lit(null).cast(base.schema("_id").dataType).as("_pid"),
+          col("_id").as("_iid"))),
+      maxChunk)
+      .filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+
+    val named = candidates
+      .join(base.select(col("_id").as("id1"), col("_s").as("s1")), "id1")
+      .join(base.select(col("_id").as("id2"), col("_s").as("s2")), "id2")
+
+    // tiny×tiny leg: both sides < 3 chars — unsegmentable, bounded corner
+    val tiny = base.filter(col("_len") < 3)
+      .select(col("_id").as("id1"), col("_s").as("s1"))
+    val tinyPairs = tiny.join(
+        tiny.select(col("id1").as("id2"), col("s1").as("s2")),
+        col("id1") < col("id2"))
+
+    named.select("id1", "id2", "s1", "s2")
+      .unionByName(tinyPairs.select("id1", "id2", "s1", "s2"))
+      .filter(levenshtein(col("s1"), col("s2"), 2) >= 0)
+  }
+
+  /** All cross (probe-id, index-id) pairs per key from a bipartite
+    * posting table `(_key, _pid nullable, _iid nullable)` — the
+    * two-sided analog of the d2 posting-list expansion, with the same
+    * hot-key chunk guard: keys whose |probe|×|index| cross product
+    * exceeds maxChunk² split both lists into maxChunk-wide blocks and
+    * round-robin shuffle the (blockA, blockB) rows before expanding, so
+    * one boilerplate segment cannot pin a straggler task. Exact: every
+    * cross pair appears exactly once (block decomposition partitions
+    * the cross product).
+    */
+  private[graft] def bipartitePairs(postings: DataFrame,
+                                    maxChunk: Int): DataFrame = {
+    val grouped = postings.groupBy("_key")
+      .agg(collect_set(col("_pid")).as("_as"), collect_set(col("_iid")).as("_bs"))
+      .filter(size(col("_as")) > 0 && size(col("_bs")) > 0)
+    val crossSmall = flatten(transform(col("_as"), x =>
+      transform(col("_bs"), y => struct(x.as("id1"), y.as("id2")))))
+    val small = grouped
+      .filter(size(col("_as")).cast("long") * size(col("_bs")) <=
+        maxChunk.toLong * maxChunk)
+      .select(explode(crossSmall).as("_p"))
+      .select(col("_p.id1"), col("_p.id2"))
+    def blocks(c: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), ceil(size(c) / lit(maxChunk.toDouble)).cast("int") - 1),
+        i => slice(c, i * maxChunk + 1, lit(maxChunk)))
+    val shufflePar = postings.sparkSession.sessionState.conf.numShufflePartitions
+    val big = grouped
+      .filter(size(col("_as")).cast("long") * size(col("_bs")) >
+        maxChunk.toLong * maxChunk)
+      .select(explode(blocks(col("_as"))).as("_ba"), col("_bs"))
+      .select(col("_ba"), explode(blocks(col("_bs"))).as("_bb"))
+      .repartition(shufflePar) // round-robin: block pairs spread over tasks
+      .select(explode(flatten(transform(col("_ba"), x =>
+        transform(col("_bb"), y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .select(col("_p.id1"), col("_p.id2"))
+    small.unionByName(big)
+  }
 }

@@ -587,6 +587,26 @@ object Extras {
         .select("id1", "id2")
     },
 
+    // ---- J16b: Levenshtein ≤ 2 — the k symmetric deletes can't reach,
+    //      via the PassJoin partition filter (3 segments, pigeonhole: 2
+    //      edits leave one untouched; probe enumerates its ±2-shifted
+    //      copies). Recall 1.0 by construction + banded verify; hot
+    //      boilerplate segment keys ("Customer#…" prefixes are shared by
+    //      the WHOLE corpus) expand through the bipartite chunk guard,
+    //      never one task. Subset-keyed so the quadratic DuckDB oracle
+    //      stays tractable at every sf. ---------------------------------
+    "j16b_editdist2_join" -> Q(
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin) { (s, dir) =>
+      graft.ops.EditDistanceJoin.ed2Pairs(
+          t(s, dir, "customer").filter(col("c_custkey") < 2000),
+          "c_custkey", "c_name")
+        .select("id1", "id2")
+    },
+
     // ---- U4: intersect (engine completeness; the reference has none) ---
     "u4_intersect" -> Q(
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
