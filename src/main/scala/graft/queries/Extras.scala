@@ -1970,6 +1970,67 @@ object Extras {
       s.read.orc(tmp)
     },
 
+    // ---- S20: XML roundtrip — Spark 4's built-in XML source (rowTag
+    //      shredding), proven by full-text byte equality: the aggregate
+    //      compares doc counts AND summed text lengths against the
+    //      parquet original, so entity escaping must round-trip every
+    //      character. The oracle never sees the XML (DuckDB has no XML
+    //      reader) — it reads the same rows from parquet, which is
+    //      exactly the roundtrip contract. ------------------------------
+    "s20_xml_roundtrip" -> Q(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_claimed
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val tmp = scratchDir("graft_s20")
+      t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").option("rowTag", "doc").xml(tmp)
+      s.read.option("rowTag", "doc").xml(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("total_chars"),
+          sum(col("n_chars")).as("total_claimed"))
+    },
+
+    // ---- S21: malformed-record ingest — PERMISSIVE CSV parsing with a
+    //      corrupt-record column: bad rows (planted type errors on a
+    //      deterministic key slice) surface as data instead of killing
+    //      the job, the quarantine contract a 100 TB ingest needs (one
+    //      bad line in a billion must not fail the batch). The corrupt
+    //      rows are COUNTED, proving they were captured, not dropped.
+    //      Spark requires materializing before filtering on only the
+    //      corrupt column — hence the cache(). The oracle replays the
+    //      planted corruption from the parquet original. ----------------
+    "s21_csv_malformed" -> Q(
+      """WITH t AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT CAST(count(CASE WHEN k % 97 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+        |       CAST(count(CASE WHEN k % 97 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+        |       CAST(sum(CASE WHEN k % 97 <> 0 THEN cents END) AS BIGINT) AS cents_good
+        |FROM t""".stripMargin) { (s, dir) =>
+      val tmp = scratchDir("graft_s21")
+      t(s, dir, "orders")
+        .select(when(col("o_orderkey") % 97 === 0,
+          concat(col("o_orderkey"), lit(",NOTANUMBER")))
+          .otherwise(concat(col("o_orderkey"), lit(","),
+            round(col("o_totalprice") * 100).cast("long"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val parsed = s.read
+        .schema("k LONG, cents LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(tmp)
+        .cache()
+      try
+        parsed.agg(
+          count(when(col("_corrupt").isNull, 1)).as("n_good"),
+          count(when(col("_corrupt").isNotNull, 1)).as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("cents"))).as("cents_good"))
+          .select("n_good", "n_corrupt", "cents_good")
+          .localCheckpoint(true) // settle before unpersist
+      finally parsed.unpersist()
+    },
+
     // ---- F18: semi-structured JSON extraction (events.props) -----------
     "f18_json_extract" -> Q(
       """SELECT user_id,
