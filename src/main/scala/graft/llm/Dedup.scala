@@ -673,19 +673,51 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, k: Int, minDocs: Long = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    val grams = gramPositions(docs, k, idCol, textCol)
+    val dupGrams = grams.groupBy("gram")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("gram")
+    condenseSpans(grams.join(dupGrams, Seq("gram"), "left_semi"), k, idCol)
+  }
+
+  /** [[duplicateSpans]]'s scale twin: the shuffle carries TWO independent
+    * 64-bit gram hashes (16 bytes) instead of the k-char gram text —
+    * d1's exact-dedup discipline, the path to take once k outgrows the
+    * hash width (k-char grams at k = 50 shuffle 3× more bytes than the
+    * hash pair; the flagging join key shrinks identically). A false
+    * flag needs one 128-bit collision among distinct grams (~n²/2¹²⁸ —
+    * not a real event), so the output is identical to the exact
+    * operator's, which is how the entry shares d14's oracle verbatim.
+    */
+  def duplicateSpansHashed(docs: DataFrame, k: Int, minDocs: Long = 2,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = gramPositions(docs, k, idCol, textCol)
+      .select(col(idCol), col("p"),
+        xxhash64(col("gram")).as("_h1"),
+        xxhash64(lit("graft-span-salt"), col("gram")).as("_h2"))
+    val dupGrams = grams.groupBy("_h1", "_h2")
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("_h1", "_h2")
+    condenseSpans(grams.join(dupGrams, Seq("_h1", "_h2"), "left_semi"), k, idCol)
+  }
+
+  /** (id, p, gram) for every k-gram position of every doc. */
+  private def gramPositions(docs: DataFrame, k: Int,
+                            idCol: String, textCol: String): DataFrame =
+    docs
       .filter(length(col(textCol)) >= k) // sequence(1, n<1) would DESCEND
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), length(col(textCol)) - (k - 1)),
         p => col(textCol).substr(p, lit(k)))))
       .toDF(idCol, "_p0", "gram")
       .select(col(idCol), (col("_p0") + 1).as("p"), col("gram"))
-    val dupGrams = grams.groupBy("gram")
-      .agg(count_distinct(col(idCol)).as("_nd"))
-      .where(col("_nd") >= minDocs)
-      .select("gram")
-    val flagged = grams.join(dupGrams, Seq("gram"), "left_semi")
+
+  /** Flagged positions → maximal per-doc spans (A11 islands). */
+  private def condenseSpans(flagged: DataFrame, k: Int,
+                            idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("p")
     val brk = when(col("p") - lag("p", 1).over(w) <= k, 0).otherwise(1)
     flagged

@@ -96,6 +96,30 @@ object PipelineOps {
     * MinHash-LSH (d3, rows=2 banding → miss probability ≈ 6e-7 at τ) and
     * the streaming-ingest dedup (t12, same banding + same verify stage).
     */
+  /** Exact repeated-substring spans at k = 20 — shared by d14 (gram-text
+    * shuffle) and d14b (double-hash shuffle): the hashed path's output is
+    * identical short of a 128-bit collision, so both run under the SAME
+    * oracle.
+    */
+  private val spanOracleSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
+      |  FROM documents, unnest(generate_series(1, length(text) - 19)) AS u(p)
+      |),
+      |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)),
+      |b AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 20
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM f),
+      |s AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |                                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM b)
+      |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+      |       CAST(max(p) + 19 AS BIGINT) AS span_end,
+      |       CAST(count(*) AS BIGINT) AS n_grams
+      |FROM s GROUP BY doc_id, sid""".stripMargin
+
   private val exactJaccardIdPairsSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
@@ -322,25 +346,18 @@ object PipelineOps {
     //      islands kernel per doc). Character-exact boundaries — the
     //      "WHERE inside the doc is the copied text" answer d8's chunk
     //      dropping can't give. -----------------------------------------
-    "d14_span_dedup" -> Q(
-      """WITH pos AS (
-        |  SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
-        |  FROM documents, unnest(generate_series(1, length(text) - 19)) AS u(p)
-        |),
-        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |f AS (SELECT doc_id, p FROM pos WHERE gram IN (SELECT gram FROM dup)),
-        |b AS (SELECT doc_id, p,
-        |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 20
-        |             THEN 0 ELSE 1 END AS brk
-        |      FROM f),
-        |s AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-        |                                       ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM b)
-        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-        |       CAST(max(p) + 19 AS BIGINT) AS span_end,
-        |       CAST(count(*) AS BIGINT) AS n_grams
-        |FROM s GROUP BY doc_id, sid""".stripMargin) { (s, dir) =>
+    "d14_span_dedup" -> Q(spanOracleSql) { (s, dir) =>
       Dedup.duplicateSpans(docs(s, dir), k = 20, minDocs = 2)
+    },
+
+    // ---- D14b: the hashed-shuffle scale twin — the gram join keys are
+    //      two independent xxhash64s (16 bytes, constant in k) instead
+    //      of gram text; a false flag needs a 128-bit collision among
+    //      distinct grams, so the result is IDENTICAL and the entry
+    //      shares d14's oracle verbatim (the d1 exact-dedup discipline,
+    //      now for the position-flagging shuffle). ---------------------
+    "d14b_span_hashed" -> Q(spanOracleSql) { (s, dir) =>
+      Dedup.duplicateSpansHashed(docs(s, dir), k = 20, minDocs = 2)
     },
 
     // ---- X18: dedup-rate report — pipeline observability over the
@@ -1931,6 +1948,35 @@ object PipelineOps {
         EventStream.readEvents(ss, dir), List("view", "click", "purchase"))
       EventStream.runToMemory(out.toDF(),
         s"t22_tws_${streamSeq.incrementAndGet()}", mode = "append")
+    },
+
+    // ---- T23 (stateful streaming, transformWithState INITIAL STATE): --
+    //      the API's fourth surface (StatefulProcessorWithInitialState):
+    //      t22's pattern buffer is SEEDED from batch history (events
+    //      before Jan 16) and the stream carries only the rest — a
+    //      view→click in the warehouse completed by a live purchase
+    //      matches from the very first micro-batch, which is only
+    //      possible if handleInitialState installed the per-user
+    //      trailing-types buffer. Oracle: the same two-lag window over
+    //      ALL events, keeping matches whose closing purchase is on the
+    //      stream side of the cutoff. -----------------------------------
+    "t23_stream_initial_state" -> Q(
+      """WITH e AS (SELECT user_id, event_type, ts, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |o AS (SELECT user_id, event_type, ts, us, event_id,
+        |       lag(event_type, 2) OVER w AS t2, lag(event_type, 1) OVER w AS t1
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id AS purchase_id
+        |FROM o WHERE t2 = 'view' AND t1 = 'click' AND event_type = 'purchase'
+        |  AND ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin) { (s, dir) =>
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ss = EventStream.statefulSession(s)
+      val history = t(ss, dir, "events").filter(col("ts") < cutoff)
+      val stream = EventStream.readEvents(ss, dir).filter(col("ts") >= cutoff)
+      val out = TransformWithStateOps.consecutiveMatchesWithHistory(
+        stream, history, List("view", "click", "purchase"))
+      EventStream.runToMemory(out.toDF(),
+        s"t23_tws_${streamSeq.incrementAndGet()}", mode = "append")
     },
 
     // ---- T5 (stateful streaming): gap sessionization -------------------

@@ -157,6 +157,75 @@ object TransformWithStateOps {
     }
   }
 
+  /** Per-key seed for [[PatternWithHistoryProcessor]]: the last
+    * `pattern.size−1` event types from batch history, oldest first.
+    */
+  final case class TwsSeed(user_id: Long, buf: Seq[String])
+
+  /** Initial-state leg of transformWithState (t23) — the API's fourth
+    * surface (`StatefulProcessorWithInitialState`): the sliding pattern
+    * buffer is SEEDED from batch history before the first micro-batch,
+    * so a pattern straddling the history/stream boundary (view+click
+    * in the warehouse, purchase arriving live) matches from the very
+    * first streamed event. This is the reference's incremental-crawl
+    * posture — resume from persisted bookkeeping rather than cold-start
+    * (`crawl.py:678` last_crawl watermarks) — expressed as first-class
+    * state bootstrap instead of a rescan.
+    */
+  final class PatternWithHistoryProcessor(pattern: List[String])
+      extends StatefulProcessorWithInitialState[Long, TwsEvent, TwsMatch, TwsSeed] {
+    @transient private var buf: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[String]("buf", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, seed: TwsSeed,
+                                    timerValues: TimerValues): Unit =
+      if (seed.buf.nonEmpty) buf.put(seed.buf.toArray)
+
+    override def handleInputRows(user: Long, rows: Iterator[TwsEvent],
+                                 timerValues: TimerValues): Iterator[TwsMatch] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TwsMatch]
+      var window = if (buf.exists()) buf.get().toList else Nil
+      for (e <- rows.toArray.sortBy(r => (r.us, r.event_id))) {
+        if (window == pattern.init && e.event_type == pattern.last)
+          out += TwsMatch(user, e.event_id)
+        window = (window :+ e.event_type).takeRight(pattern.length - 1)
+      }
+      buf.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** Wire [[PatternWithHistoryProcessor]]: `history` is a BATCH events
+    * frame whose per-user trailing types seed the buffer; `stream` is
+    * the live side.
+    */
+  def consecutiveMatchesWithHistory(stream: DataFrame, history: DataFrame,
+                                    pattern: List[String]): Dataset[TwsMatch] = {
+    require(pattern.size >= 2, s"pattern needs >= 2 steps: $pattern")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val m = pattern.size - 1
+    val seeds = history
+      .groupBy(col("user_id"))
+      .agg(transform(
+        slice(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("i"),
+          col("event_type").as("t")))), -m, m),
+        x => x.getField("t")).as("buf"))
+      .as[TwsSeed]
+      .groupByKey(_.user_id)
+    stream
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternWithHistoryProcessor(pattern),
+        TimeMode.None(), OutputMode.Append(), seeds)
+  }
+
   /** Wire [[ConsecutivePatternProcessor]] over an events DataFrame. */
   def consecutiveMatches(events: DataFrame,
                          pattern: List[String]): Dataset[TwsMatch] = {

@@ -55,4 +55,35 @@ class TwsListStateSpec extends SparkSpec {
     assert(out === Set((1L, 3L), (3L, 22L)),
       s"straddling triple must match via persisted ListState, intervener must not: $out")
   }
+
+  test("initial state seeds the buffer: history/stream-straddling triple matches") {
+    val work = java.nio.file.Files.createTempDirectory("graft_tws_is_").toString
+    val T = 1705752000000L
+    import spark.implicits._
+    // history (batch): user 1's view+click; user 2's view+signup (broken)
+    val history = Seq(
+      (1L, T, 1L, "view"), (2L, T + 1000, 1L, "click"),
+      (10L, T, 2L, "view"), (11L, T + 1000, 2L, "signup"))
+      .toDF("event_id", "ms", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_millis(ms)").as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("").as("props"))
+    // stream: both users' purchases — only user 1's closes a triple
+    writeEpoch(s"$work/in/d0", Seq(
+      (3L, T + 2000, 1L, "purchase"), (12L, T + 2000, 2L, "purchase")))
+
+    val ss = EventStream.statefulSession(spark)
+    val stream = graft.Tables.restoreTs(
+      ss.readStream
+        .schema(spark.read.parquet(s"$work/in/d0").schema)
+        .parquet(s"$work/in/d0"))
+    val out = EventStream.runToMemory(
+      TransformWithStateOps.consecutiveMatchesWithHistory(
+        stream, history, List("view", "click", "purchase")).toDF(),
+      "tws_initial", mode = "append")
+      .as[(Long, Long)].collect().toSet
+
+    assert(out === Set((1L, 3L)),
+      s"only the seeded view+click buffer may complete on the stream: $out")
+  }
 }
