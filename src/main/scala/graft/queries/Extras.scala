@@ -2031,6 +2031,29 @@ object Extras {
       finally parsed.unpersist()
     },
 
+    // ---- F22: VARIANT semi-structured type (Spark 4) — the open-schema
+    //      path f18's from_json(struct) can't express: parse_json keeps
+    //      the full value as the binary VARIANT encoding (no schema
+    //      declared, unknown fields preserved), variant_get extracts
+    //      typed paths, try_variant_get yields NULL on absent paths
+    //      instead of failing. The oracle replays the SEMANTICS via
+    //      DuckDB's JSON path functions — the engines' storage differs,
+    //      the answers must not. ----------------------------------------
+    "f22_variant_extract" -> Q(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(count(*) AS BIGINT) AS n_missing_null
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("_k"),
+          try_variant_get(col("v"), "$.no_such_field", "bigint").as("_m"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("_k")).as("sum_k"),
+          count(when(col("_m").isNull, 1)).as("n_missing_null"))
+    },
+
     // ---- F18: semi-structured JSON extraction (events.props) -----------
     "f18_json_extract" -> Q(
       """SELECT user_id,
