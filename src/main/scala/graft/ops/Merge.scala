@@ -37,8 +37,20 @@ object Merge {
       :+ lit(1).as("_t_present"): _*)
     // NULL condition → action does not fire (MERGE's three-valued WHEN):
     // without the coalesce, `!NULL` is NULL and the WHERE below would
-    // silently DROP a matched row whose delete predicate is UNKNOWN
+    // silently DROP a matched row whose delete predicate is UNKNOWN.
+    // Ambiguity guard: ANSI MERGE errors when several source rows match
+    // one target key (Delta's MULTIPLE_SOURCE_ROW error) — a full-outer
+    // join would instead silently MULTIPLY the target row, so the guard
+    // raises at execution. One window on the join key; no extra action.
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     val s = source.withColumn("_del", coalesce(deleteWhen, lit(false)))
+      .withColumn("_dupcnt", count(lit(1)).over(dupW))
+      .withColumn("_del",
+        when(col("_dupcnt") > 1, raise_error(concat(
+          lit("MERGE: multiple source rows share key ("),
+          concat_ws(",", keyCols.map(col): _*), lit(")"))).cast("boolean"))
+          .otherwise(col("_del")))
+      .drop("_dupcnt")
       .select(keyCols.map(col) ++ payload.map(c => col(c).as(s"_s_$c"))
         ++ Seq(lit(1).as("_s_present"), col("_del")): _*)
     val matched = col("_s_present").isNotNull && col("_t_present").isNotNull

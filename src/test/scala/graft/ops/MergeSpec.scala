@@ -38,6 +38,18 @@ class MergeSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("duplicate source rows for one key raise, never silently multiply") {
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val s0 = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    val e = intercept[Exception] {
+      Merge(t0, s0, Seq("k"), deleteWhen = lit(false)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple source rows")),
+      s"expected the MERGE ambiguity guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("schema mismatch fails loudly") {
     val t0 = Seq((1L, "a")).toDF("k", "v")
     val s0 = Seq((1L, "a", 2L)).toDF("k", "v", "extra")
