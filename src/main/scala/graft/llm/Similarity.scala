@@ -86,6 +86,50 @@ object Similarity {
     else ranked.select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Exact top-k by raw INNER PRODUCT (MIPS) — the retrieval objective
+    * of dot-product-trained embedding models, which cosine top-k (e1)
+    * silently distorts for vectors of unequal norm. Executed through
+    * the norm-augmentation reduction (Bachrach et al. 2014 / the
+    * Shrivastava–Li asymmetric transform): every corpus vector x gains
+    * one dimension sqrt(M² − |x|²) (M = max corpus norm) so all
+    * augmented vectors sit on the radius-M sphere, and queries gain a
+    * 0 — then cos(q', x') = ⟨q,x⟩ / (|q|·M) is STRICTLY monotone in
+    * the original dot for each query, so cosine NN machinery (including
+    * the IVF/PQ indexes built on augmented vectors) answers MIPS
+    * exactly. The driver oracle ranks by the raw integer dot — hash
+    * equality IS the proof that the reduction preserves ranks on real
+    * data (quantized dots are exact integers; the monotone map cannot
+    * collapse two of them at double precision: adjacent dots differ by
+    * ≥ 1 while the division's relative error is ~2⁻⁵²).
+    *
+    * Zero-norm corpus vectors are fine (their augmented norm is M, the
+    * cosine is defined, and their dot 0 ranks last with ties broken by
+    * id); zero-norm QUERIES have no defined MIPS ranking and are
+    * filtered like every query path does.
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c0 = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), quantized(col(vecCol)).as("_cv"))
+    val m2 = c0.agg(max(dot(col("_cv"), col("_cv"))).as("_m2"))
+    val caug = c0.crossJoin(broadcast(m2))
+      .withColumn("_cva",
+        concat(col("_cv"), array(sqrt(col("_m2") - dot(col("_cv"), col("_cv"))))))
+    val q = broadcast(
+      queries.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qv"))
+        .filter(dot(col("_qv"), col("_qv")) > 0)
+        .withColumn("_qva", concat(col("_qv"), array(lit(0.0d)))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    q.join(caug, col("query_id") =!= col("neighbor_id"))
+      .withColumn("_cos", cosine(col("_qva"), col("_cva")))
+      .withColumn("dot", dot(col("_qv"), col("_cv")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot")
+  }
+
   /** Random-hyperplane (SRP) signature: one bit per plane = sign of the
     * projection onto a deterministic ±1 hyperplane whose components come
     * from xxhash64(plane, dim) parity (no RNG, no ANSI long overflow).

@@ -515,6 +515,31 @@ object PipelineOps {
     },
 
     // ---- E1: brute-force cosine top-k (exact ANN baseline) -------------
+    // ---- E12: exact MIPS (max inner product) top-k via the norm-
+    //      augmentation reduction — the entry ranks by cosine over
+    //      AUGMENTED vectors (one extra sqrt(M²−|x|²) dim), the oracle
+    //      ranks by the raw integer dot: hash equality is the proof the
+    //      reduction preserves ranks on real data (Similarity.mipsTopK
+    //      scaladoc has the monotonicity argument). -------------------
+    "e12_mips_topk" -> Q(
+      """WITH q AS (SELECT vec_id AS qid,
+        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cid,
+        |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+        |      FROM embeddings),
+        |sc AS (SELECT qid, cid,
+        |        CAST(list_dot_product(qv, cv) AS BIGINT) AS dot
+        |       FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid AS query_id, cid AS neighbor_id,
+        |       row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank,
+        |       dot FROM sc)
+        |SELECT query_id, neighbor_id, rank, dot
+        |FROM r WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.mipsTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+    },
+
     "e1_ann_topk" -> Q(
       """WITH q AS (SELECT vec_id AS qid,
         |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv

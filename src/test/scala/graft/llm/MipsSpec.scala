@@ -1,0 +1,38 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MIPS ≠ cosine: on unequal-norm corpora the two objectives rank
+  * DIFFERENTLY, and mipsTopK must follow the inner product — a planted
+  * case where the cosine-nearest vector (perfectly aligned, tiny norm)
+  * loses to a longer, slightly rotated one. Also pins the zero-norm
+  * corners the augmentation makes well-defined.
+  */
+class MipsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ranks by dot, not cosine; zero-norm corpus ranks last; zero-norm query dropped") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),       // query
+      (1L, Array(0.01f, 0.0f)),      // cosine 1.0 with q, dot tiny (10)
+      (2L, Array(5.0f, 5.0f)),       // cosine .707, dot 5000 → MIPS winner
+      (3L, Array(2.0f, 0.0f)),       // cosine 1.0, dot 2000 → second
+      (4L, Array(0.0f, 0.0f)),       // zero norm: augmented-cosine defined, dot 0 → last
+      (9L, Array(0.0f, 0.0f))        // zero-norm QUERY candidate: must be dropped
+    ).toDF("vec_id", "embedding")
+
+    val out = Similarity.mipsTopK(
+      rows.filter(col("vec_id") === 0 || col("vec_id") === 9), rows, k = 5)
+      .select("query_id", "neighbor_id", "rank", "dot")
+      .as[(Long, Long, Int, Long)].collect()
+
+    assert(out.map(_._1).toSet === Set(0L), s"zero-norm query must be filtered: $out")
+    val order = out.sortBy(_._3).map(r => (r._2, r._4)).toList
+    // dots vs query (1000, 0): id1 = 10, id2 = 5000, id3 = 2000, id4 = 0, id9 = 0
+    assert(order === List((2L, 5000000L), (3L, 2000000L), (1L, 10000L),
+      (4L, 0L), (9L, 0L)),
+      s"MIPS order must follow the inner product (cosine would put 1 or 3 first): $order")
+  }
+}
