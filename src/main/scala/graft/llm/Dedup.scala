@@ -703,6 +703,27 @@ object Dedup {
     condenseSpans(grams.join(dupGrams, Seq("_h1", "_h2"), "left_semi"), k, idCol)
   }
 
+  /** Per-doc k-gram NOVELTY — the memorization/contamination proxy a
+    * curation pipeline tracks per ingestion batch: how much of a doc's
+    * character-gram mass appears here for the FIRST time (by doc-id
+    * order, the ingestion-order stand-in)? A doc that is pure recombination
+    * of earlier text scores near 0 and is a drop candidate before any
+    * pairwise dedup runs. Occurrences in the earliest containing doc all
+    * count as novel mass (within-doc repeats included), matching the
+    * "token mass first contributed" reading. Shuffle shape = d14's: one
+    * gram agg (min doc id) + one join back, no pairs.
+    */
+  def gramNovelty(docs: DataFrame, k: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = gramPositions(docs, k, idCol, textCol)
+    val firsts = grams.groupBy("gram").agg(min(col(idCol)).as("_first"))
+    grams.join(firsts, "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("_first") === col(idCol), 1)).as("n_novel"))
+      .select(idCol, "n_grams", "n_novel")
+  }
+
   /** (id, p, gram) for every k-gram position of every doc. */
   private def gramPositions(docs: DataFrame, k: Int,
                             idCol: String, textCol: String): DataFrame =

@@ -1012,6 +1012,31 @@ object Extras {
           col("num"), col("den"), col("filled"))
     },
 
+    // ---- W13: RUNNING DISTINCT count — the window SQL can't write
+    //      directly (count(DISTINCT) over an ordered frame is illegal in
+    //      both engines): reduce each entity to its FIRST occurrence
+    //      (one agg), then a plain running sum of the first-occurrence
+    //      counts IS the cumulative distinct series. Two shuffles total,
+    //      no quadratic frame re-scan — at 100 TB the difference between
+    //      a per-day dashboard query and an impossible one. ------------
+    "w13_running_distinct" -> Q(
+      """WITH f AS (SELECT l_partkey, min(l_shipdate) AS first_day
+        |           FROM lineitem GROUP BY 1),
+        |d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_parts
+        |      FROM f GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_parts,
+        |       CAST(sum(new_parts) OVER (ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_parts
+        |FROM d""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(min(col("l_shipdate")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_parts"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_parts"), sum(col("new_parts")).over(w).as("cum_parts"))
+    },
+
     // ---- W9: event-time RANGE frame — trailing 1-hour sum/count per
     //      user, bounded by TIME not row position (w5's ROWS frames can't
     //      express "last hour"). Ordered on floor-seconds so both engines

@@ -360,6 +360,21 @@ object PipelineOps {
       Dedup.duplicateSpansHashed(docs(s, dir), k = 20, minDocs = 2)
     },
 
+    // ---- X23: per-doc gram NOVELTY (memorization proxy): how much of a
+    //      doc's 20-gram mass appears for the FIRST time, by doc-id
+    //      (ingestion) order — near-0 docs are recombinations of earlier
+    //      text and drop before any pairwise dedup. d14's shuffle shape:
+    //      one gram agg + one join, no pairs. --------------------------
+    "x23_novelty" -> Q(
+      """WITH pos AS (SELECT doc_id, substr(text, u.p, 20) AS gram
+        |             FROM documents, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+        |fo AS (SELECT gram, min(doc_id) AS first_doc FROM pos GROUP BY 1)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(CASE WHEN fo.first_doc = p.doc_id THEN 1 END) AS BIGINT) AS n_novel
+        |FROM pos p JOIN fo ON p.gram = fo.gram GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.gramNovelty(docs(s, dir), k = 20)
+    },
+
     // ---- X18: dedup-rate report — pipeline observability over the
     //      d-suite: which SOURCE is feeding the corpus duplicates (the
     //      dashboard a curation team actually watches). Near-dup doc set
