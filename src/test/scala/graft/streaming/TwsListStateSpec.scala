@@ -56,6 +56,48 @@ class TwsListStateSpec extends SparkSpec {
       s"straddling triple must match via persisted ListState, intervener must not: $out")
   }
 
+  test("RESTART from checkpoint: ListState survives a stopped-and-relaunched query") {
+    // stricter than the micro-batch case: the first QUERY processes
+    // view+click and STOPS; a brand-new query object resumes from the
+    // same checkpoint and must recover the RocksDB buffer to match the
+    // purchase — the cluster crash/upgrade path, not just batch flow.
+    val work = java.nio.file.Files.createTempDirectory("graft_tws_rs_").toString
+    val T = 1705752000000L
+    writeEpoch(s"$work/in/d0", Seq(
+      (1L, T, 1L, "view"), (2L, T + 1000, 1L, "click")))
+    val ss = EventStream.statefulSession(spark)
+    import org.apache.spark.sql.streaming.Trigger
+
+    def launch(): Unit = {
+      val stream = graft.Tables.restoreTs(
+        ss.readStream
+          .schema(spark.read.parquet(s"$work/in/d0").schema)
+          .parquet(s"$work/in/*"))
+      // memory sink can't recover a checkpoint; the file sink is the
+      // durable restart-capable path a cluster actually uses
+      val q = TransformWithStateOps.consecutiveMatches(
+        stream, List("view", "click", "purchase")).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    launch() // query 1: consumes d0, buffers [view, click], stops
+    writeEpoch(s"$work/in/d1", Seq((3L, T + 2000, 1L, "purchase")))
+    EventStream.stampMtimeOrder(Seq(s"$work/in/d0", s"$work/in/d1"))
+    launch() // query 2: fresh query object, same checkpoint — must recover
+
+    import spark.implicits._
+    val out = spark.read.parquet(s"$work/out")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L)),
+      s"the triple completes only if state survived the restart: $out")
+  }
+
   test("initial state seeds the buffer: history/stream-straddling triple matches") {
     val work = java.nio.file.Files.createTempDirectory("graft_tws_is_").toString
     val T = 1705752000000L
