@@ -96,16 +96,22 @@ object Similarity {
     * 0 — then cos(q', x') = ⟨q,x⟩ / (|q|·M) is STRICTLY monotone in
     * the original dot for each query, so cosine NN machinery (including
     * the IVF/PQ indexes built on augmented vectors) answers MIPS
-    * exactly. The driver oracle ranks by the raw integer dot — hash
-    * equality IS the proof that the reduction preserves ranks on real
-    * data (quantized dots are exact integers; the monotone map cannot
-    * collapse two of them at double precision: adjacent dots differ by
-    * ≥ 1 while the division's relative error is ~2⁻⁵²).
+    * exactly — retrieve through the augmented space, re-rank by the
+    * exact dot, the standard MIPS-via-ANN pipeline shape. The FINAL
+    * sort key here is the exact integer dot, not the float cosine:
+    * distinct dots can't collide through the monotone map (adjacent
+    * dots differ by ≥ 1 against ~2⁻⁵² relative division error), but
+    * EQUAL dots produce cosines that differ by FP noise (each vector's
+    * sqrt(M²−|x|²) element squares back to M²±1ulp differently), and a
+    * float-ordered row_number would then break dot-ties by noise
+    * instead of by id. `MipsSpec` asserts the cosine ordering agrees
+    * with the dot ordering up to exactly those dot-ties.
     *
     * Zero-norm corpus vectors are fine (their augmented norm is M, the
     * cosine is defined, and their dot 0 ranks last with ties broken by
     * id); zero-norm QUERIES have no defined MIPS ranking and are
-    * filtered like every query path does.
+    * filtered like every query path does (the e12 oracle applies the
+    * same filter).
     */
   def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -121,13 +127,13 @@ object Similarity {
         .filter(dot(col("_qv"), col("_qv")) > 0)
         .withColumn("_qva", concat(col("_qv"), array(lit(0.0d)))))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("_cos").desc, col("neighbor_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
     q.join(caug, col("query_id") =!= col("neighbor_id"))
       .withColumn("_cos", cosine(col("_qva"), col("_cva")))
       .withColumn("dot", dot(col("_qv"), col("_cv")).cast("long"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "dot")
+      .select("query_id", "neighbor_id", "rank", "dot", "_cos")
   }
 
   /** Random-hyperplane (SRP) signature: one bit per plane = sign of the

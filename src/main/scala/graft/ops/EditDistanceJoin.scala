@@ -85,7 +85,11 @@ object EditDistanceJoin {
     *
     * Strings shorter than k+1 = 3 chars cannot be segmented; pairs with
     * one tiny side are still found through the probe of the longer
-    * string, and tiny×tiny pairs go through a dedicated bounded leg.
+    * string. Tiny×tiny pairs are ALL true results (ed ≤ max length ≤ 2)
+    * — output-quadratic by definition — so that leg groups by form
+    * (alphabet-bounded) and expands id lists through the same chunked
+    * machinery, bounding per-task work even under an empty-string
+    * flood.
     */
   def ed2Pairs(df: DataFrame, idCol: String, strCol: String,
                maxChunk: Int = 512): DataFrame = {
@@ -133,19 +137,34 @@ object EditDistanceJoin {
         greatest(col("id1"), col("id2")).as("id2"))
       .distinct()
 
+    // tiny×tiny leg: both sides < 3 chars are unsegmentable — and since
+    // ed(a,b) ≤ max(|a|,|b|) ≤ 2 ALWAYS holds there, every tiny pair is
+    // a true result: the output itself is quadratic in tiny rows, so no
+    // candidate scheme can shrink it — what CAN be bounded is per-task
+    // work. Tiny strings group by FORM (≤ |Σ|²+|Σ|+1 distinct values);
+    // same-form id lists expand through d2's chunked postingPairs,
+    // cross-form list pairs through [[bipartiteExpand]] — one
+    // boilerplate empty-string flood spreads over tasks instead of
+    // pinning one.
+    val tforms = base.filter(col("_len") < 3)
+      .groupBy(col("_s"))
+      .agg(sort_array(collect_set(col("_id"))).as("_ids"))
+    val sameForm = graft.llm.Dedup.postingPairs(
+      tforms.select(col("_ids")), maxChunk)
+    val crossForm = bipartiteExpand(
+      tforms.select(col("_s").as("_sa"), col("_ids").as("_as"))
+        .join(tforms.select(col("_s").as("_sb"), col("_ids").as("_bs")),
+          col("_sa") < col("_sb")),
+      maxChunk)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+
     val named = candidates
+      .unionByName(sameForm).unionByName(crossForm)
       .join(base.select(col("_id").as("id1"), col("_s").as("s1")), "id1")
       .join(base.select(col("_id").as("id2"), col("_s").as("s2")), "id2")
 
-    // tiny×tiny leg: both sides < 3 chars — unsegmentable, bounded corner
-    val tiny = base.filter(col("_len") < 3)
-      .select(col("_id").as("id1"), col("_s").as("s1"))
-    val tinyPairs = tiny.join(
-        tiny.select(col("id1").as("id2"), col("s1").as("s2")),
-        col("id1") < col("id2"))
-
     named.select("id1", "id2", "s1", "s2")
-      .unionByName(tinyPairs.select("id1", "id2", "s1", "s2"))
       .filter(levenshtein(col("s1"), col("s2"), 2) >= 0)
   }
 
@@ -160,10 +179,23 @@ object EditDistanceJoin {
     * the cross product).
     */
   private[graft] def bipartitePairs(postings: DataFrame,
-                                    maxChunk: Int): DataFrame = {
-    val grouped = postings.groupBy("_key")
-      .agg(collect_set(col("_pid")).as("_as"), collect_set(col("_iid")).as("_bs"))
-      .filter(size(col("_as")) > 0 && size(col("_bs")) > 0)
+                                    maxChunk: Int): DataFrame =
+    bipartiteExpand(
+      postings.groupBy("_key")
+        .agg(collect_set(col("_pid")).as("_as"), collect_set(col("_iid")).as("_bs"))
+        .filter(size(col("_as")) > 0 && size(col("_bs")) > 0),
+      maxChunk)
+
+  /** The post-grouping half of [[bipartitePairs]]: expand every `_as` ×
+    * `_bs` cross product from a grouped frame. Row-size honesty: the
+    * grouped row holds the WHOLE per-key lists (the same property d2's
+    * posting lists accept) — the maxChunk cap bounds per-task pair
+    * EXPANSION, not the list row itself; a key hot enough for its id
+    * list to break executor memory is a stop-word-class key and belongs
+    * to upstream filtering, exactly as with d2's shingle postings.
+    */
+  private[graft] def bipartiteExpand(grouped: DataFrame,
+                                     maxChunk: Int): DataFrame = {
     val crossSmall = flatten(transform(col("_as"), x =>
       transform(col("_bs"), y => struct(x.as("id1"), y.as("id2")))))
     val small = grouped
@@ -174,7 +206,7 @@ object EditDistanceJoin {
     def blocks(c: org.apache.spark.sql.Column) =
       transform(sequence(lit(0), ceil(size(c) / lit(maxChunk.toDouble)).cast("int") - 1),
         i => slice(c, i * maxChunk + 1, lit(maxChunk)))
-    val shufflePar = postings.sparkSession.sessionState.conf.numShufflePartitions
+    val shufflePar = grouped.sparkSession.sessionState.conf.numShufflePartitions
     val big = grouped
       .filter(size(col("_as")).cast("long") * size(col("_bs")) >
         maxChunk.toLong * maxChunk)

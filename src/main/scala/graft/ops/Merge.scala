@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   * which is exactly one merge per batch).
   *
   * `source` carries the full new row image per key (the CDC convention);
-  * `deleteWhen` is evaluated against the source row. A delete for an
-  * absent key is a no-op, matching MERGE. Every surviving output row is
-  * tagged with the action taken (`update` / `insert` / `keep`) — the
-  * audit column a backfill job wants.
+  * `deleteWhen` is evaluated against the source row. Semantics are
+  * CDC-APPLY, which differs from literal ANSI MERGE in two deliberate
+  * ways: (1) a delete-flagged source row whose key matches no target is
+  * a NO-OP (ANSI's unconditional `WHEN NOT MATCHED THEN INSERT` would
+  * insert it — but inserting a row the changelog says is deleted is
+  * never what applying a change feed means); (2) the ambiguity guard
+  * below raises on ANY duplicate source key, matched or not (ANSI only
+  * errors when several source rows hit one target row) — a changelog
+  * batch with two images for one key is malformed regardless of the
+  * target. Every surviving output row is tagged with the action taken
+  * (`update` / `insert` / `keep`) — the audit column a backfill job
+  * wants.
   *
   * Scale shape: ONE full-outer shuffle join on the key — no driver-side
   * loop, no per-row round trips. With both sides bucketed on the key

@@ -91,11 +91,6 @@ object PipelineOps {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     fanOut(s, t(s, dir, "documents"))
 
-  /** Exact 3-gram Jaccard pairs at τ = 0.6, id columns only — the oracle
-    * for every route that provably converges to the exact pair set: batch
-    * MinHash-LSH (d3, rows=2 banding → miss probability ≈ 6e-7 at τ) and
-    * the streaming-ingest dedup (t12, same banding + same verify stage).
-    */
   /** Exact repeated-substring spans at k = 20 — shared by d14 (gram-text
     * shuffle) and d14b (double-hash shuffle): the hashed path's output is
     * identical short of a 128-bit collision, so both run under the SAME
@@ -120,6 +115,11 @@ object PipelineOps {
       |       CAST(count(*) AS BIGINT) AS n_grams
       |FROM s GROUP BY doc_id, sid""".stripMargin
 
+  /** Exact 3-gram Jaccard pairs at τ = 0.6, id columns only — the oracle
+    * for every route that provably converges to the exact pair set: batch
+    * MinHash-LSH (d3, rows=2 banding → miss probability ≈ 6e-7 at τ) and
+    * the streaming-ingest dedup (t12, same banding + same verify stage).
+    */
   private val exactJaccardIdPairsSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
@@ -540,12 +540,13 @@ object PipelineOps {
       """WITH q AS (SELECT vec_id AS qid,
         |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
         |           FROM embeddings WHERE vec_id < 10),
+        |qz AS (SELECT qid, qv FROM q WHERE list_dot_product(qv, qv) > 0),
         |c AS (SELECT vec_id AS cid,
         |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
         |      FROM embeddings),
         |sc AS (SELECT qid, cid,
         |        CAST(list_dot_product(qv, cv) AS BIGINT) AS dot
-        |       FROM q, c WHERE qid <> cid),
+        |       FROM qz, c WHERE qid <> cid),
         |r AS (SELECT qid AS query_id, cid AS neighbor_id,
         |       row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank,
         |       dot FROM sc)
@@ -553,6 +554,7 @@ object PipelineOps {
         |FROM r WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.mipsTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select("query_id", "neighbor_id", "rank", "dot")
     },
 
     "e1_ann_topk" -> Q(

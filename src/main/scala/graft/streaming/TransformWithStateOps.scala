@@ -126,51 +126,34 @@ object TransformWithStateOps {
     */
   final case class TwsMatch(user_id: Long, purchase_id: Long)
 
-  /** ListState leg of the transformWithState surface (t22) — the third
-    * state type, which [[MilestoneProcessor]]'s ValueState + MapState
-    * don't touch: a per-key sliding buffer of the last `pattern.size−1`
-    * event types lives in ListState across micro-batches, and a row
-    * emits from the data path whenever the buffer + the arriving event
-    * spell the pattern CONSECUTIVELY (stricter than w12's `A B+ C`
-    * subsequence match — no other event may intervene). No timers, no
-    * watermark: state is O(pattern) per key forever, eviction-free by
-    * construction.
-    */
-  final class ConsecutivePatternProcessor(pattern: List[String])
-      extends StatefulProcessor[Long, TwsEvent, TwsMatch] {
-    @transient private var buf: ListState[String] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      buf = getHandle.getListState[String]("buf", Encoders.STRING, TTLConfig.NONE)
-
-    override def handleInputRows(user: Long, rows: Iterator[TwsEvent],
-                                 timerValues: TimerValues): Iterator[TwsMatch] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[TwsMatch]
-      var window = if (buf.exists()) buf.get().toList else Nil
-      for (e <- rows.toArray.sortBy(r => (r.us, r.event_id))) {
-        if (window == pattern.init && e.event_type == pattern.last)
-          out += TwsMatch(user, e.event_id)
-        window = (window :+ e.event_type).takeRight(pattern.length - 1)
-      }
-      buf.put(window.toArray)
-      out.iterator
-    }
-  }
+  // t22's processor IS [[PatternWithHistoryProcessor]] run with no
+  // initial state (StatefulProcessorWithInitialState extends
+  // StatefulProcessor) — one sliding-buffer implementation, so the two
+  // entries cannot diverge.
 
   /** Per-key seed for [[PatternWithHistoryProcessor]]: the last
     * `pattern.size−1` event types from batch history, oldest first.
     */
   final case class TwsSeed(user_id: Long, buf: Seq[String])
 
-  /** Initial-state leg of transformWithState (t23) — the API's fourth
-    * surface (`StatefulProcessorWithInitialState`): the sliding pattern
-    * buffer is SEEDED from batch history before the first micro-batch,
-    * so a pattern straddling the history/stream boundary (view+click
-    * in the warehouse, purchase arriving live) matches from the very
-    * first streamed event. This is the reference's incremental-crawl
-    * posture — resume from persisted bookkeeping rather than cold-start
-    * (`crawl.py:678` last_crawl watermarks) — expressed as first-class
-    * state bootstrap instead of a rescan.
+  /** The consecutive-pattern matcher (t22 + t23): a per-key sliding
+    * buffer of the last `pattern.size−1` event types lives in ListState
+    * (the state type [[MilestoneProcessor]]'s ValueState + MapState
+    * don't touch) across micro-batches, and a row emits from the data
+    * path whenever the buffer + the arriving event spell the pattern
+    * CONSECUTIVELY (stricter than w12's `A B+ C` subsequence match — no
+    * other event may intervene). No timers, no watermark: state is
+    * O(pattern) per key forever, eviction-free by construction.
+    *
+    * Implements the API's initial-state surface
+    * (`StatefulProcessorWithInitialState`, t23): the buffer can be
+    * SEEDED from batch history before the first micro-batch, so a
+    * pattern straddling the history/stream boundary (view+click in the
+    * warehouse, purchase arriving live) matches from the very first
+    * streamed event — the reference's incremental-crawl posture
+    * (`crawl.py:678` last_crawl watermarks) as first-class state
+    * bootstrap instead of a rescan. Run without initial state it is
+    * plain t22.
     */
   final class PatternWithHistoryProcessor(pattern: List[String])
       extends StatefulProcessorWithInitialState[Long, TwsEvent, TwsMatch, TwsSeed] {
@@ -207,56 +190,61 @@ object TransformWithStateOps {
     val spark = stream.sparkSession
     import spark.implicits._
     val m = pattern.size - 1
+    // trailing ≤ m types. NOT slice(arr, -m, m): a negative start with
+    // |start| > size returns the EMPTY array (measured on Spark 4.1.2),
+    // which would silently drop the partial buffer of a user with fewer
+    // than m history events — the positive-start form keeps it.
+    val sorted = array_sort(collect_list(struct(
+      unix_micros(col("ts")).as("us"), col("event_id").as("i"),
+      col("event_type").as("t"))))
     val seeds = history
       .groupBy(col("user_id"))
       .agg(transform(
-        slice(array_sort(collect_list(struct(
-          unix_micros(col("ts")).as("us"), col("event_id").as("i"),
-          col("event_type").as("t")))), -m, m),
+        slice(sorted, greatest(size(sorted) - (m - 1), lit(1)), lit(m)),
         x => x.getField("t")).as("buf"))
       .as[TwsSeed]
       .groupByKey(_.user_id)
-    stream
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
-        col("ts"))
-      .as[TwsEvent]
+    typedEvents(stream)
       .groupByKey(_.user_id)
       .transformWithState(new PatternWithHistoryProcessor(pattern),
         TimeMode.None(), OutputMode.Append(), seeds)
   }
 
-  /** Wire [[ConsecutivePatternProcessor]] over an events DataFrame. */
+  /** Wire the pattern matcher with no seed (plain t22). */
   def consecutiveMatches(events: DataFrame,
                          pattern: List[String]): Dataset[TwsMatch] = {
     require(pattern.size >= 2, s"pattern needs >= 2 steps: $pattern")
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
-        col("ts"))
-      .as[TwsEvent]
+    typedEvents(events)
       .groupByKey(_.user_id)
-      .transformWithState(new ConsecutivePatternProcessor(pattern),
+      .transformWithState(new PatternWithHistoryProcessor(pattern),
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** Wire the processor over a (possibly streaming) events DataFrame. */
+  /** Wire [[MilestoneProcessor]] over a (possibly streaming) events
+    * DataFrame.
+    */
   def milestoneSummary(events: DataFrame, gapMinutes: Int,
                        milestoneEvery: Int,
                        watermark: String = "1 hour"): Dataset[TwsOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .withWatermark("ts", watermark)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
-        col("ts"))
-      .as[TwsEvent]
+    typedEvents(events.withWatermark("ts", watermark))
       .groupByKey(_.user_id)
       .transformWithState(
         new MilestoneProcessor(gapMinutes * 60L * 1000L, milestoneEvery),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The one events→[[TwsEvent]] projection all three wire paths share. */
+  private def typedEvents(events: DataFrame): Dataset[TwsEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      .as[TwsEvent]
   }
 }

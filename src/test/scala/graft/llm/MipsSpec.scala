@@ -23,10 +23,17 @@ class MipsSpec extends SparkSpec {
       (9L, Array(0.0f, 0.0f))        // zero-norm QUERY candidate: must be dropped
     ).toDF("vec_id", "embedding")
 
-    val out = Similarity.mipsTopK(
+    val full = Similarity.mipsTopK(
       rows.filter(col("vec_id") === 0 || col("vec_id") === 9), rows, k = 5)
-      .select("query_id", "neighbor_id", "rank", "dot")
-      .as[(Long, Long, Int, Long)].collect()
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"),
+        col("_cos")).as[(Long, Long, Int, Long, Double)].collect()
+    val out = full.map(r => (r._1, r._2, r._3, r._4))
+    // the augmented-cosine column must agree with the exact-dot ranking
+    // up to dot-ties: sorting by cosine yields a dot sequence that is
+    // non-increasing (the reduction's monotonicity, observed on data)
+    val cosOrderDots = full.sortBy(-_._5).map(_._4).toList
+    assert(cosOrderDots == cosOrderDots.sorted(Ordering[Long].reverse),
+      s"augmented cosine must rank like the dot outside ties: $cosOrderDots")
 
     assert(out.map(_._1).toSet === Set(0L), s"zero-norm query must be filtered: $out")
     val order = out.sortBy(_._3).map(r => (r._2, r._4)).toList

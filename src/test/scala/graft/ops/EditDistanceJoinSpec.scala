@@ -92,6 +92,25 @@ class EditDistanceJoinSpec extends SparkSpec {
       "transposition in, ed-3 out, tiny legs covered")
   }
 
+  test("ed<=2 tiny-string flood expands through chunked form groups, stays exact") {
+    // 30 empties + 10 one-char + 5 segmentable: every tiny pair is a true
+    // result (ed <= max len <= 2); with maxChunk=4 both the same-form and
+    // cross-form legs must route through block pairs and still be exact
+    val strs = (0L until 30L).map(i => i -> "") ++
+      (30L until 40L).map(i => i -> "a") ++
+      (40L until 45L).map(i => i -> s"str$i")
+    val pairs = EditDistanceJoin.ed2Pairs(strs.toDF("id", "s"), "id", "s",
+      maxChunk = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val truth = (for {
+      (i1, s1) <- strs; (i2, s2) <- strs
+      if i1 < i2 && ed(s1, s2) <= 2
+    } yield (i1, i2)).toSet
+    assert(pairs === truth,
+      s"tiny flood diverged: missing ${(truth -- pairs).size}, extra ${(pairs -- truth).size}")
+    assert(truth.size >= 435 + 300 + 45, s"flood must be pair-dense: ${truth.size}")
+  }
+
   test("ed<=2 chunk guard: hot shared-prefix corpus stays exact at a tiny maxChunk") {
     // every string shares segment 0 ("PRE") → one corpus-sized key; with
     // maxChunk=4 the bipartite expansion MUST route through block pairs,

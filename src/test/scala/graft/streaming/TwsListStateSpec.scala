@@ -102,17 +102,22 @@ class TwsListStateSpec extends SparkSpec {
     val work = java.nio.file.Files.createTempDirectory("graft_tws_is_").toString
     val T = 1705752000000L
     import spark.implicits._
-    // history (batch): user 1's view+click; user 2's view+signup (broken)
+    // history (batch): user 1's view+click; user 2's view+signup
+    // (broken); user 5 has only ONE history event — the partial seed
+    // (slice with a negative start would drop it; measured Spark 4.1.2)
     val history = Seq(
       (1L, T, 1L, "view"), (2L, T + 1000, 1L, "click"),
-      (10L, T, 2L, "view"), (11L, T + 1000, 2L, "signup"))
+      (10L, T, 2L, "view"), (11L, T + 1000, 2L, "signup"),
+      (50L, T, 5L, "view"))
       .toDF("event_id", "ms", "user_id", "event_type")
       .select(col("event_id"), expr("timestamp_millis(ms)").as("ts"),
         col("user_id"), col("event_type"), lit(1.0).as("value"),
         lit("").as("props"))
-    // stream: both users' purchases — only user 1's closes a triple
+    // stream: purchases (+ user 5's click) — user 1 closes a triple;
+    // user 5's triple completes only if the SHORT seed survived
     writeEpoch(s"$work/in/d0", Seq(
-      (3L, T + 2000, 1L, "purchase"), (12L, T + 2000, 2L, "purchase")))
+      (3L, T + 2000, 1L, "purchase"), (12L, T + 2000, 2L, "purchase"),
+      (51L, T + 2000, 5L, "click"), (52L, T + 3000, 5L, "purchase")))
 
     val ss = EventStream.statefulSession(spark)
     val stream = graft.Tables.restoreTs(
@@ -125,7 +130,7 @@ class TwsListStateSpec extends SparkSpec {
       "tws_initial", mode = "append")
       .as[(Long, Long)].collect().toSet
 
-    assert(out === Set((1L, 3L)),
-      s"only the seeded view+click buffer may complete on the stream: $out")
+    assert(out === Set((1L, 3L), (5L, 52L)),
+      s"full AND partial (single-event) seeds must complete on the stream: $out")
   }
 }
