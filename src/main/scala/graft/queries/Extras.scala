@@ -1859,6 +1859,38 @@ object Extras {
       s.sql(u7Text)
     },
 
+    // ---- J18: NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM) — the
+    //      join-side complement of u7's NOT-IN three-valued logic: plain
+    //      `=` silently DROPS null-keyed rows from both sides (NULL = NULL
+    //      is UNKNOWN), while the null-safe operator matches them — and
+    //      Catalyst still plans EqualNullSafe as a hash-join KEY, not a
+    //      post-join filter, so the 100 TB shape survives. Planted NULL
+    //      keys on deterministic slices; NULL×NULL lands in its own
+    //      populated bucket. -------------------------------------------
+    "j18_nullsafe_join" -> Q(
+      """WITH a AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |                  ELSE o_orderstatus END AS k1
+        |           FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 100 < 10),
+        |b AS (SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |             ELSE o_orderstatus END AS k2
+        |      FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 100 < 10)
+        |SELECT coalesce(k1, 'NULL_KEY') AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM a JOIN b ON a.k1 IS NOT DISTINCT FROM b.k2
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def side(par: Int, mod: Int, out: String) = o
+        .filter(col("o_orderkey") % 2 === par && col("o_orderkey") % 100 < 10)
+        .select(when(col("o_orderkey") % mod === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as(out))
+      val joined = side(0, 11, "k1")
+        .join(side(1, 13, "k2"), col("k1") <=> col("k2"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        "EqualNullSafe must plan as a join KEY, not a post-join filter")
+      joined.groupBy(coalesce(col("k1"), lit("NULL_KEY")).as("k"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- U8: recursive CTE (hierarchy walk, Spark 4 recursion) ---------
     "u8_recursive_cte" -> Q(u8Text) { (s, dir) =>
       t(s, dir, "documents").createOrReplaceTempView("documents")
