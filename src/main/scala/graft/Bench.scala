@@ -24,6 +24,26 @@ object Bench {
     // driver sets no filter → full run); "export_writeall" selects the
     // export block below
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Environment telemetry (r6 verdict #7): the r6 driver run was
+    // uniformly inflated by a noisy host (median ratio 1.14 with heavy
+    // tails on UNCHANGED trivial entries) and cost a verdict cycle to
+    // disprove. Record per-entry JVM GC time and the 1-minute system
+    // load average next to the timings so an inflated run self-diagnoses:
+    // high load / outsized gc_ms with a normal spread ⇒ environment, not
+    // a plan regression.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double = osBean.getSystemLoadAverage // -1.0 if unavailable
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    val loadStart = loadAvg()
+    val cpusN = cpus.toDouble
+    if (loadStart > cpusN / 2)
+      System.err.println(f"[bench] WARNING: system load $loadStart%.1f > " +
+        f"cpus/2 (${cpusN / 2}%.1f) at start — timings on this run are " +
+        "likely inflated by a noisy host; prefer the committed best-of-3")
     val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -35,14 +55,17 @@ object Bench {
           -1.0
         }
       }
+      val gc0 = gcMs()
       val runs = Seq(once(), once(), once())
-      name -> (if (runs.exists(_ < 0)) (-1.0, -1.0, -1.0)
-               else (runs.min, runs.min, runs.max))
+      val telemetry = (gcMs() - gc0, loadAvg())
+      (name, (if (runs.exists(_ < 0)) (-1.0, -1.0, -1.0)
+              else (runs.min, runs.min, runs.max)), telemetry)
     }
     // Full-corpus export as a named entry (single run — IO-bound, and the
     // golden-byte spec covers correctness): meltAll over the reference's
     // 38 published CSVs → the complete writeAll dump. Makes export
     // throughput regressions visible in the round-over-round bench JSON.
+    val exportGc0 = gcMs()
     val exportSec = if (!only.forall(_.contains("export_writeall"))) -2.0 else {
       val t0 = System.nanoTime()
       try {
@@ -57,13 +80,20 @@ object Bench {
     }
     val results = // -2.0 = filtered out by SPARK_GRAFT_BENCH_ONLY, omit entirely
       if (exportSec == -2.0) queryResults
-      else queryResults :+ ("export_writeall" -> ((exportSec, exportSec, exportSec)))
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+      else queryResults :+ (("export_writeall",
+        (exportSec, exportSec, exportSec), (gcMs() - exportGc0, loadAvg())))
+    val qs = results.map { case (k, (v, _, _), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spread = results
-      .map { case (k, (_, lo, hi)) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+      .map { case (k, (_, lo, hi), _) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+    val gcJson = results
+      .map { case (k, _, (gc, _)) => s"\"" + k + "\":" + gc }
+      .mkString("{", ",", "}")
+    val loadJson = results
+      .map { case (k, _, (_, ld)) => s"\"" + k + "\":" + ld }
+      .mkString("{", ",", "}")
+    val failures = results.collect { case (k, (v, _, _), _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // r1 follow-up: j3/j5 bench spikes (~5s) were re-measured in isolation
@@ -72,7 +102,10 @@ object Bench {
     val notes = "\"best-of-3 per query, value=min, per-query [min,max] in " +
       "'spread' — treat a round-over-round delta as a true regression only " +
       "when min_rN exceeds max_r(N-1) (r4 d13 and r5 g3/t12 'regressions' " +
-      "were host noise on unchanged code); " +
+      "were host noise on unchanged code); 'gc_ms' = JVM GC time over the " +
+      "entry's 3 runs, 'load'/'load_start' = 1-min system load average — " +
+      "high load or outsized gc with a wide spread diagnoses an inflated " +
+      "host (the r6 driver run) without a re-run; " +
       "j3/j5 isolated warm times 0.46s/1.0s (TimeOne); slowest entries " +
       "(d2/d7/d9) are the deliberately-exact dedup verifiers + iterative " +
       "connected components — their scale paths are d3 (LSH) and d8; " +
@@ -102,7 +135,7 @@ object Bench {
       "adjacency intersection (per-run time in the queries map — the r3 " +
       "entry benched a %4 sample); g3b keeps the id-oriented twin on " +
       "the sampled scope\""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failures":$failures,"notes":$notes,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"gc_ms":$gcJson,"load":$loadJson,"load_start":$loadStart,"failures":$failures,"notes":$notes,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a tail cap, which has truncated the
     // per-query map two rounds running ("parsed": null in BENCH_r2/r3).

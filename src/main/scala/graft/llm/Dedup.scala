@@ -724,6 +724,31 @@ object Dedup {
       .select(idCol, "n_grams", "n_novel")
   }
 
+  /** [[gramNovelty]]'s hashed-shuffle scale twin — the d14b discipline
+    * applied to the novelty shape: both the first-doc agg AND the
+    * join-back key on TWO independent 64-bit gram hashes (16 bytes,
+    * constant in k) instead of the k-char gram text. Novelty never
+    * needs the gram characters downstream — only the min-doc-id
+    * comparison — so at k = 20 this halves the bytes on both shuffles
+    * (and the gap widens linearly with k). A wrong novelty count needs
+    * one 128-bit collision among distinct grams (~n²/2¹²⁸ — not a real
+    * event), so the output is identical to the exact operator's and the
+    * entry shares x23's oracle verbatim.
+    */
+  def gramNoveltyHashed(docs: DataFrame, k: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = gramPositions(docs, k, idCol, textCol)
+      .select(col(idCol),
+        xxhash64(col("gram")).as("_h1"),
+        xxhash64(lit("graft-novelty-salt"), col("gram")).as("_h2"))
+    val firsts = grams.groupBy("_h1", "_h2").agg(min(col(idCol)).as("_first"))
+    grams.join(firsts, Seq("_h1", "_h2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("_first") === col(idCol), 1)).as("n_novel"))
+      .select(idCol, "n_grams", "n_novel")
+  }
+
   /** (id, p, gram) for every k-gram position of every doc. */
   private def gramPositions(docs: DataFrame, k: Int,
                             idCol: String, textCol: String): DataFrame =

@@ -96,6 +96,19 @@ object PipelineOps {
     * identical short of a 128-bit collision, so both run under the SAME
     * oracle.
     */
+  /** Shared by x23 (gram text on the wire — the oracle-defining form)
+    * and x23b (two-xxhash64 keys — the scale form): identical output
+    * short of a 128-bit collision, the same sharing contract as
+    * [[spanOracleSql]].
+    */
+  private val noveltyOracleSql: String =
+    """WITH pos AS (SELECT doc_id, substr(text, u.p, 20) AS gram
+      |             FROM documents, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+      |fo AS (SELECT gram, min(doc_id) AS first_doc FROM pos GROUP BY 1)
+      |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(count(CASE WHEN fo.first_doc = p.doc_id THEN 1 END) AS BIGINT) AS n_novel
+      |FROM pos p JOIN fo ON p.gram = fo.gram GROUP BY 1""".stripMargin
+
   private val spanOracleSql: String =
     """WITH pos AS (
       |  SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
@@ -365,14 +378,18 @@ object PipelineOps {
     //      (ingestion) order — near-0 docs are recombinations of earlier
     //      text and drop before any pairwise dedup. d14's shuffle shape:
     //      one gram agg + one join, no pairs. --------------------------
-    "x23_novelty" -> Q(
-      """WITH pos AS (SELECT doc_id, substr(text, u.p, 20) AS gram
-        |             FROM documents, unnest(generate_series(1, length(text) - 19)) AS u(p)),
-        |fo AS (SELECT gram, min(doc_id) AS first_doc FROM pos GROUP BY 1)
-        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |       CAST(count(CASE WHEN fo.first_doc = p.doc_id THEN 1 END) AS BIGINT) AS n_novel
-        |FROM pos p JOIN fo ON p.gram = fo.gram GROUP BY 1""".stripMargin) { (s, dir) =>
+    "x23_novelty" -> Q(noveltyOracleSql) { (s, dir) =>
       Dedup.gramNovelty(docs(s, dir), k = 20)
+    },
+
+    // ---- X23b: the hashed-shuffle scale twin — BOTH novelty shuffles
+    //      (first-doc agg + join-back) key on two independent xxhash64s
+    //      (16 bytes, constant in k) instead of 20-char gram text; the
+    //      min-doc-id comparison is all the downstream ever reads, so
+    //      the result is identical short of a 128-bit collision and the
+    //      entry shares x23's oracle verbatim (the d14/d14b pattern).
+    "x23b_novelty_hashed" -> Q(noveltyOracleSql) { (s, dir) =>
+      Dedup.gramNoveltyHashed(docs(s, dir), k = 20)
     },
 
     // ---- X18: dedup-rate report — pipeline observability over the

@@ -71,6 +71,34 @@ class SpanDedupSpec extends SparkSpec {
     }), s"every doc must carry exactly one header-covering span, got ${out.take(3)}")
   }
 
+  private def novelty(f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)(
+      rows: (Long, String)*): Map[Long, (Long, Long)] =
+    f(rows.toSeq.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+
+  test("gram novelty: first containing doc owns ALL occurrences of its grams") {
+    val r = "REPEATED!!" // 10 chars = k → one gram per occurrence
+    val out = novelty((d, kk) => Dedup.gramNovelty(d, kk))(
+      1L -> (r + "z" * 15 + r),  // doc 1: grams at 1..., repeats of r
+      2L -> (r + "w" * 20))      // doc 2: r's gram is NOT novel (doc 1 first)
+    // doc 1: length 35 → 26 grams, every gram first appears in doc 1 →
+    // all novel (the within-doc repeat of r counts as novel mass too)
+    assert(out(1L) === ((26L, 26L)), s"doc 1: ${out(1L)}")
+    // doc 2: length 30 → 21 grams; the single gram equal to r is owned by
+    // doc 1; the 20 others (mixing r chars with w's, and pure w runs) are new
+    assert(out(2L) === ((21L, 20L)), s"doc 2: ${out(2L)}")
+  }
+
+  test("hashed novelty twin is bit-identical to the text form") {
+    val header = ("BOILERPLATE-HEADER-" * 20).take(300)
+    val rows: Seq[(Long, String)] = (1L to 50L).map(i =>
+      i -> (header + s"unique-tail-$i-" + ("pad" * (i % 7).toInt)))
+    val a = novelty((d, kk) => Dedup.gramNovelty(d, kk))(rows: _*)
+    val b = novelty((d, kk) => Dedup.gramNoveltyHashed(d, kk))(rows: _*)
+    assert(a === b)
+    assert(a.nonEmpty && a(1L)._2 > a(2L)._2) // doc 1 owns the header mass
+  }
+
   test("docs shorter than k neither crash nor emit") {
     val out = spans(
       1L -> "short", 2L -> "short", // identical but < k: no grams at all
