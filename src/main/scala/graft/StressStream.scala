@@ -278,8 +278,12 @@ object StressStream {
     val fullC = onceAndNotPremature("p_id", "c_id", uc0)
     val fullP = onceAndNotPremature("c_id", "p_id", up0)
     // every epoch the watermark could close must have emitted COMPLETELY
-    require(fullC >= replicas - 2 && fullP >= replicas - 2,
-      s"only $fullC/$fullP of ${replicas - 2}+ closable epochs fully emitted")
+    // — all replicas−1 of them (epoch k closes on epoch k+1's input or
+    // the AvailableNow trailing no-data flush; only the FINAL epoch's
+    // stragglers stay unemitted by contract). Exact, not ≥−1: a silently
+    // dropped epoch must fail here, not hide behind a tolerance.
+    require(fullC == replicas - 1 && fullP == replicas - 1,
+      s"only $fullC/$fullP of ${replicas - 1} closable epochs fully emitted")
     // (a) bounded state from the engine's own metrics
     val prog3 = q3.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
     val joinStateRows = prog3.map(_.stateOperators.head.numRowsTotal)

@@ -1951,7 +1951,11 @@ object PipelineOps {
     //      Timer firing is NON-strict (`timer <= watermark`, measured by
     //      TwsBoundarySpec with ±1 ms crafted events — NOT the strict <
     //      of flatMapGroupsWithState timeouts, t16); the oracle replays
-    //      that boundary in floored-ms integer arithmetic.
+    //      that boundary in floored-ms integer arithmetic. One-final-
+    //      per-user alignment REQUIRES readEvents' single-file source
+    //      (one batch): under multi-batch delivery a mid-stream quiet
+    //      gap splits a user into per-session finals (pinned by
+    //      TwsBoundarySpec's multi-batch test).
     "t21_transform_with_state" -> Q(
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
         |                   CAST(round(value * 100) AS BIGINT) AS c FROM events),

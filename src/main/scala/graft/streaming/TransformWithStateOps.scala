@@ -224,6 +224,14 @@ object TransformWithStateOps {
 
   /** Wire [[MilestoneProcessor]] over a (possibly streaming) events
     * DataFrame.
+    *
+    * Delivery-sensitivity: the operator is a SESSION summarizer — a user
+    * quiet for more than the gap between micro-batches emits an
+    * intermediate final and restarts counts (pinned by TwsBoundarySpec's
+    * multi-batch test). The t21 oracle models exactly one final per user
+    * because its single-file source delivers everything in one batch;
+    * any multi-file wiring of this operator changes the answer by
+    * design, not by bug.
     */
   def milestoneSummary(events: DataFrame, gapMinutes: Int,
                        milestoneEvery: Int,

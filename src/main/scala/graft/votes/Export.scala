@@ -175,12 +175,20 @@ object Export {
               // bytes are the same deterministic group output — but a
               // bare exists() can't tell that fresh CSV from a STALE one
               // left by a previous run over the same root (a transient
-              // rename failure would then silently keep outdated data).
-              // Accept only a length-matching file; otherwise retry the
-              // delete+rename once and fail the task if it still loses
-              // (Spark re-runs the task).
+              // rename failure would then silently keep outdated data),
+              // and for fixed-width CSVs a stale file can plausibly
+              // match on LENGTH alone. Accept only a byte-identical
+              // file; otherwise retry the delete+rename once and fail
+              // the task if it still loses (Spark re-runs the task).
               val twinPublished = fs.exists(path) &&
-                fs.getFileStatus(path).getLen == bytes.length.toLong
+                fs.getFileStatus(path).getLen == bytes.length.toLong && {
+                  val in = fs.open(path)
+                  try {
+                    val got = new Array[Byte](bytes.length)
+                    in.readFully(0, got)
+                    java.util.Arrays.equals(got, bytes)
+                  } finally in.close()
+                }
               if (twinPublished) fs.delete(tmp, false)
               else {
                 fs.delete(path, false)

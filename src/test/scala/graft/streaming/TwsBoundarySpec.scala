@@ -76,4 +76,52 @@ class TwsBoundarySpec extends SparkSpec {
     assert(milestones === Set((3L, "milestone", 25L, 2500L, 3L)),
       s"milestone set drifted: $milestones")
   }
+
+  test("multi-batch delivery: a mid-stream quiet gap SPLITS the user into two finals") {
+    // Pins the session semantics the t21 oracle deliberately does NOT
+    // model: t21's single-file source delivers everything in one batch,
+    // so each user gets exactly one final. Under multi-batch delivery a
+    // user quiet for > gap mid-stream emits an INTERMEDIATE final and
+    // restarts counts from zero — the operator is a session summarizer,
+    // and this spec is what surfaces a future source change loudly
+    // instead of as an oracle mismatch (r6 advice).
+    val t0 = T - 3 * gapMs
+    def write(dir: String, rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ms", "user_id", "event_type", "value")
+        .select(col("event_id"), expr("timestamp_millis(ms)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), lit("").as("props"))
+        .coalesce(1).write.parquet(dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_tws_mb_").toString
+    // batch 1: user 7's first session (2 events, last = t0 → timer t0+gap)
+    // + a sentinel raising max event time to t0+gap+delay, so batch 2's
+    // watermark = t0+gap reaches the timer
+    write(s"$root/b1", Seq(
+      (1L, t0 - 10, 7L, "click", 1.00), (2L, t0, 7L, "view", 2.00),
+      (900L, t0 + gapMs + delayMs, 999L, "view", 0.0)))
+    // batch 2: sentinel only — user 7 has NO input, its expired timer
+    // fires cleanly (no same-batch data/timer ordering in play)
+    write(s"$root/b2", Seq((901L, t0 + gapMs + delayMs + 1, 998L, "view", 0.0)))
+    // batch 3: user 7 returns after 2×gap of quiet (1 event at t0+2gap,
+    // above batch 3's watermark t0+gap+ε — not late) + a sentinel pushing
+    // the final watermark to t0+3gap ≥ the new timer t0+3gap
+    write(s"$root/b3", Seq(
+      (3L, t0 + 2 * gapMs, 7L, "purchase", 4.00),
+      (902L, t0 + 3 * gapMs + delayMs, 997L, "view", 0.0)))
+    EventStream.stampMtimeOrder(Seq(s"$root/b1", s"$root/b2", s"$root/b3"))
+
+    val ss = EventStream.statefulSession(spark)
+    val stream = graft.Tables.restoreTs(
+      ss.readStream.schema(spark.read.parquet(s"$root/b1").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/b*"))
+    val finals = EventStream.runToMemory(
+      TransformWithStateOps.milestoneSummary(stream, gapMinutes = 240,
+        milestoneEvery = 25).toDF(),
+      "tws_multibatch", mode = "append")
+      .filter(col("user_id") === 7 && col("kind") === "final")
+      .select("user_id", "kind", "n", "cents", "n_types")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(finals === Set((7L, "final", 2L, 300L, 2L),
+                          (7L, "final", 1L, 400L, 1L)),
+      s"gap-split must emit one final per session with RESTARTED counts, got $finals")
+  }
 }
