@@ -87,6 +87,45 @@ object Stress {
         "documents are being collapsed together")
     println(s"[stress] OK: $survivors survivors from ${nBase * replicas} docs " +
       s"(expected in [$expectedMin, $expectedMax])")
+
+    // ---- d14/d14b span dedup under volume (r6 verdict #8) -------------
+    // On the replicated corpus every gram fully inside a doc's base text
+    // appears in all `replicas` copies (≥2 docs) and is flagged, while
+    // grams crossing into the per-replica marker word are unique to one
+    // doc and are not — so every doc of every replica condenses to the
+    // SAME single span [1, L(base)] with L−k+1 grams. Two assertions,
+    // per-copy identity not eyeball (the StressGraph discipline):
+    //   (a) the hashed twin (16-byte keys on the wire) equals the exact
+    //       text form row-for-row at volume;
+    //   (b) each replica's span set, ids shifted back, is identical to
+    //       replica 0's (one xxhash64-sum fingerprint per replica).
+    stage("span dedup at volume") {
+      val spansHashed = Dedup.duplicateSpansHashed(corpus, k = 20, minDocs = 2)
+        .localCheckpoint(true)
+      val nSpans = spansHashed.count()
+      println(s"[stress]   spans (hashed twin): $nSpans")
+      val spansText = Dedup.duplicateSpans(corpus, k = 20, minDocs = 2)
+      require(spansHashed.exceptAll(spansText).count() == 0 &&
+        spansText.exceptAll(spansHashed).count() == 0,
+        "d14b hashed twin diverged from d14 exact spans at volume")
+      val perReplica = spansHashed
+        .groupBy((col("doc_id") / stride).cast("long").as("replica"))
+        .agg(count(lit(1)).as("n"),
+          // bit_xor: order-independent and overflow-free under ANSI
+          // (sum(xxhash64) overflows long); span rows are distinct per
+          // doc so xor cancellation can't hide a difference
+          expr("bit_xor(xxhash64(doc_id % " + stride +
+            "L, span_start, span_end, n_grams))").as("fp"))
+        .collect()
+      require(perReplica.length == replicas,
+        s"${perReplica.length} replicas produced spans, expected $replicas")
+      val fps = perReplica.map(r => (r.getLong(1), r.getLong(2))).distinct
+      require(fps.length == 1,
+        s"replica span sets diverged: ${fps.length} distinct (count, fingerprint) " +
+          s"values across $replicas replicas")
+      println(s"[stress] OK spans: $replicas replicas x ${nSpans / replicas} " +
+        "identical spans each, hashed twin == exact text form")
+    }
     spark.stop()
   }
 }
