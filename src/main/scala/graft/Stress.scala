@@ -89,22 +89,47 @@ object Stress {
       s"(expected in [$expectedMin, $expectedMax])")
 
     // ---- d14/d14b span dedup under volume (r6 verdict #8) -------------
-    // On the replicated corpus every gram fully inside a doc's base text
-    // appears in all `replicas` copies (≥2 docs) and is flagged, while
-    // grams crossing into the per-replica marker word are unique to one
-    // doc and are not — so every doc of every replica condenses to the
-    // SAME single span [1, L(base)] with L−k+1 grams. Two assertions,
-    // per-copy identity not eyeball (the StressGraph discipline):
+    // The LSH corpus above is the WRONG input for a per-replica identity
+    // assertion: its " replica$k" markers are asymmetric. Replica 0 is
+    // unmarked, so boundary-crossing grams that stop inside the shared
+    // " replica" prefix are flagged (present in every marked copy) for
+    // replicas ≥ 1 but have no counterpart in replica 0 — and past 10
+    // replicas the digits themselves share prefixes (" replica1" is a
+    // prefix of " replica10"), so single- and double-digit replicas flag
+    // different boundary grams. A dedicated span corpus fixes both:
+    // EVERY replica (0 included) gets an equal-length 3-char marker
+    // " \u0001X" sharing only the " \u0001" prefix, with a unique final
+    // char per replica. \u0001 never occurs in document text (asserted),
+    // so a gram containing it can only match other marker-crossing
+    // grams. Then for any gram of replica r's copy of doc d:
+    //   · grams ending at or before the shared-prefix end are byte-equal
+    //     across ALL replicas of d → distinct-doc count ≥ replicas ≥ 2,
+    //     flagged everywhere;
+    //   · grams containing the unique final char exist only inside
+    //     replica r, and their distinct-doc count is the number of base
+    //     docs sharing the preceding 19-char tail — the same number in
+    //     every replica.
+    // Flagged positions are therefore replica-invariant BY CONSTRUCTION,
+    // independent of base-doc suffix sharing (the r7-advice data
+    // dependence). Two assertions, per-copy identity not eyeball:
     //   (a) the hashed twin (16-byte keys on the wire) equals the exact
     //       text form row-for-row at volume;
     //   (b) each replica's span set, ids shifted back, is identical to
-    //       replica 0's (one xxhash64-sum fingerprint per replica).
+    //       replica 0's (one xor fingerprint per replica).
     stage("span dedup at volume") {
-      val spansHashed = Dedup.duplicateSpansHashed(corpus, k = 20, minDocs = 2)
+      require(replicas >= 2 && replicas <= 58,
+        s"span stage needs 2..58 replicas (unique printable marker chars): $replicas")
+      require(base.where(col("text").contains("\u0001")).limit(1).count() == 0,
+        "document text contains \\u0001 — span-stage marker uniqueness is void")
+      val spanCorpus = (0 until replicas).map { k =>
+        base.select((col("doc_id") + k * stride).as("doc_id"),
+          concat(col("text"), lit(s" \u0001${('A' + k).toChar}")).as("text"))
+      }.reduce(_ unionByName _)
+      val spansHashed = Dedup.duplicateSpansHashed(spanCorpus, k = 20, minDocs = 2)
         .localCheckpoint(true)
       val nSpans = spansHashed.count()
       println(s"[stress]   spans (hashed twin): $nSpans")
-      val spansText = Dedup.duplicateSpans(corpus, k = 20, minDocs = 2)
+      val spansText = Dedup.duplicateSpans(spanCorpus, k = 20, minDocs = 2)
       require(spansHashed.exceptAll(spansText).count() == 0 &&
         spansText.exceptAll(spansHashed).count() == 0,
         "d14b hashed twin diverged from d14 exact spans at volume")
