@@ -150,5 +150,20 @@ object Bench {
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
     }
     spark.stop()
+    // The driver keeps only a ~2000-char stdout TAIL, and the full line
+    // above (200-entry queries/spread/gc/load maps + notes) far exceeds
+    // it — BENCH_r05..r07 all carry "parsed": null because the tail holds
+    // only the line's truncated end. Emit a second, machine-first line
+    // LAST (after spark.stop(), which logs to stderr only) that is
+    // guaranteed to fit: headline metric + failures + the slowest entries
+    // with their spread/gc/load telemetry, full data pointer at
+    // bench_last.json. Dropping the other entries is deliberate — the
+    // regression rule needs the slow tail, and the full map survives in
+    // the written file either way.
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(12)
+      .map { case (k, (v, lo, hi), (gc, ld)) =>
+        s""""$k":{"sec":$v,"spread":[$lo,$hi],"gc_ms":$gc,"load":$ld}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"load_start":$loadStart,"slowest":$slowest,"full":"bench_last.json","sf":"$sfDir"}""")
   }
 }

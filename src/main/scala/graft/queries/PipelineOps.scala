@@ -91,11 +91,6 @@ object PipelineOps {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     fanOut(s, t(s, dir, "documents"))
 
-  /** Exact repeated-substring spans at k = 20 — shared by d14 (gram-text
-    * shuffle) and d14b (double-hash shuffle): the hashed path's output is
-    * identical short of a 128-bit collision, so both run under the SAME
-    * oracle.
-    */
   /** Shared by x23 (gram text on the wire — the oracle-defining form)
     * and x23b (two-xxhash64 keys — the scale form): identical output
     * short of a 128-bit collision, the same sharing contract as
@@ -109,6 +104,11 @@ object PipelineOps {
       |       CAST(count(CASE WHEN fo.first_doc = p.doc_id THEN 1 END) AS BIGINT) AS n_novel
       |FROM pos p JOIN fo ON p.gram = fo.gram GROUP BY 1""".stripMargin
 
+  /** Exact repeated-substring spans at k = 20 — shared by d14 (gram-text
+    * shuffle) and d14b (double-hash shuffle): the hashed path's output is
+    * identical short of a 128-bit collision, so both run under the SAME
+    * oracle.
+    */
   private val spanOracleSql: String =
     """WITH pos AS (
       |  SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram

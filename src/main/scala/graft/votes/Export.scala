@@ -180,15 +180,23 @@ object Export {
               // match on LENGTH alone. Accept only a byte-identical
               // file; otherwise retry the delete+rename once and fail
               // the task if it still loses (Spark re-runs the task).
-              val twinPublished = fs.exists(path) &&
-                fs.getFileStatus(path).getLen == bytes.length.toLong && {
-                  val in = fs.open(path)
-                  try {
-                    val got = new Array[Byte](bytes.length)
-                    in.readFully(0, got)
-                    java.util.Arrays.equals(got, bytes)
-                  } finally in.close()
-                }
+              // The probe itself must not fail the task: a racing twin
+              // mid-publish (or a transient FS error) can make exists/
+              // open/read throw, and an escaping exception here would
+              // bypass the one-shot delete+rename retry below. Any
+              // failure to read identical bytes — including a failure to
+              // read at all — means "not published", and the retry runs.
+              val twinPublished = try {
+                fs.exists(path) &&
+                  fs.getFileStatus(path).getLen == bytes.length.toLong && {
+                    val in = fs.open(path)
+                    try {
+                      val got = new Array[Byte](bytes.length)
+                      in.readFully(0, got)
+                      java.util.Arrays.equals(got, bytes)
+                    } finally in.close()
+                  }
+              } catch { case scala.util.control.NonFatal(_) => false }
               if (twinPublished) fs.delete(tmp, false)
               else {
                 fs.delete(path, false)
