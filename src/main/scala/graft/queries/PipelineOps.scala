@@ -2042,6 +2042,29 @@ object PipelineOps {
         s"t23_tws_${streamSeq.incrementAndGet()}", mode = "append")
     },
 
+    // ---- T24 (stateful streaming, transformWithState TTL): ------------
+    //      the API's state-expiry surface — BOTH state variables (a
+    //      ValueState running counter + a MapState distinct-type map)
+    //      carry a real TTLConfig instead of TTLConfig.NONE, the bounded-
+    //      state mechanism that keeps an abandoned key from holding
+    //      RocksDB space forever. TTL forces TimeMode.ProcessingTime, so
+    //      expiry is wall-clock: the entry runs with a 1-hour TTL over
+    //      the single-file source (one batch, nothing can expire →
+    //      deterministic whole-corpus totals per user), and the actual
+    //      expire-and-restart behavior is pinned by TwsTtlSpec's
+    //      sleep-past-TTL MemoryStream test — the t13 split: production
+    //      path under the oracle, timing-dependent semantics in a spec.
+    "t24_ttl_counter" -> Q(
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ss = EventStream.ttlSession(s)
+      val out = TransformWithStateOps.ttlCounter(
+        EventStream.readEvents(ss, dir), java.time.Duration.ofHours(1))
+      EventStream.runToMemory(out.toDF(),
+        s"t24_tws_${streamSeq.incrementAndGet()}", mode = "append")
+    },
+
     // ---- T5 (stateful streaming): gap sessionization -------------------
     "t5_sessionize" -> Q(
       """WITH e AS (SELECT user_id, ts,

@@ -30,6 +30,26 @@ object EventStream {
     ss
   }
 
+  /** [[statefulSession]] variant for queries holding TTL state (t24).
+    * TTL forces `TimeMode.ProcessingTime`, and in that mode
+    * `TransformWithStateExec.shouldRunAnotherBatch` answers `true`
+    * unconditionally (eager eviction could always have work to do), so
+    * with no-data micro-batches enabled the engine schedules empty
+    * cleanup batches in a tight loop forever and `processAllAvailable`
+    * never observes `noNewData` — measured at 2000+ empty batches over
+    * 7 minutes before hanging was diagnosed. Disabling
+    * `noDataMicroBatches` removes only the EAGER eviction pass: expired
+    * state is still invisible to every read (`exists()`/`get()`/`keys()`
+    * filter by stored expiration timestamp vs the batch timestamp), so
+    * this changes when RocksDB space is physically reclaimed, not any
+    * observable result.
+    */
+  def ttlSession(parent: SparkSession, shufflePartitions: Int = 4): SparkSession = {
+    val ss = statefulSession(parent, shufflePartitions)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    ss
+  }
+
   /** Streaming source over the events parquet. The file-stream source
     * wants a directory or glob, not a bare file path — a one-element glob
     * (`{events.parquet}`) keeps it pointed at the single table file.

@@ -121,6 +121,77 @@ object TransformWithStateOps {
     }
   }
 
+  /** [[TtlCounterProcessor]] output: the running totals at the end of
+    * each micro-batch the user appeared in (since the last TTL expiry).
+    */
+  final case class TwsTtlOut(user_id: Long, n: Long, n_types: Long)
+
+  /** The TTL surface of the API (t24): a per-user running event counter
+    * (ValueState[Long]) plus distinct-type map (MapState) where BOTH
+    * state variables carry a real `TTLConfig(ttl)` instead of
+    * `TTLConfig.NONE` — state that goes unrefreshed for `ttl` of
+    * PROCESSING time is expired by the store and the counts restart,
+    * the bounded-state mechanism a production pipeline relies on so an
+    * abandoned key cannot hold RocksDB space forever. TTL forces
+    * `TimeMode.ProcessingTime` (the handle throws
+    * `cannotProvideTTLConfigForTimeMode` otherwise — verified in
+    * TwsTtlSpec), so unlike t21 there are no event-time timers and no
+    * watermark: each batch a user appears in emits one row with the
+    * running totals.
+    *
+    * Determinism contract: counts and distinct-type counts are
+    * fold-order-free, so no per-batch sort is needed. The t24 oracle
+    * holds under single-batch delivery (readEvents' single-file source)
+    * with `ttl` far above any plausible batch duration: nothing expires,
+    * and each user emits exactly one row of whole-corpus totals. Expiry
+    * itself is wall-clock-dependent and is pinned by TwsTtlSpec's
+    * sleep-past-TTL test instead of the oracle (the t13 discipline:
+    * production path in the entry, timing-dependent behavior in a spec).
+    */
+  final class TtlCounterProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, TwsEvent, TwsTtlOut] {
+    @transient private var n: ValueState[Long] = _
+    @transient private var types: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = TTLConfig(ttl)
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, cfg)
+      types = getHandle.getMapState[String, Long]("types", Encoders.STRING,
+        Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[TwsEvent],
+                                 timerValues: TimerValues): Iterator[TwsTtlOut] = {
+      // exists() is the expiry gate: an expired value reads as absent,
+      // so the fold restarts from zero — no explicit expiry handling.
+      var c = if (n.exists()) n.get() else 0L
+      for (e <- rows) {
+        c += 1L
+        types.updateValue(e.event_type,
+          (if (types.containsKey(e.event_type)) types.getValue(e.event_type)
+           else 0L) + 1L)
+      }
+      n.update(c) // update refreshes the value's TTL clock
+      // keys() filters expired entries, and the batch's own updateValue
+      // calls re-armed every type seen this batch — the size is the
+      // distinct-type count since the last expiry
+      Iterator.single(TwsTtlOut(user, c, types.keys().size.toLong))
+    }
+  }
+
+  /** Wire [[TtlCounterProcessor]] over a (possibly streaming) events
+    * DataFrame. `TimeMode.ProcessingTime` is mandatory for TTL state.
+    */
+  def ttlCounter(events: DataFrame,
+                 ttl: java.time.Duration): Dataset[TwsTtlOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    typedEvents(events)
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlCounterProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** One consecutive-pattern match: the purchase (last pattern element)
     * event's id, emitted the moment it arrives.
     */
