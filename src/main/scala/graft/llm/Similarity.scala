@@ -136,6 +136,117 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dot", "_cos")
   }
 
+  /** The norm-augmented corpus view [[mipsIvfQuery]] and [[buildMipsIvf]]
+    * share: `(cid, _cv = [x, sqrt(M²−|x|²)], _cq = x)` over quantized
+    * vectors, M² the corpus max squared norm. Every `_cv` sits on the
+    * radius-M sphere, so cosine against centroids is proportional to the
+    * dot — the cosine-based IVF machinery clusters by DOT direction, which
+    * is exactly what indexed MIPS needs. Zero-norm corpus vectors stay
+    * (their augmented norm is M, nothing is NaN, and their dot 0 ranks
+    * last) — same policy as [[mipsTopK]].
+    */
+  private def mipsAugment(corpus: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    val c0 = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("cid"), quantized(col(vecCol)).as("_cq"))
+    val m2 = c0.agg(max(dot(col("_cq"), col("_cq"))).as("_m2"))
+    c0.crossJoin(broadcast(m2))
+      .select(col("cid"),
+        concat(col("_cq"),
+          array(sqrt(col("_m2") - dot(col("_cq"), col("_cq"))))).as("_cv"),
+        col("_cq"))
+  }
+
+  /** Indexed MIPS (e13): [[mipsTopK]]'s norm-augmentation reduction routed
+    * through the IVF machinery — the e3-vs-e1 split applied to the
+    * inner-product objective. The coarse quantizer is trained over the
+    * AUGMENTED space (where cosine order ≡ dot order per query, see the
+    * [[mipsTopK]] scaladoc), so a probe visits the lists whose direction
+    * best matches the query's; the index stores (cid, _cl) ASSIGNMENTS
+    * ONLY, like [[buildIvf]].
+    */
+  def buildMipsIvf(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): IvfIndex = {
+    val caug = mipsAugment(corpus, idCol, vecCol).select("cid", "_cv")
+    val centroids = trainIvfCentroids(caug, nlist, iters)
+    IvfIndex(centroids,
+      nearestCentroid(caug, "_cv", centroids, 1).select("cid", "_cl"))
+  }
+
+  def mipsIvfIndexPath(dir: String, nlist: Int, iters: Int): String =
+    indexPath(dir, s"mips-ivf|$nlist|$iters")
+
+  /** Persisted [[buildMipsIvf]] with the same stamp/staging/publish
+    * discipline as [[loadOrBuildIvf]]; its own path signature — the
+    * augmented-space lists are NOT interchangeable with e3's cosine-space
+    * index even at identical params.
+    */
+  def loadOrBuildMipsIvf(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, corpus: DataFrame, nlist: Int = 16,
+                         iters: Int = 2, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): IvfIndex = {
+    val path = mipsIvfIndexPath(dir, nlist, iters)
+    val stamp = sourceStamp(spark, dir, corpus)
+    if (!indexFresh(spark, path, stamp))
+      publishIndex(spark, path, stamp) { staging =>
+        saveIvf(buildMipsIvf(corpus, nlist, iters, idCol, vecCol), staging)
+      }
+    loadIvf(spark, path)
+  }
+
+  /** Query a [[buildMipsIvf]] index: augmented queries (`[q, 0]`) probe
+    * the `nprobe` nearest centroids, the assignment scan prunes to those
+    * list partitions, candidates join the base table for exact vectors —
+    * and the FINAL sort key is the exact integer dot with the same
+    * (dot desc, id) tie-break as [[mipsTopK]], never the float cosine
+    * (the e12 scaladoc's dot-tie argument). Approximation lives only in
+    * WHICH lists are probed; everything after the candidate set is
+    * exact. Recall vs the exact e12 baseline asserted in MipsSpec.
+    */
+  def mipsIvfQuery(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+                   k: Int, nprobe: Int = 4, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val caug = mipsAugment(corpus, idCol, vecCol)
+    // zero-norm QUERIES have no defined MIPS ranking — filtered exactly
+    // like mipsTopK (cleanVectors would also re-quantize, hence inline)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), quantized(col(vecCol)).as("_qq"))
+      .filter(dot(col("_qq"), col("_qq")) > 0)
+      .select(col("query_id"), concat(col("_qq"), array(lit(0.0d))).as("_qv"),
+        col("_qq"))
+    val probes = nearestCentroid(q, "_qv", index.centroids, nprobe)
+      .localCheckpoint(true)
+    val labels = probes.select("_cl").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val members = index.lists.filter(col("_cl").isin(labels: _*))
+      .withColumn("_cl", col("_cl").cast("long"))
+      .join(caug, "cid")
+    val cands = broadcast(probes).join(members, "_cl")
+      .filter(col("query_id") =!= col("cid"))
+      .dropDuplicates("query_id", "cid")
+      // dot over the RAW quantized vectors: integer-exact, so ranking
+      // cannot be reordered by the augmented dimension's sqrt noise
+      .withColumn("dot", dot(col("_qq"), col("_cq")).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("cid"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        col("rank"), col("dot"))
+  }
+
+  /** In-memory composite of [[buildMipsIvf]] + [[mipsIvfQuery]] — the
+    * ivfTopK-shaped convenience the recall spec exercises; result-identical
+    * to querying the persisted index (the split changes where the index
+    * lives, not the candidate set or the scoring).
+    */
+  def mipsIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    mipsIvfQuery(buildMipsIvf(corpus, nlist, iters, idCol, vecCol),
+      corpus, queries, k, nprobe, idCol, vecCol)
+
   /** Random-hyperplane (SRP) signature: one bit per plane = sign of the
     * projection onto a deterministic ±1 hyperplane whose components come
     * from xxhash64(plane, dim) parity (no RNG, no ANSI long overflow).

@@ -777,6 +777,24 @@ object PipelineOps {
         .select("query_id", "neighbor_id", "rank")
     },
 
+    // ---- E13: INDEXED MIPS — e12's norm-augmentation routed through the
+    //      persisted IVF machinery (the e3-vs-e1 pattern applied to the
+    //      inner-product objective). Augmented corpus vectors all sit on
+    //      the radius-M sphere, so the cosine coarse quantizer clusters
+    //      by dot direction; candidates come from the nprobe nearest
+    //      lists of the PERSISTED augmented-space index (own path sig —
+    //      not interchangeable with e3's), final ranking is the exact
+    //      integer dot with e12's (dot desc, id) tie-break. Approximate
+    //      list choice => rows-only; recall floor vs the exact e12
+    //      baseline in MipsSpec. ---------------------------------------
+    "e13_mips_ivf" -> Q.rowsOnly { (s, dir) =>
+      val emb = fanOut(s, t(s, dir, "embeddings"))
+      val idx = Similarity.loadOrBuildMipsIvf(s, dir, emb, nlist = 16)
+      Similarity.mipsIvfQuery(idx, emb, emb.filter(col("vec_id") < 10),
+        k = 5, nprobe = 6)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    },
+
     // ---- E5: product-quantization ANN (codebooks + ADC + exact refine;
     //      recall vs E1 in specs). The compressed-index leg: the scan side
     //      of a query batch reads m small codes per vector, not floats. --

@@ -42,4 +42,40 @@ class MipsSpec extends SparkSpec {
       (4L, 0L), (9L, 0L)),
       s"MIPS order must follow the inner product (cosine would put 1 or 3 first): $order")
   }
+
+  test("indexed MIPS (e13) recall against the exact e12 baseline") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.mipsTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.mipsIvfTopK(queries, emb, k = 5,
+      nlist = 16, nprobe = 6)
+    // floor 0.8 under the measured value, the e3-vs-e1 margin
+    // construction: Lloyd float means can wobble a near-tie list
+    // boundary, but a drop below 0.8 at 50 exact pairs is a real
+    // regression, not tie noise
+    val recall = Similarity.recallAtK(approx, exact)
+    info(f"indexed-MIPS recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"indexed MIPS recall $recall%.3f below 0.8")
+    // every surviving query keeps exactly k candidates at nprobe=6 on
+    // this corpus (probed lists hold far more than k members)
+    assert(approx.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5))
+  }
+
+  test("indexed MIPS exactness boundary: full probe coverage == exact e12") {
+    // with nprobe == nlist every list is probed — the candidate set is
+    // the whole corpus and the ranking must be BIT-IDENTICAL to e12's
+    // (same integer sort key, same tie-break): the approximation lives
+    // only in list choice, nothing after it
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.mipsTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id", "rank", "dot")
+    val full = Similarity.mipsIvfTopK(queries, emb, k = 5,
+      nlist = 8, nprobe = 8)
+    assert(full.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(full).count() == 0,
+      "full-probe indexed MIPS must equal the exact e12 ranking")
+  }
 }
