@@ -13,6 +13,83 @@ object TextStats {
   /** Whitespace tokens. */
   def words(textCol: Column): Column = split(textCol, " ")
 
+  /** Segmentation-boundary separator for [[bpeTrain]] — U+001F (unit
+    * separator), a control char that never appears in natural text;
+    * words carrying it are dropped on BOTH engines so symbol boundaries
+    * are unambiguous.
+    */
+  val BpeSep = "\u001f"
+  private val BpeSep2 = BpeSep + BpeSep
+
+  /** Iterative BPE merge training (x16b) — the loop x16 only counts the
+    * first round of: `rounds` iterations of (weighted pair count → argmax
+    * merge selection → corpus-wide re-segmentation), returning the merge
+    * table `(round, l_sym, r_sym, cnt)`. The fixed-round contract of the
+    * g1/g4b discipline: the caller picks `rounds`, the DuckDB oracle
+    * replays exactly that many unrolled rounds, and every round's state
+    * is `localCheckpoint`ed so round r's lineage is one job, not r
+    * replays of the whole history.
+    *
+    * Scale shape: after the first aggregation everything runs over the
+    * DISTINCT-WORD vocabulary with occurrence weights (the classic BPE
+    * optimization) — corpus size stops mattering after one scan; each
+    * round is a vocab-bounded explode + one map-side-combinable groupBy
+    * + a 1-row driver collect (the argmax IS the loop decision, the
+    * g4b-style bounded driver read, not a data collect).
+    *
+    * Greedy-merge exactness: a word's segmentation is one string with
+    * DOUBLE-separator boundaries (`␟␟c1␟␟c2␟␟`). Merging pair (l, r) is
+    * ONE literal `replace(seg, ␟l␟␟r␟ → ␟lr␟)`: the pattern spends only
+    * the INNER separator of each boundary, so (a) a symbol merely
+    * ending in `l` / starting with `r` can't false-match (the outer
+    * separator is still required), and (b) abutting occurrences
+    * (`[l,r,l,r]`) each keep an unconsumed separator for the next match
+    * — `replace`'s leftmost-non-overlapping scan IS the BPE greedy
+    * left-to-right merge, bit-identically on Spark and DuckDB (both
+    * pinned in BpeSpec: `bbb + (b,b) → [bb, b]`, `abab → [abab]` after
+    * two rounds).
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int,
+               textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = docs.sparkSession
+    val wc = docs.select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var segs = wc.select(col("n"),
+      concat(lit(BpeSep2),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          BpeSep2),
+        lit(BpeSep2)).as("seg"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = segs
+        .select(col("n"), expr(
+          s"slice(split(seg, '$BpeSep2'), 2, size(split(seg, '$BpeSep2')) - 2)")
+          .as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), " +
+            "i -> struct(element_at(ss, i) AS l_sym, element_at(ss, i + 1) AS r_sym))"))
+          .as("p"))
+        .groupBy("p.l_sym", "p.r_sym").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l_sym"), col("r_sym"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE round $r: vocabulary fully merged, no pairs remain")
+      val (l, rr, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, l, rr, cnt))
+      segs = segs.withColumn("seg",
+        replace(col("seg"), lit(BpeSep + l + BpeSep2 + rr + BpeSep),
+          lit(BpeSep + l + rr + BpeSep)))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "l_sym", "r_sym", "cnt")
+  }
+
   /** Stopword-marker profiles per language. Tiny on purpose: language ID
     * here is the classic top-stopword n-gram heuristic, and the marker
     * lists are the model. Extend per corpus.

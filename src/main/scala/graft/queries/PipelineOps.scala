@@ -179,6 +179,47 @@ object PipelineOps {
        |SELECT doc_id, CASE WHEN b > 0 THEN l ELSE 'und' END AS pred_lang FROM b4""".stripMargin
   }
 
+  /** Unrolled-round DuckDB oracle for x16b ([[TextStats.bpeTrain]]):
+    * round r = pair counts over round r−1's segmentations (weighted by
+    * word occurrence count) → 1-row argmax CTE → one literal `replace`
+    * re-segmentation — the same double-separator greedy-merge encoding
+    * as the Spark side (`chr(31)` = U+001F), so every round's merge and
+    * count replay bit-for-bit.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sep2 = "chr(31) || chr(31)"
+    val head =
+      s"""WITH w0 AS (SELECT u.t AS w FROM documents,
+         |            unnest(string_split(text, ' ')) AS u(t)
+         |            WHERE length(u.t) >= 2
+         |              AND u.t NOT LIKE '%' || chr(31) || '%'),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0 GROUP BY w),
+         |s0 AS (SELECT w, n,
+         |        $sep2 || string_agg(substring(w, u.i, 1), $sep2 ORDER BY u.i)
+         |              || $sep2 AS seg
+         |       FROM wc, unnest(generate_series(1, length(w))) AS u(i)
+         |       GROUP BY w, n)""".stripMargin
+    val roundsCte = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""q$r AS (SELECT n, string_split(seg, chr(31) || chr(31)) AS ss FROM $prev),
+         |p$r AS (SELECT ss[u.i] AS l_sym, ss[u.i + 1] AS r_sym,
+         |         CAST(sum(n) AS BIGINT) AS cnt
+         |        FROM q$r, unnest(generate_series(2, len(ss) - 2)) AS u(i)
+         |        GROUP BY 1, 2),
+         |m$r AS (SELECT l_sym, r_sym, cnt FROM p$r
+         |        ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
+         |s$r AS (SELECT w, n,
+         |         replace(seg,
+         |           chr(31) || l_sym || chr(31) || chr(31) || r_sym || chr(31),
+         |           chr(31) || l_sym || r_sym || chr(31)) AS seg
+         |        FROM $prev, m$r)""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS round, l_sym, r_sym, cnt FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"$head,\n$roundsCte\n$tail"
+  }
+
   val entries: Map[String, Q] = Map(
 
     // ---- D1: exact dedup (hash-groupBy); input doubled so real duplicate
@@ -998,6 +1039,21 @@ object PipelineOps {
         .groupBy("l_sym", "r_sym").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_sym"), col("r_sym"))
         .limit(50)
+    },
+
+    // ---- X16b: ITERATIVE BPE merge training — the loop x16 only counts
+    //      the first round of: 5 rounds of (weighted pair count → argmax
+    //      merge → corpus-wide greedy re-segmentation), fixed-round
+    //      contract with the oracle replaying all 5 unrolled rounds (the
+    //      g1/g4b discipline). Greedy left-to-right merging is ONE
+    //      literal replace() over a double-separator segmentation string
+    //      on BOTH engines — leftmost-non-overlapping replace IS the BPE
+    //      merge scan (TextStats.bpeTrain scaladoc has the boundary
+    //      argument; BpeSpec pins the overlap and abutting-chain cases).
+    //      All integer counts + string symbols, total (cnt, l, r) argmax
+    //      order => hash-exact. --------------------------------------
+    "x16b_bpe_train" -> Q(bpeOracleSql(5)) { (s, dir) =>
+      TextStats.bpeTrain(docs(s, dir), rounds = 5)
     },
 
     // ---- X17: self-trained BIGRAM log-perplexity — the second-order
