@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed by partition-batched decode /
   * feature-extract stages.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libs): `decodeStub` produces deterministic fake features derived from
-  * the bytes. Everything around it — the schema, the binary column, the
-  * batched `mapPartitions` stage shape, the size-aware repartitioning —
-  * is the real Spark-side design: at 100 TB the decode stage is the
+  * Two decode legs run REAL codecs with nothing beyond the JDK: images
+  * via `javax.imageio` (PNG/JPEG/BMP/GIF) and audio via
+  * `javax.sound.sampled` (WAV/PCM/AIFF/AU). `decodeStub` remains as the
+  * stage template for formats whose codecs this container lacks (video):
+  * deterministic fake features derived from the bytes, with everything
+  * around it — the schema, the binary column, the batched
+  * `mapPartitions` stage shape, the size-aware repartitioning — being
+  * the real Spark-side design: at 100 TB the decode stage is the
   * expensive part, so records are batched per partition (amortizing
   * per-batch model/codec setup, the Scala analog of `mapInPandas`) and
   * partitions are sized by media bytes, not row count.
@@ -273,6 +276,202 @@ object Multimodal {
     */
   def pairsFromFingerprints(fingerprints: DataFrame, maxDist: Int): DataFrame =
     Dedup.hammingPairs(fingerprints, maxDist, bits = 64, "media_id")
+
+  // --------------------------------------------------------------------
+  // REAL audio decode — the JDK's javax.sound.sampled reads WAV/PCM
+  // (and AIFF/AU) with no native codecs, so this leg of m1 runs actual
+  // bytes→samples in this sandbox, replacing the WAV stub. Same batched
+  // mapPartitions stage shape as the image leg.
+  // --------------------------------------------------------------------
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 channels: Int, n_samples: Long, peak: Int,
+                                 rms_milli: Long)
+
+  /** THE safe audio decode — [[readImage]]'s contract for sound: parse
+    * the container, CONVERT whatever PCM variant it holds to signed
+    * 16-bit little-endian at the native rate/channels, return the
+    * interleaved samples; None for undecodable bytes (NonFatal, not just
+    * UnsupportedAudioFileException — hostile headers surface as
+    * ArrayIndexOutOfBounds and friends from inside the WAV parser).
+    */
+  private def readPcm(data: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Short])] = {
+    import javax.sound.sampled._
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val f0 = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+          f0.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some((pcm.getFormat, samples))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode one payload into summary features. Integer sample units
+    * end-to-end: peak = max |sample|, rms_milli = round(1000·√(Σs²/n))
+    * — the sum of squares is an exact Long, so the value is independent
+    * of partitioning and decode batch order.
+    */
+  def decodeAudio(data: Array[Byte]): Option[AudioFeatures] =
+    readPcm(data).map { case (fmt, samples) =>
+      var sumSq = 0L
+      var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toInt
+        if (math.abs(v) > peak) peak = math.abs(v)
+        sumSq += v.toLong * v
+        i += 1
+      }
+      val rms =
+        if (samples.isEmpty) 0.0
+        else math.sqrt(sumSq.toDouble / samples.length)
+      AudioFeatures(0L, fmt.getSampleRate.toInt, fmt.getChannels,
+        samples.length.toLong, peak, math.round(rms * 1000))
+    }
+
+  /** Audio twin of [[extractImageFeatures]]: per-partition batched
+    * decode, undecodable rows dropped.
+    */
+  def extractAudioFeatures(media: DataFrame,
+                           targetPartitions: Int = 0): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        decodeAudio(data).map(_.copy(media_id = id))
+      })
+  }
+
+  /** Deterministic synthetic tone: `nSamples` of a `freqHz` sine at
+    * `amplitude` (of full scale), 16-bit mono PCM wrapped in a real WAV
+    * container by `AudioSystem.write`. The audio-media generator for
+    * the m5 entry and the specs — the testdata ships no audio, so the
+    * corpus is rendered ON THE EXECUTORS, which also makes the decode
+    * stage's input real WAV bytes end-to-end (the
+    * [[syntheticPatternPng]] pattern).
+    */
+  def syntheticToneWav(freqHz: Double, nSamples: Int, sampleRate: Int,
+                       amplitude: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (amplitude * 32767.0 *
+        math.sin(2 * math.Pi * freqHz * i / sampleRate)).round.toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+      fmt, nSamples.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  /** Resample one WAV payload to `targetRate` by per-channel linear
+    * interpolation over the decoded samples, re-encoded as 16-bit PCM
+    * WAV. Hand-rolled interpolation because the JDK converts PCM
+    * ENCODINGS, not sample rates (no rate-conversion service provider
+    * ships with it); linear is deterministic and integer-in/integer-out.
+    * None for undecodable or empty payloads.
+    */
+  def resampleWav(data: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+    import javax.sound.sampled._
+    readPcm(data).flatMap { case (fmt, samples) =>
+      val ch = fmt.getChannels
+      val srcRate = fmt.getSampleRate.toDouble
+      val nFrames = samples.length / ch
+      if (nFrames == 0) None
+      else {
+        val outFrames =
+          math.max(1, math.round(nFrames * targetRate / srcRate).toInt)
+        val out = new Array[Byte](outFrames * ch * 2)
+        var f = 0
+        while (f < outFrames) {
+          val pos = f * srcRate / targetRate
+          val i0 = math.min(nFrames - 1, pos.toInt)
+          val i1 = math.min(nFrames - 1, i0 + 1)
+          val frac = pos - i0
+          var c = 0
+          while (c < ch) {
+            val v = math.round(samples(i0 * ch + c) * (1 - frac) +
+              samples(i1 * ch + c) * frac).toInt
+            val idx = (f * ch + c) * 2
+            out(idx) = (v & 0xFF).toByte
+            out(idx + 1) = ((v >> 8) & 0xFF).toByte
+            c += 1
+          }
+          f += 1
+        }
+        val ofmt = new AudioFormat(targetRate.toFloat, 16, ch, true, false)
+        val ais = new AudioInputStream(new java.io.ByteArrayInputStream(out),
+          ofmt, outFrames.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+        Some(buf.toByteArray)
+      }
+    }
+  }
+
+  /** Audio twin of [[resizeImages]]: resample every payload to
+    * `targetRate` in the same batched stage shape, media frame out.
+    * Undecodable payloads pass through UNCHANGED (a transform stage must
+    * not drop or kill on corrupt records; a downstream decode counts
+    * them).
+    */
+  def resampleAudio(media: DataFrame, targetRate: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("data"), col("meta.source"))
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, mime, data, source) =>
+        val (outMime, outData) = resampleWav(data, targetRate)
+          .map(("audio/wav", _)).getOrElse((mime, data))
+        (id, outMime, outData, outData.length.toLong, source)
+      })
+      .toDF("media_id", "mime", "data", "n_bytes", "source")
+      .select(col("media_id"), col("mime"), col("data"),
+        struct(col("n_bytes"), col("source")).as("meta"))
+  }
+
+  /** Executor-rendered tone corpus keyed off the documents table (the
+    * audio analog of the m4 PNG corpus): frequency and amplitude are
+    * deterministic functions of doc_id, so every feature row the m5
+    * entry emits is reproducible.
+    */
+  def audioFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val data = syntheticToneWav(freqHz = 200.0 + (id % 20) * 55.0,
+          nSamples = 2000, sampleRate = 8000,
+          amplitude = 0.2 + (id % 5) * 0.15)
+        (id, "audio/wav", data, data.length.toLong, "synth")
+      })
+      .toDF("media_id", "mime", "data", "n_bytes", "source")
+      .select(col("media_id"), col("mime"), col("data"),
+        struct(col("n_bytes"), col("source")).as("meta"))
+  }
 
   /** Real resize: scale so the longer edge is ≤ `maxDim` (never
     * upscales), re-encode as PNG. Returns the media frame shape — id,

@@ -1627,6 +1627,22 @@ object PipelineOps {
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
     },
 
+    // ---- M5: REAL audio decode (javax.sound.sampled) -------------------
+    //      The audio leg of m1 with the stub replaced: an executor-
+    //      rendered WAV tone corpus (frequency/amplitude deterministic
+    //      functions of doc_id) decoded bytes→samples in the batched
+    //      mapPartitions stage; integer sample units (peak, milli-RMS
+    //      from an exact Long sum of squares) keep every row
+    //      reproducible. No SQL engine parses WAV ⇒ rows-only, with the
+    //      decode kernel pinned against ground truth (exact sample
+    //      counts, RMS of a known sine = amp/√2, corrupt-payload drop,
+    //      resample-preserves-RMS) in MultimodalAudioSpec. -------------
+    "m5_audio_features" -> Q.rowsOnly { (s, dir) =>
+      Multimodal.extractAudioFeatures(
+        Multimodal.audioFromDocs(docs(s, dir)), targetPartitions = 8)
+        .toDF()
+    },
+
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
     "t2_stream_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
