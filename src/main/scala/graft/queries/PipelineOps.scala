@@ -188,13 +188,19 @@ object PipelineOps {
     */
   private def bpeOracleSql(rounds: Int): String = {
     val sep2 = "chr(31) || chr(31)"
+    // AS MATERIALIZED on every round state: each round references the
+    // previous one TWICE (pair counting + re-segmentation), so the
+    // materialization is load-bearing — inlining would replay 2^rounds
+    // copies of the lineage. Also the DialectParitySpec skip signal: the
+    // honest Spark form of an iterative computation is the checkpointed
+    // driver loop the entry already is (the g4b rationale verbatim).
     val head =
       s"""WITH w0 AS (SELECT u.t AS w FROM documents,
          |            unnest(string_split(text, ' ')) AS u(t)
          |            WHERE length(u.t) >= 2
          |              AND u.t NOT LIKE '%' || chr(31) || '%'),
          |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0 GROUP BY w),
-         |s0 AS (SELECT w, n,
+         |s0 AS MATERIALIZED (SELECT w, n,
          |        $sep2 || string_agg(substring(w, u.i, 1), $sep2 ORDER BY u.i)
          |              || $sep2 AS seg
          |       FROM wc, unnest(generate_series(1, length(w))) AS u(i)
@@ -206,9 +212,9 @@ object PipelineOps {
          |         CAST(sum(n) AS BIGINT) AS cnt
          |        FROM q$r, unnest(generate_series(2, len(ss) - 2)) AS u(i)
          |        GROUP BY 1, 2),
-         |m$r AS (SELECT l_sym, r_sym, cnt FROM p$r
+         |m$r AS MATERIALIZED (SELECT l_sym, r_sym, cnt FROM p$r
          |        ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
-         |s$r AS (SELECT w, n,
+         |s$r AS MATERIALIZED (SELECT w, n,
          |         replace(seg,
          |           chr(31) || l_sym || chr(31) || chr(31) || r_sym || chr(31),
          |           chr(31) || l_sym || r_sym || chr(31)) AS seg

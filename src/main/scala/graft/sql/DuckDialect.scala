@@ -32,14 +32,122 @@ package graft.sql
   * rewritten). This is deliberately NOT a SQL parser: constructs with no
   * Spark structural equivalent (ASOF JOIN, IN-subquery in a SELECT list,
   * named-window refinement, `xs[2:]` slicing) pass through untranslated
-  * and surface Spark's own error — callers needing those shapes get a
-  * hand-written equivalent instead (see the `Q.ansi` twins).
+  * — callers needing those shapes get a hand-written equivalent instead
+  * (see the `Q.ansi` twins). [[diagnose]] detects the named ones and
+  * [[translateStrict]] raises a one-line "needs a hand twin" error for
+  * them up front, instead of letting Spark's parser produce a
+  * construct-free error downstream.
   *
   * Every rule is verified end-to-end by DialectParitySpec, which pushes
   * the repo's whole DuckDB oracle corpus through this translator and
   * requires row-exact agreement with the operator results.
   */
 object DuckDialect {
+
+  /** One named untranslatable construct found by [[diagnose]]. */
+  final case class Diagnosis(construct: String, snippet: String) {
+    def message: String =
+      s"DuckDB construct $construct has no Spark structural equivalent " +
+        s"(at: `$snippet`) — write a hand Spark twin for this query " +
+        "(the Q.ansi discipline)"
+  }
+
+  /** Raised by [[translateStrict]]: the query uses constructs no
+    * mechanical rewrite can carry to Spark, each named with its
+    * offending snippet — a one-line "needs a hand twin" answer instead
+    * of the Spark parser/analyzer error the untranslated passthrough
+    * would eventually hit.
+    */
+  final class UntranslatableSqlException(val diagnoses: Seq[Diagnosis])
+    extends IllegalArgumentException(diagnoses.map(_.message).mkString("; "))
+
+  /** Detect the NAMED untranslatable constructs — the ones [[translate]]
+    * deliberately passes through (scaladoc above): ASOF JOIN,
+    * `struct_pack` struct construction (Spark's named_struct twin needs
+    * hand field mapping), open-ended `xs[i:]`/`xs[:j]` slices, and a
+    * QUALIFY the subquery-wrap rewrite cannot own (top level of the
+    * whole statement). Quote-aware like every rewrite; empty result =
+    * [[translate]]'s output is expected to run (or the gap is a genuine
+    * unknown, which the parity gate would surface as incompatible-set
+    * drift).
+    */
+  def diagnose(sql: String): Seq[Diagnosis] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Diagnosis]
+    def snippetAt(i: Int): String = {
+      val from = math.max(0, i - 10)
+      sql.substring(from, math.min(sql.length, i + 30)).replaceAll("\\s+", " ")
+    }
+    val asof = findTopWord(sql, "ASOF")
+    if (asof >= 0 &&
+        sql.substring(asof + 4).trim.toUpperCase.matches("(?s)(LEFT\\s+)?JOIN\\b.*"))
+      out += Diagnosis("ASOF JOIN", snippetAt(asof))
+    val sp = findTopWord(sql, "STRUCT_PACK")
+    if (sp >= 0) out += Diagnosis("struct_pack(...)", snippetAt(sp))
+    // open-ended slices: an INDEXED bracket whose top-level ':' has an
+    // empty bound — exactly the case rebaseIndexing leaves untouched
+    var i = 0; var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '[' && i > 0 &&
+          (isIdentChar(sql.charAt(i - 1)) || sql.charAt(i - 1) == ')')) {
+        var depth = 1; var j = i + 1; var q = false; var colon = false
+        while (j < sql.length && depth > 0) {
+          val cj = sql.charAt(j)
+          if (q) { if (cj == '\'') q = false }
+          else cj match {
+            case '\'' => q = true
+            case '[' => depth += 1
+            case ']' => depth -= 1
+            case ':' if depth == 1 => colon = true
+            case _ =>
+          }
+          j += 1
+        }
+        if (depth == 0 && colon) {
+          val openEnded = splitTopLevelChar(sql.substring(i + 1, j - 1), ':')
+            .exists { case (lo, hi) => lo.trim.isEmpty || hi.trim.isEmpty }
+          if (openEnded)
+            out += Diagnosis("open-ended slice `xs[i:]`/`xs[:j]`", snippetAt(i))
+        }
+        i = j - 1
+      }
+      i += 1
+    }
+    val q = findTopWord(sql, "QUALIFY")
+    if (q >= 0) {
+      // owned by no '(': the subquery-wrap rewrite has nothing to wrap
+      var depth = 0; var inQ2 = false; var owned = false
+      (0 until q).foreach { k =>
+        val c = sql.charAt(k)
+        if (inQ2) { if (c == '\'') inQ2 = false }
+        else c match {
+          case '\'' => inQ2 = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+      }
+      owned = depth > 0
+      if (!owned)
+        out += Diagnosis("top-level QUALIFY", snippetAt(q))
+    }
+    out.toSeq
+  }
+
+  /** [[translate]] with the untranslatable gate in front: throws
+    * [[UntranslatableSqlException]] naming every detected construct
+    * instead of handing Spark a query that will die in its parser with
+    * a construct-free error. [[translate]] itself stays TOTAL — the
+    * parity gate pushes the full oracle corpus through it and pins the
+    * residual incompatibles by name.
+    */
+  def translateStrict(sql: String): String = {
+    val d = diagnose(sql)
+    if (d.nonEmpty) throw new UntranslatableSqlException(d)
+    translate(sql)
+  }
 
   def translate(sql: String): String = {
     var s = sql

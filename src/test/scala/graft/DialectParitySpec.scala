@@ -46,7 +46,12 @@ class DialectParitySpec extends SparkSpec {
     // the scan; the Spark-native form is the checkpointed DataFrame loop
     // each entry already is (ops/KCore, ops/Bfs, ops/Sssp)
     "g4b_kcore_converge", "g6_bfs_distances",
-    "g7_sssp_relax", "g7b_sssp_converge")
+    "g7_sssp_relax", "g7b_sssp_converge",
+    // r8: same MATERIALIZED rationale — each BPE round references the
+    // previous one twice (pair count + re-segmentation), 2^rounds
+    // inlining without the hint; the Spark-native form is
+    // TextStats.bpeTrain's checkpointed driver loop
+    "x16b_bpe_train")
 
   /** check.py's canon: columns sorted by name, every value stringified
     * (floats that are whole print as ints), rows sorted — so "equal"

@@ -100,4 +100,60 @@ class DuckDialectSpec extends AnyFunSuite {
     assert(tr("SELECT * FROM read_parquet('/tmp/x/*.parquet')") ==
       "SELECT * FROM parquet.`/tmp/x/*.parquet`")
   }
+
+  // ---- diagnosis mode (r8): named untranslatables raise a one-line
+  // "needs a hand twin" answer from translateStrict instead of Spark's
+  // construct-free parser error; translate itself stays total ----------
+
+  private def constructs(s: String) =
+    DuckDialect.diagnose(s).map(_.construct)
+
+  test("diagnose: ASOF JOIN") {
+    assert(constructs("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts")
+      === Seq("ASOF JOIN"))
+    assert(constructs("SELECT * FROM a ASOF LEFT JOIN b ON a.ts >= b.ts")
+      === Seq("ASOF JOIN"))
+    // a column named asof is not the construct; a literal is not either
+    assert(constructs("SELECT asof FROM t WHERE x = 'ASOF JOIN'").isEmpty)
+  }
+
+  test("diagnose: struct_pack") {
+    assert(constructs("SELECT struct_pack(a := 1, b := x) FROM t")
+      === Seq("struct_pack(...)"))
+  }
+
+  test("diagnose: open-ended slices, never closed ones") {
+    assert(constructs("SELECT w[2:] FROM t")
+      === Seq("open-ended slice `xs[i:]`/`xs[:j]`"))
+    assert(constructs("SELECT w[:5] FROM t")
+      === Seq("open-ended slice `xs[i:]`/`xs[:j]`"))
+    assert(constructs("SELECT w[2:5] FROM t").isEmpty)
+    assert(constructs("SELECT ws[i], cs[i:i+7] FROM t").isEmpty)
+    // a ':' inside a literal inside the bracket is not a slice bound
+    assert(constructs("SELECT m['a:b'] FROM t").isEmpty)
+  }
+
+  test("diagnose: top-level QUALIFY (unwrappable), not subquery QUALIFY") {
+    assert(constructs("SELECT a, row_number() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 5")
+      === Seq("top-level QUALIFY"))
+    // the subquery form rewrites fine — no diagnosis
+    assert(constructs(
+      "WITH x AS (SELECT a, row_number() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 5) SELECT * FROM x")
+      .isEmpty)
+  }
+
+  test("translateStrict throws naming every construct; translate stays total") {
+    val bad = "SELECT struct_pack(a := w[2:]) FROM t ASOF JOIN u ON t.ts >= u.ts"
+    val e = intercept[DuckDialect.UntranslatableSqlException] {
+      DuckDialect.translateStrict(bad)
+    }
+    assert(e.diagnoses.map(_.construct).toSet ===
+      Set("ASOF JOIN", "struct_pack(...)", "open-ended slice `xs[i:]`/`xs[:j]`"))
+    assert(e.getMessage.contains("hand Spark twin"))
+    // the total form still returns a string for the same input
+    assert(DuckDialect.translate(bad).nonEmpty)
+    // and the strict form translates clean queries identically
+    val ok = "SELECT string_split(t, ' ')[1] FROM d"
+    assert(DuckDialect.translateStrict(ok) === DuckDialect.translate(ok))
+  }
 }
