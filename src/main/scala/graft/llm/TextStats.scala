@@ -90,6 +90,42 @@ object TextStats {
     merges.result().toDF("round", "l_sym", "r_sym", "cnt")
   }
 
+  /** Apply a learned merge table to the corpus — the ENCODE half of the
+    * tokenizer (x16c): every word occurrence is segmented to chars and
+    * the merges applied in learned order, each as one literal `replace`
+    * over the same double-separator encoding [[bpeTrain]] uses. One
+    * greedy pass per merge is EXACT canonical BPE encoding: a merged
+    * symbol `lr` equals neither `l` nor `r`, so a pass never creates a
+    * new occurrence of its own pattern, and a later merge's symbol
+    * cannot equal an earlier pattern's side (that side existed before
+    * the later merge was learnable). Pure scan path — explode, chained
+    * scalar replaces, one map-side-combinable groupBy; the merge table
+    * rides into the plan as literals, never a join.
+    *
+    * Returns (idCol, n_tokens_bpe, n_tokens_char): post-merge token
+    * count vs the character-token baseline — the compression the merge
+    * table buys, per document.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val seg0 = concat(lit(BpeSep2),
+      array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        BpeSep2),
+      lit(BpeSep2))
+    val applied = merges.foldLeft(seg0) { case (acc, (l, r)) =>
+      replace(acc, lit(BpeSep + l + BpeSep2 + r + BpeSep),
+        lit(BpeSep + l + r + BpeSep))
+    }
+    docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains(BpeSep))
+      .select(col(idCol),
+        (size(split(applied, BpeSep2)) - 2).cast("long").as("_nt"),
+        length(col("w")).cast("long").as("_nc"))
+      .groupBy(idCol)
+      .agg(sum("_nt").as("n_tokens_bpe"), sum("_nc").as("n_tokens_char"))
+  }
+
   /** Stopword-marker profiles per language. Tiny on purpose: language ID
     * here is the classic top-stopword n-gram heuristic, and the marker
     * lists are the model. Extend per corpus.

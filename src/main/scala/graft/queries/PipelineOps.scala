@@ -187,6 +187,56 @@ object PipelineOps {
     * count replay bit-for-bit.
     */
   private def bpeOracleSql(rounds: Int): String = {
+    val tail = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS round, l_sym, r_sym, cnt FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"${bpeCtes(rounds)}\n$tail"
+  }
+
+  /** x16c oracle: the same training CTE chain, then the corpus is
+    * ENCODED — every word occurrence segmented to chars and the learned
+    * merges applied as nested replace()s in round order (one greedy pass
+    * per merge suffices: a merged symbol `lr` can equal neither `l` nor
+    * `r`, so a pass never creates new occurrences of its own pattern,
+    * and a later merge's symbol cannot equal an earlier pattern's side —
+    * that side existed before the later merge was learnable). Identical
+    * words segment identically, so the doc×word GROUP BY carries an
+    * occurrence count instead of replaying per occurrence.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val sep2 = "chr(31) || chr(31)"
+    val applied = (1 to rounds).foldLeft("seg") { (acc, r) =>
+      s"""replace($acc,
+         |  chr(31) || t$r.l_sym || chr(31) || chr(31) || t$r.r_sym || chr(31),
+         |  chr(31) || t$r.l_sym || t$r.r_sym || chr(31))""".stripMargin
+    }
+    val mergeFrom = (1 to rounds).map(r => s"m$r AS t$r").mkString(", ")
+    // composed by plain concatenation: running stripMargin over the
+    // already-stripped bpeCtes text would eat one pipe of every
+    // line-leading `||` continuation (the double-stripMargin trap)
+    val encodeTail =
+      s"""enc0 AS (SELECT d.doc_id, u.t AS w FROM documents d,
+         |          unnest(string_split(d.text, ' ')) AS u(t)
+         |          WHERE length(u.t) >= 1
+         |            AND u.t NOT LIKE '%' || chr(31) || '%'),
+         |encw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+         |         FROM enc0 GROUP BY 1, 2),
+         |encseg AS MATERIALIZED (SELECT doc_id, w, k,
+         |          $sep2 || string_agg(substring(w, u.i, 1), $sep2 ORDER BY u.i)
+         |                || $sep2 AS seg
+         |         FROM encw, unnest(generate_series(1, length(w))) AS u(i)
+         |         GROUP BY doc_id, w, k),
+         |encm AS (SELECT doc_id, w, k, $applied AS seg
+         |         FROM encseg, $mergeFrom)
+         |SELECT doc_id,
+         |  CAST(sum(k * (len(string_split(seg, $sep2)) - 2)) AS BIGINT)
+         |    AS n_tokens_bpe,
+         |  CAST(sum(k * length(w)) AS BIGINT) AS n_tokens_char
+         |FROM encm GROUP BY doc_id""".stripMargin
+    s"${bpeCtes(rounds)},\n$encodeTail"
+  }
+
+  private def bpeCtes(rounds: Int): String = {
     val sep2 = "chr(31) || chr(31)"
     // AS MATERIALIZED on every round state: each round references the
     // previous one TWICE (pair counting + re-segmentation), so the
@@ -220,10 +270,7 @@ object PipelineOps {
          |           chr(31) || l_sym || r_sym || chr(31)) AS seg
          |        FROM $prev, m$r)""".stripMargin
     }.mkString(",\n")
-    val tail = (1 to rounds).map { r =>
-      s"SELECT CAST($r AS INTEGER) AS round, l_sym, r_sym, cnt FROM m$r"
-    }.mkString("\nUNION ALL ")
-    s"$head,\n$roundsCte\n$tail"
+    s"$head,\n$roundsCte"
   }
 
   val entries: Map[String, Q] = Map(
@@ -1060,6 +1107,21 @@ object PipelineOps {
     //      order => hash-exact. --------------------------------------
     "x16b_bpe_train" -> Q(bpeOracleSql(5)) { (s, dir) =>
       TextStats.bpeTrain(docs(s, dir), rounds = 5)
+    },
+
+    // ---- X16c: BPE ENCODE — the apply half of the tokenizer: train the
+    //      5-round merge table (x16b), then segment every word occurrence
+    //      and apply the merges in learned order as chained literal
+    //      replaces (one greedy pass per merge IS canonical BPE encoding
+    //      — argument in TextStats.bpeEncode scaladoc). Output: per-doc
+    //      post-merge token count vs the char baseline. The oracle
+    //      replays training AND encoding in one statement; integer
+    //      counts => hash-exact. ---------------------------------------
+    "x16c_bpe_encode" -> Q(bpeEncodeOracleSql(5)) { (s, dir) =>
+      val merges = TextStats.bpeTrain(docs(s, dir), rounds = 5)
+        .orderBy("round").select("l_sym", "r_sym").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      TextStats.bpeEncode(docs(s, dir), merges)
     },
 
     // ---- X17: self-trained BIGRAM log-perplexity — the second-order

@@ -50,8 +50,9 @@ class DialectParitySpec extends SparkSpec {
     // r8: same MATERIALIZED rationale — each BPE round references the
     // previous one twice (pair count + re-segmentation), 2^rounds
     // inlining without the hint; the Spark-native form is
-    // TextStats.bpeTrain's checkpointed driver loop
-    "x16b_bpe_train")
+    // TextStats.bpeTrain's checkpointed driver loop (x16c replays the
+    // same training chain before encoding)
+    "x16b_bpe_train", "x16c_bpe_encode")
 
   /** check.py's canon: columns sorted by name, every value stringified
     * (floats that are whole print as ints), rows sorted — so "equal"

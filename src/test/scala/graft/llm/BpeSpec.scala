@@ -68,4 +68,105 @@ class BpeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no pairs remain"))
   }
+
+  // ---- reference-implementation property check ------------------------
+  // An independent in-memory BPE (symbol LISTS, explicit greedy scan —
+  // no string encoding anywhere) run over random small-alphabet corpora.
+  // Small alphabets maximize overlap/abutting/chain collisions, exactly
+  // the cases where a broken separator encoding would diverge.
+
+  private def referenceBpe(words: Seq[String], rounds: Int): List[(Int, String, String, Long)] = {
+    val wc = words.filter(_.length >= 2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    var segs: Map[Vector[String], Long] =
+      wc.map { case (w, n) => w.map(_.toString).toVector -> n }
+    val out = List.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.isEmpty) return out.result() // caller aligns rounds
+      val ((l, rr), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      out += ((r, l, rr, cnt))
+      segs = segs.groupMapReduce { case (syms, _) =>
+        // greedy left-to-right non-overlapping merge of (l, rr)
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+            b += l + rr; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        b.result()
+      }(_._2)(_ + _)
+    }
+    out.result()
+  }
+
+  test("encode: merges apply in learned order, one token per merged symbol") {
+    // merges from the train test's corpus: (a,b), (ab,ab), (ab,c)
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("ab", "c"))
+    val docs = Seq((1L, "abab abc a"), (2L, "ba x")).toDF("doc_id", "text")
+    val got = TextStats.bpeEncode(docs, merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // doc 1: abab → [abab] (m1 then m2), abc → [abc] (m1 then m3), a → [a]
+    //        = 3 bpe tokens, 8 char tokens
+    // doc 2: ba → [b, a] (no pattern), x → [x] = 3 bpe, 3 char —
+    //        single-char words count (encode has no len >= 2 filter)
+    assert(got === List((1L, 3L, 8L), (2L, 3L, 3L)), s"encode: $got")
+  }
+
+  private def referenceEncode(words: Seq[String],
+                              merges: Seq[(String, String)]): (Long, Long) = {
+    var nBpe = 0L; var nChar = 0L
+    for (w <- words if w.nonEmpty) {
+      var syms = w.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += l + r; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      nBpe += syms.length; nChar += w.length
+    }
+    (nBpe, nChar)
+  }
+
+  test("property: replace-encoding BPE == reference list-based BPE on random corpora") {
+    import org.scalacheck.Gen
+    val word = Gen.chooseNum(2, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word))
+    // Spark round-trips dominate cost: a modest number of seeds, each a
+    // dense collision-rich corpus, beats hundreds of trivial ones
+    val seeds = org.scalacheck.rng.Seed(20260815L)
+    var seed = seeds
+    (1 to 8).foreach { k =>
+      val words = corpus.apply(Gen.Parameters.default, seed).get
+      seed = seed.next
+      val expected = referenceBpe(words, rounds = 3)
+      if (expected.size == 3) { // skip corpora that exhaust early
+        val docs = Seq((k.toLong, words.mkString(" "))).toDF("doc_id", "text")
+        val got = TextStats.bpeTrain(docs, rounds = 3)
+          .as[(Int, String, String, Long)].collect().sortBy(_._1).toList
+        assert(got === expected,
+          s"divergence on corpus #$k ${words.mkString(" ")}: got $got, reference $expected")
+        // ...and the ENCODE side against the reference list encoder on
+        // the same corpus + learned merges (small alphabets again make
+        // chained/overlapping merge applications the common case)
+        val merges = expected.map(m => (m._2, m._3))
+        val encGot = TextStats.bpeEncode(docs, merges)
+          .as[(Long, Long, Long)].collect().toList
+        val (refBpe, refChar) = referenceEncode(words, merges)
+        assert(encGot === List((k.toLong, refBpe, refChar)),
+          s"encode divergence on corpus #$k ${words.mkString(" ")}: " +
+            s"got $encGot, reference ($refBpe, $refChar)")
+      }
+    }
+  }
 }
