@@ -67,13 +67,94 @@ object Components {
     } finally sym.unpersist()
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * HIGH-DIAMETER scale path: converges in O(log n) alternations
+    * regardless of graph shape, where [[connectedComponents]]'s
+    * min-label propagation needs O(diameter) rounds (fine for dedup
+    * clusters, ruinous for chain-shaped graphs — k-NN chains, citation
+    * threads, linked crawls). Same output contract: (id, component),
+    * component = min reachable id.
+    *
+    *   - large-star: every node u computes m = min(N(u) ∪ {u}) and
+    *     re-points its STRICTLY LARGER neighbors at m;
+    *   - small-star: edges orient (big → small), every node re-points
+    *     its smaller-or-equal neighborhood (and itself) at its min.
+    *
+    * Both steps are a map-side-combinable groupBy(min) + one equi-join
+    * back to the edge list — no per-node neighbor collection, so a hub's
+    * neighborhood never materializes in a single task (the skew story at
+    * 100 TB: fan-out is bounded by the edge list itself). Each
+    * alternation cuts lineage (localCheckpoint); convergence = edge set
+    * fixpoint (count + exceptAll — exact, not probabilistic). At the
+    * fixpoint the relation is a star forest: one (member → root) edge
+    * per non-root node.
+    */
+  def connectedComponentsBigStar(edges: DataFrame, maxIter: Int = 25,
+                                 id1: String = "id1",
+                                 id2: String = "id2"): DataFrame = {
+    var rel = edges.select(col(id1).as("u"), col(id2).as("v"))
+      .union(edges.select(col(id2).as("u"), col(id1).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = rel.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric closure of rel
+      val sym = rel.select(col("u"), col("v"))
+        .union(rel.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val lMins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(lMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over (big → small) oriented edges
+      val o = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val sMins = o.groupBy("u").agg(min(col("v")).as("m"))
+      val small = o.join(sMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // exact fixpoint test: equal counts + empty difference ⇒ equal sets
+      // (both sides are distinct)
+      converged = small.count() == rel.count() &&
+        small.exceptAll(rel).isEmpty
+      rel = small
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsBigStar did not converge in $maxIter alternations")
+    // star forest: (member → root) per non-root; roots label themselves
+    rel.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(rel.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
   /** Dedup clusters from near-dup pairs: survivor = min id per component,
     * one row per component with its member list (the distributed analog of
     * find_duplicates.py's merge groups).
     */
   def dedupClusters(edges: DataFrame, id1: String = "id1",
                     id2: String = "id2"): DataFrame =
-    connectedComponents(edges, id1 = id1, id2 = id2)
+    clusters(connectedComponents(edges, id1 = id1, id2 = id2))
+
+  /** [[dedupClusters]] through the [[connectedComponentsBigStar]] scale
+    * path — identical output by construction (shared oracle in d7b).
+    */
+  def dedupClustersBigStar(edges: DataFrame, id1: String = "id1",
+                           id2: String = "id2"): DataFrame =
+    clusters(connectedComponentsBigStar(edges, id1 = id1, id2 = id2))
+
+  private def clusters(labels: DataFrame): DataFrame =
+    labels
       .groupBy("component")
       .agg(sort_array(collect_list(col("id"))).as("members"),
         count(lit(1)).as("n_members"))

@@ -273,6 +273,33 @@ object PipelineOps {
     s"$head,\n$roundsCte"
   }
 
+  /** d7/d7b shared oracle: DuckDB recursive CTE over the SAME jaccard
+    * pair graph — component = min reachable id, members CSV-serialized.
+    */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |e AS (SELECT id1, id2 FROM p JOIN n n1 ON n1.doc_id = id1
+      |      JOIN n n2 ON n2.doc_id = id2
+      |      WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6),
+      |sym AS (SELECT id1 AS src, id2 AS dst FROM e
+      |        UNION SELECT id2, id1 FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
+      |cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+      |SELECT component AS survivor,
+      |       array_to_string(list_sort(list(id)), ',') AS members,
+      |       count(*) AS n_members
+      |FROM cc GROUP BY component""".stripMargin
+
   val entries: Map[String, Q] = Map(
 
     // ---- D1: exact dedup (hash-groupBy); input doubled so real duplicate
@@ -309,33 +336,28 @@ object PipelineOps {
     // ---- D7: connected components over the near-dup pair graph — the
     //      pairs→clusters step (distributed min-label propagation; oracle
     //      = DuckDB recursive CTE over the SAME jaccard pair graph) ------
-    "d7_dedup_components" -> Q(
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
-        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |e AS (SELECT id1, id2 FROM p JOIN n n1 ON n1.doc_id = id1
-        |      JOIN n n2 ON n2.doc_id = id2
-        |      WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6),
-        |sym AS (SELECT id1 AS src, id2 AS dst FROM e
-        |        UNION SELECT id2, id1 FROM e),
-        |reach(id, lbl) AS (
-        |  SELECT src, src FROM sym
-        |  UNION
-        |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id),
-        |cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
-        |SELECT component AS survivor,
-        |       array_to_string(list_sort(list(id)), ',') AS members,
-        |       count(*) AS n_members
-        |FROM cc GROUP BY component""".stripMargin) { (s, dir) =>
+    "d7_dedup_components" -> Q(componentsOracleSql) { (s, dir) =>
       // members serialized to a CSV string: the driver's comparator sorts
       // raw pandas values and cannot order array cells (r2 harness error);
       // the element order is already deterministic (sort_array/list_sort).
       Components.dedupClusters(
+        Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.6)
+          .select("id1", "id2"))
+        .select(col("survivor"),
+          array_join(transform(col("members"), _.cast("string")), ",").as("members"),
+          col("n_members"))
+    },
+
+    // ---- D7b: the HIGH-DIAMETER scale path for the same pairs→clusters
+    //      step — alternating large-star/small-star (Kiveris et al.):
+    //      O(log n) alternations regardless of graph shape where d7's
+    //      min-label propagation is O(diameter); both steps are a
+    //      map-side-combinable groupBy(min) + one equi-join, no per-node
+    //      neighbor collection (hub neighborhoods never materialize in
+    //      one task). Shares d7's oracle VERBATIM — identical clusters
+    //      by construction, the twin discipline. -----------------------
+    "d7b_components_bigstar" -> Q(componentsOracleSql) { (s, dir) =>
+      Components.dedupClustersBigStar(
         Dedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.6)
           .select("id1", "id2"))
         .select(col("survivor"),

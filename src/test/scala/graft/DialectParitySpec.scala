@@ -38,8 +38,9 @@ class DialectParitySpec extends SparkSpec {
   private val expectedIncompatible: Set[String] = Set(
     // recursive CTE with UNION (dedup) — Spark 4 supports only UNION ALL
     // in recursion, and connected-components needs the dedup to converge
-    // on a cyclic graph; the Spark-native form is ops/Components
-    "d7_dedup_components", "d9_dedup_select",
+    // on a cyclic graph; the Spark-native form is ops/Components (d7b
+    // shares d7's oracle verbatim, so it pins with it)
+    "d7_dedup_components", "d7b_components_bigstar", "d9_dedup_select",
     // unrolled iterative oracles whose rounds reference the previous
     // round 2-3 times under AS MATERIALIZED — Spark has no CTE
     // materialization hint, so any SQL form inlines 3^rounds copies of

@@ -33,4 +33,51 @@ class ComponentsSpec extends SparkSpec {
       Components.connectedComponents(edges, maxIter = 2)
     }
   }
+
+  // ---- large-star/small-star scale path (d7b) -------------------------
+
+  test("bigstar: deep chain converges in O(log n) alternations, all to min") {
+    // a 300-node path — min-label propagation would need ~300 rounds;
+    // the alternating algorithm must land it well inside 25 (expected
+    // ~log2(300) ≈ 9). Ids deliberately DESCEND along the chain so the
+    // min sits at the far end (the adversarial orientation).
+    val n = 300L
+    val edges = (1L until n).map(i => (n - i + 1, n - i)).toDF("id1", "id2")
+    val got = Components.connectedComponentsBigStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n.toInt)
+    assert(got.values.toSet == Set(1L), s"all ${n} chain nodes reach min 1")
+  }
+
+  test("bigstar == min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 6).foreach { k =>
+      // a mix of shapes: sparse random edges over a small id space makes
+      // multi-component graphs with chains, cycles, and hubs
+      val nNodes = 30 + rnd.nextInt(40)
+      val nEdges = 20 + rnd.nextInt(50)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id1", "id2")
+        val viaLabels = Components.connectedComponents(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaStar = Components.connectedComponentsBigStar(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaStar === viaLabels, s"divergence on random graph #$k ($edges)")
+      }
+    }
+  }
+
+  test("bigstar: self-loops and duplicate edges are harmless; empty graph is empty") {
+    val edges = Seq((7L, 7L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("id1", "id2")
+    val got = Components.connectedComponentsBigStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pure self-loop node contributes no real edge and vanishes with
+    // it (matching the d7 oracle, which only labels nodes of real edges)
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Components.connectedComponentsBigStar(empty).isEmpty)
+  }
 }
