@@ -1869,11 +1869,16 @@ object PipelineOps {
     //      gap ([ts, ts+gap) windows), hence the >= oracle where t5's
     //      hand-rolled state uses >. -------------------------------------
     "t11_session_window" -> Q(
+      // r8 recalibration: the split is STRICT (ts - prev > gap) — a
+      // crafted probe (DynamicSessionSpec) measured that an event landing
+      // exactly at prev + gap MERGES (adjacent [start, end) sessions
+      // join). The corpus never samples the exact µs boundary, so the
+      // old >= form was green but wrong on any data that does.
       """WITH e AS (SELECT user_id, ts,
         |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |           FROM events),
         |m AS (SELECT user_id, ts,
-        |       CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |       CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
         |            THEN 1 ELSE 0 END AS new_s FROM e),
         |s AS (SELECT user_id,
         |       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
@@ -1883,6 +1888,44 @@ object PipelineOps {
         |FROM c GROUP BY user_id""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n").as("longest_session"))
+    },
+
+    // ---- T11b: DYNAMIC-GAP session windows — the per-event-gap form of
+    //      t11 (a purchase keeps its session alive 60 min, everything
+    //      else 15): an event merges into the running session iff it
+    //      starts AT OR before the RUNNING MAX of previous events'
+    //      (ts + own gap) — MEASURED in DynamicSessionSpec: adjacent
+    //      sessions (event exactly at the running end) MERGE, one µs
+    //      past splits, so the oracle split is STRICT (ts > prev_end).
+    //      The oracle replays it as an islands condense over a
+    //      running-max window; same-timestamp peers always co-session
+    //      (their intervals share a start), so the ROWS frame's peer
+    //      order cannot change any count. ---------------------------
+    "t11b_session_dynamic_gap" -> Q(
+      """WITH e AS (SELECT user_id, ts,
+        |            max(ts + CASE WHEN event_type = 'purchase'
+        |                          THEN INTERVAL 60 MINUTE
+        |                          ELSE INTERVAL 15 MINUTE END)
+        |              OVER (PARTITION BY user_id ORDER BY ts
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              AS prev_end
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |       CASE WHEN prev_end IS NULL OR ts > prev_end
+        |            THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id,
+        |       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |c AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session
+        |FROM c GROUP BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("15 minutes")))
         .agg(count(lit(1)).as("n"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), max("n").as("longest_session"))
