@@ -1931,6 +1931,39 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_sessions"), max("n").as("longest_session"))
     },
 
+    // ---- T26 (stateful streaming): native session_window ON A STREAM —
+    //      the streaming form of t11 (same 30-min static gap, SAME
+    //      recalibrated oracle): watermarked events group into merging
+    //      session state (MergingSessionsExec), drained in COMPLETE mode
+    //      — the load-bearing calibration: UPDATE is REJECTED for
+    //      session-window streaming aggregations (measured:
+    //      STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — merged
+    //      sessions can't be keyed as updates), and APPEND emits only
+    //      watermark-CLOSED sessions (none, on a single batch). -------
+    "t26_stream_session_window" -> Q(
+      """WITH e AS (SELECT user_id, ts,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |           FROM events),
+        |m AS (SELECT user_id, ts,
+        |       CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |            THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id,
+        |       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |c AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session
+        |FROM c GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val sessions = EventStream.readEvents(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      EventStream.runToMemory(sessions.drop("session_window"),
+        s"t26_sessions_${streamSeq.incrementAndGet()}", mode = "complete")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n").as("longest_session"))
+    },
+
     // ---- T12 (stateful streaming): near-dup detection ON INGEST --------
     //      MinHash-LSH as a stream: per-row signatures + banding run
     //      stateless on arriving documents; each (band, hash) bucket
