@@ -1192,6 +1192,40 @@ object Extras {
       HeavyHitters.confirm(items, sketch)
     },
 
+    // ---- A23: MERGEABLE distinct-count sketches — the persist-partials /
+    //      union-later warehouse pattern a15's one-shot
+    //      approx_count_distinct can't express: per-type HLL sketches
+    //      (DataSketches, binary column) are built ONCE, then merged with
+    //      hll_union_agg into the whole-corpus estimate — at 100 TB the
+    //      per-partition/per-day sketches persist and a rollup touches
+    //      kilobytes, never the fact table. Register updates are
+    //      max-based, so a sketch is a pure function of its input SET
+    //      (partitioning/order-independent) and the merged rollup is
+    //      deterministic. No SQL engine shares the sketch format ⇒
+    //      rows-only; SketchSpec pins merged == direct equality and the
+    //      error bound vs exact. ---------------------------------------
+    "a23_hll_mergeable" -> Q.rowsOnly { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .localCheckpoint(true) // sketches built once, reused twice below
+      val per = perType.select(col("event_type"),
+        hll_sketch_estimate(col("sk")).as("est_users"), col("exact_users"))
+      val merged = perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .crossJoin(broadcast(
+          ev.agg(count_distinct(col("user_id")).as("exact_users"))))
+        .select(lit("ALL_merged").as("event_type"),
+          col("est_users"), col("exact_users"))
+      val direct = ev
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_users"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .select(lit("ALL_direct").as("event_type"),
+          col("est_users"), col("exact_users"))
+      per.unionByName(merged).unionByName(direct)
+    },
+
     // ---- A20: grouped OLS regression (price-on-quantity slope/intercept
     //      per return flag) — the a16 exact-integer-moments machinery
     //      driving a second statistical output family: decimal(38) sums,
