@@ -2145,6 +2145,38 @@ object Extras {
           count(when(col("_m").isNull, 1)).as("n_missing_null"))
     },
 
+    // ---- F23: COLLATED equality (Spark 4 collations) — case-insensitive
+    //      join/group as a first-class COLLATION instead of lower()
+    //      normalization: the join key carries UTF8_LCASE, Catalyst plans
+    //      it as an ordinary equi-join (plan-asserted in CollationSpec —
+    //      no BNL, no normalization wrapper the user must remember at
+    //      every callsite), and at 100 TB the collation travels with the
+    //      column while a forgotten lower() silently drops rows. Mixed
+    //      case is constructed deterministically (even keys UPPER, odd
+    //      lower); output keys are the lowercase dim values, so the
+    //      result is representative-free. Oracle replays the SEMANTICS
+    //      via lower() equality — engines' collation machinery differs,
+    //      the answers must not. ---------------------------------------
+    "f23_collated_join" -> Q(
+      """WITH c AS (SELECT c_custkey,
+        |            CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |                 ELSE lower(c_mktsegment) END AS seg FROM customer),
+        |d AS (SELECT DISTINCT lower(c_mktsegment) AS segment FROM customer)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n
+        |FROM c JOIN d ON lower(c.seg) = d.segment
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val mixed = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))).as("seg"))
+      val dim = cust.select(lower(col("c_mktsegment")).as("segment")).distinct()
+      mixed.join(dim,
+        collate(col("seg"), "UTF8_LCASE") ===
+          collate(col("segment"), "UTF8_LCASE"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- F18: semi-structured JSON extraction (events.props) -----------
     "f18_json_extract" -> Q(
       """SELECT user_id,
