@@ -2092,6 +2092,39 @@ object Extras {
     //      Spark requires materializing before filtering on only the
     //      corrupt column — hence the cache(). The oracle replays the
     //      planted corruption from the parquet original. ----------------
+    // ---- S22: single-pass pipeline metrics via the Observation API ----
+    //      Production observability: row counts / quality tallies /
+    //      exact cents totals collected DURING the pass that does the
+    //      real work (here: a filtered projection written to parquet) —
+    //      at 100 TB a metrics-by-second-scan doubles the read bill,
+    //      and a sampled metric lies; observe() rides the existing scan
+    //      for free. The observed values are exact integer aggregates,
+    //      so the 1-row result hash-checks against a plain SQL replay.
+    //      ObservationSpec asserts the single-scan property on the plan.
+    "s22_observed_metrics" -> Q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT) AS n_big,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_discount > 0.02""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation(
+        s"s22_${java.util.UUID.randomUUID().toString.take(8)}")
+      val work = t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.02)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_quantity") > 25, 1)).as("n_big"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      // the real consumer: one pass to parquet; metrics ride along
+      val out = java.nio.file.Files.createTempDirectory("graft_s22_").toString
+      work.write.mode("overwrite").parquet(out)
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("n_big").asInstanceOf[Long],
+        m("cents").asInstanceOf[Long]))
+        .toDF("n_rows", "n_big", "cents")
+    },
+
     "s21_csv_malformed" -> Q(
       """WITH t AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS cents
         |           FROM orders)
