@@ -126,6 +126,23 @@ object TextStats {
       .agg(sum("_nt").as("n_tokens_bpe"), sum("_nc").as("n_tokens_char"))
   }
 
+  /** Unicode NFC normalization of a string column (x25) — the
+    * canonical-composition pass that must run BEFORE any hashing/dedup:
+    * decomposed and composed forms of the same text are byte-different.
+    * Uses the native codegen [[graft.functions.NfcNormalize]] when
+    * [[graft.plans.GraftExtensions]] is installed; falls back to an
+    * equivalent UDF otherwise (bit-identical output — java.text.Normalizer
+    * either way; parity asserted in NfcSpec).
+    */
+  def nfcNormalize(c: Column): Column =
+    if (graft.plans.GraftExtensions.isInstalled("graft_nfc"))
+      call_function("graft_nfc", c)
+    else nfcUdf(c)
+
+  private lazy val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** Stopword-marker profiles per language. Tiny on purpose: language ID
     * here is the classic top-stopword n-gram heuristic, and the marker
     * lists are the model. Extend per corpus.

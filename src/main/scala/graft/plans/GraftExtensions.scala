@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomContains, DotProduct, KGramFold31}
+import graft.functions.{BloomContains, DotProduct, KGramFold31, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => BloomContains(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     // free necessary-condition guard for levenshtein thresholds (see rule)
     ext.injectOptimizerRule(_ => new LevenshteinPrefilter)
   }

@@ -1386,6 +1386,34 @@ object PipelineOps {
         length(norm).as("n_chars_norm"))
     },
 
+    // ---- X25: Unicode NFC normalization — the canonical-composition
+    //      pass that must run BEFORE hashing/dedup (x10 lowercases and
+    //      collapses whitespace; it cannot merge a decomposed e+U+0301
+    //      with a composed U+00E9, which hash differently while
+    //      rendering identically). The corpus is ASCII, so the entry
+    //      CONSTRUCTS the decomposed form in-query (every 'e' gains a
+    //      combining acute) and normalizes it back — the oracle builds
+    //      the identical string and replays through DuckDB's
+    //      nfc_normalize; per-doc code-point lengths before/after prove
+    //      every pair composed (n_decomp − n_nfc = #e). Runs the native
+    //      codegen graft_nfc Expression on the gate session (UDF
+    //      fallback parity in NfcSpec). NOTE: DuckDB length() = code
+    //      points (strlen is BYTES — wrong here). --------------------
+    "x25_nfc_normalize" -> Q(
+      """WITH d AS (SELECT doc_id,
+        |            regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec
+        |           FROM documents)
+        |SELECT doc_id, CAST(length(dec) AS BIGINT) AS n_decomp,
+        |       CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_nfc
+        |FROM d""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "e\u0301").as("dec"))
+        .select(col("doc_id"),
+          length(col("dec")).cast("long").as("n_decomp"),
+          length(TextStats.nfcNormalize(col("dec"))).cast("long").as("n_nfc"))
+    },
+
     // ---- X5: Gopher-style repetition signals — scalar array math only,
     //      no explode/shuffle; the per-doc filters any quality pipeline
     //      applies before training (dup-ngram and top-word fractions) ----
