@@ -39,7 +39,25 @@ object AsofJoin {
     */
   def apply(left: DataFrame, right: DataFrame, key: String,
             leftTime: String, rightTime: String,
-            rightCols: Seq[String]): DataFrame = {
+            rightCols: Seq[String]): DataFrame =
+    impl(left, right, key, leftTime, rightTime, rightCols, backward = true)
+
+  /** FORWARD as-of: the single right row with the SMALLEST right time ≥
+    * the left time, per key (next-scheduled-event enrichment — the
+    * mirror contract of [[apply]], DuckDB ASOF `<=` semantics). Same
+    * one-shuffle window shape, mirrored: the frame looks FORWARD and
+    * `first` picks the nearest following right payload; left rows sort
+    * before right rows at equal timestamps so t_left == t_right still
+    * matches inclusively.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              rightCols: Seq[String]): DataFrame =
+    impl(left, right, key, leftTime, rightTime, rightCols, backward = false)
+
+  private def impl(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   rightCols: Seq[String], backward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!(leftCols ++ rightCols).exists(Set("_t", "_isLeft", "_rpay")),
       "column names _t, _isLeft and _rpay are reserved by AsofJoin")
@@ -68,12 +86,22 @@ object AsofJoin {
       .withColumns(leftCols.filterNot(_ == key).map(c =>
         c -> lit(null).cast(left.schema(c).dataType)).toMap)
 
-    // right-before-left at equal _t makes the as-of bound inclusive
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_isLeft"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right-BEFORE-left at equal _t + a backward frame + last();
+    // forward: left-before-right at equal _t + a forward frame + first() —
+    // either way the equal-timestamp right row is inside the frame, so
+    // the as-of bound is inclusive in both directions
+    val w =
+      if (backward)
+        Window.partitionBy(key).orderBy(col("_t"), col("_isLeft"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(key).orderBy(col("_t"), col("_isLeft").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pick =
+      if (backward) last(when(!col("_isLeft"), col("_rpay")), ignoreNulls = true)
+      else first(when(!col("_isLeft"), col("_rpay")), ignoreNulls = true)
     l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumn("_rpay",
-        last(when(!col("_isLeft"), col("_rpay")), ignoreNulls = true).over(w))
+      .withColumn("_rpay", pick.over(w))
       .filter(col("_isLeft"))
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"_rpay.$c").as(c)): _*)
   }

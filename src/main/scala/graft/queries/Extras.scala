@@ -492,6 +492,38 @@ object Extras {
         .select("event_id", "user_id", "last_orderkey")
     },
 
+    // ---- J19: FORWARD as-of join (next order at or after each event,
+    //      per customer) — the mirror contract of j9 through the same
+    //      one-shuffle tagged-union window, frame looking FORWARD;
+    //      DuckDB's ASOF handles the <= direction natively, the ansi
+    //      twin flips the LATERAL's ordering ------------------------
+    "j19_asof_forward" -> Q(
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |            o_orderdate::timestamp + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts2
+        |           FROM orders)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.ts2""".stripMargin,
+      ansi = """WITH o AS (SELECT o_custkey, o_orderkey,
+        |            timestampadd(SECOND, o_orderkey % 86400,
+        |                         CAST(o_orderdate AS TIMESTAMP)) AS ts2
+        |           FROM orders)
+        |SELECT e.event_id, e.user_id, l.o_orderkey AS next_orderkey
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o.o_orderkey FROM o
+        |  WHERE o.o_custkey = e.user_id AND o.ts2 >= e.ts
+        |  ORDER BY o.ts2 ASC, o.o_orderkey ASC LIMIT 1) l""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"),
+        col("o_orderkey").as("next_orderkey"),
+        expr("cast(o_orderdate as timestamp) + make_dt_interval(0, 0, 0, o_orderkey % 86400)")
+          .as("ts2"))
+      graft.operators.AsofJoin.forward(ev, ord, "user_id", "ts", "ts2",
+          Seq("next_orderkey"))
+        .select("event_id", "user_id", "next_orderkey")
+    },
+
     // ---- J10: range join (events inside 2-hour windows opened by each
     //      signup) — binned equi-join, not a nested loop -----------------
     "j10_range_join" -> Q(

@@ -87,4 +87,49 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.count() === 1)
     assert(out.head().getDouble(4) === 1.5)
   }
+
+  test("forward: picks the earliest right row at or after each left time") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 11:30:00"), 200.0)
+    ).toDF("key", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "a"),  // next at 11 → 110
+      (1L, ts("2024-01-01 11:00:00"), "b"),  // exactly 11 → inclusive → 110
+      (1L, ts("2024-01-01 12:30:00"), "c"),  // after every quote → null
+      (2L, ts("2024-01-01 10:00:00"), "d"),  // → 200
+      (3L, ts("2024-01-01 12:00:00"), "e")   // key with no quotes → null
+    ).toDF("key", "tts", "trade")
+    val out = AsofJoin.forward(trades, quotes, "key", "tts", "qts", Seq("price"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out === Map(
+      "a" -> Some(110.0), "b" -> Some(110.0), "c" -> None,
+      "d" -> Some(200.0), "e" -> None))
+  }
+
+  test("forward is backward's mirror: equal results under time negation") {
+    val rnd = new scala.util.Random(7L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = (1 to 60).map(i =>
+      (rnd.nextInt(4).toLong, new Timestamp(base + rnd.nextInt(86400) * 1000L), i))
+      .toDF("key", "t", "id")
+    // right times UNIQUE per key by construction (i·97 s strides): the
+    // tie-winner among equal right timestamps is unspecified, which
+    // would make the mirror comparison flaky, not wrong
+    val right = (1 to 40).map(i =>
+      (i % 4L, new Timestamp(base + (i * 97 + 13) * 1000L), i * 10))
+      .toDF("key", "rt", "v")
+    // forward(t) == backward(-t): negate both time axes (seconds around a
+    // pivot keep timestamp type) and compare payload picks row-for-row
+    import org.apache.spark.sql.functions._
+    def neg(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, timestamp_seconds(lit(3000000000L) - unix_timestamp(col(c))))
+    val fwd = AsofJoin.forward(left, right, "key", "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    val mirrored = AsofJoin(neg(left, "t"), neg(right, "rt"), "key", "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(fwd === mirrored, "forward must equal backward on the negated time axis")
+  }
 }
