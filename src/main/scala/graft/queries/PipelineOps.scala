@@ -273,6 +273,19 @@ object PipelineOps {
     s"$head,\n$roundsCte"
   }
 
+  /** d10/t28 shared oracle: exact shingle-overlap counts of every train
+    * doc vs the benchmark subset — the Bloom is a pure reduction (exact
+    * confirm join behind it), so batch and streaming forms share it.
+    */
+  private val bloomDecontOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 0),
+      |t AS (SELECT doc_id, s FROM sh WHERE doc_id % 40 <> 0)
+      |SELECT doc_id, count(*) AS n_overlap, count(*) >= 3 AS contaminated
+      |FROM t JOIN b USING (s) GROUP BY doc_id""".stripMargin
+
   /** d7/d7b shared oracle: DuckDB recursive CTE over the SAME jaccard
     * pair graph — component = min reachable id, members CSV-serialized.
     */
@@ -387,14 +400,7 @@ object PipelineOps {
     //      but only might-match shingles reach the shuffle. The scale path
     //      for d6 once the benchmark side outgrows a broadcast. Different
     //      split/threshold than d6 so the two entries verify independently.
-    "d10_bloom_decontaminate" -> Q(
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
-        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 0),
-        |t AS (SELECT doc_id, s FROM sh WHERE doc_id % 40 <> 0)
-        |SELECT doc_id, count(*) AS n_overlap, count(*) >= 3 AS contaminated
-        |FROM t JOIN b USING (s) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    "d10_bloom_decontaminate" -> Q(bloomDecontOracleSql) { (s, dir) =>
       // fan out the train side only, AFTER its filter — fanning the bench
       // side would shuffle the whole text column to feed a 2.5% slice
       val raw = t(s, dir, "documents")
@@ -1990,6 +1996,27 @@ object PipelineOps {
         s"t26_sessions_${streamSeq.incrementAndGet()}", mode = "complete")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), max("n").as("longest_session"))
+    },
+
+    // ---- T28 (stateful streaming): benchmark decontamination ON INGEST -
+    //      d10's Bloom-prefiltered exact decontamination with the TRAIN
+    //      side arriving as a stream — the production shape: quarantine
+    //      contaminated documents BEFORE they land in the corpus. The
+    //      benchmark side stays batch (Bloom built once on the driver,
+    //      probe ships as a codegen binary literal); the stream runs the
+    //      probe filter + exact confirm join STATELESS (stream-static),
+    //      and the only stateful operator is the per-doc overlap count,
+    //      drained complete. Same pipeline code (Dedup.contaminationBloom
+    //      is source-agnostic), same oracle as d10 verbatim. -----------
+    "t28_stream_decontaminate" -> Q(bloomDecontOracleSql) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val raw = t(ss, dir, "documents")
+      val trainStream = EventStream.readDocuments(ss, dir)
+        .where(col("doc_id") % 40 =!= 0)
+      val out = Dedup.contaminationBloom(trainStream,
+        raw.where(col("doc_id") % 40 === 0), n = 3, minOverlap = 3)
+      EventStream.runToMemory(out,
+        s"t28_decont_${streamSeq.incrementAndGet()}", mode = "complete")
     },
 
     // ---- T12 (stateful streaming): near-dup detection ON INGEST --------

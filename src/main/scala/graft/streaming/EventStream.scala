@@ -66,6 +66,16 @@ object EventStream {
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}"))
 
+  /** Streaming source over the documents parquet — the [[readEvents]]
+    * shape for the text corpus (no timestamp column, so no ns/µs
+    * restoration applies). Feeds the ingest-time decontamination entry
+    * (t28).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(graft.Tables.physicalSchema(spark, dir, "documents"))
+      .option("basePath", dir)
+      .parquet(s"$dir/{documents.parquet}")
+
   /** Force a deterministic FileStreamSource processing order over
     * locally-written epoch directories: the source orders files by
     * modification time with unstable tie-breaking, and back-to-back
