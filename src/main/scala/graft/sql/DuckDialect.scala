@@ -228,6 +228,17 @@ object DuckDialect {
         s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)})"
       else s"regexp_replace(${args.mkString(", ")})"
     }
+    // DuckDB chr(n) is the Unicode code point; Spark's chr is mod-256
+    // ASCII (chr(769) = chr(1), not the combining acute) — fold
+    // constant BMP code points into a \uXXXX string literal, which
+    // Spark's parser unescapes
+    s = rewriteCalls(s, "chr") { args =>
+      args match {
+        case Seq(n) if n.matches("\\d+") && n.toInt >= 32 && n.toInt <= 0xFFFF =>
+          f"'\\u${n.toInt}%04X'"
+        case _ => s"chr(${args.mkString(", ")})"
+      }
+    }
     // DuckDB range(a, b) is end-EXCLUSIVE; Spark sequence is inclusive
     s = rewriteCalls(s, "range") { args =>
       if (args.size == 2) s"sequence(${args(0)}, (${args(1)}) - 1)"
@@ -244,7 +255,12 @@ object DuckDialect {
       "json_extract_string" -> "get_json_object",
       "json_extract" -> "get_json_object", "epoch_us" -> "unix_micros",
       "epoch_ms" -> "unix_millis", "epoch" -> "unix_seconds",
-      "list" -> "collect_list", "unnest" -> "explode"
+      "list" -> "collect_list", "unnest" -> "explode",
+      // DuckDB's NFC normalizer → the graft_nfc native expression the
+      // GraftExtensions session registers (NfcNormalize.scala); the
+      // translated form needs a Sessions/GraftExtensions session, which
+      // the parity gate and Verify both run on
+      "nfc_normalize" -> "graft_nfc"
     ).foreach { case (from, to) => s = renameFn(s, from, to) }
     s = rewriteQualify(s)
     // ---- token-level forms ----
