@@ -444,6 +444,37 @@ object TextStats {
     when(text.isNull || length(text) < k || numWin < 1, lit(0L)).otherwise(acc)
   }
 
+  /** URL provenance extraction + per-domain rollup (x24): pull every
+    * URL out of the text with one regexp pass, resolve each to its host
+    * via Spark's native `parse_url` (codegen'd, port- and
+    * userinfo-aware — a hand regexp would re-derive RFC 3986 corner
+    * cases), drop blocklisted domains with a broadcast anti-join, and
+    * aggregate documents/urls per domain. This is the first pass of a
+    * C4/RefinedWeb-style provenance filter: at corpus scale the domain
+    * histogram is what the blocklist is CURATED from, so the rollup and
+    * the filter have to ride the same scan. Scale shape: one projection
+    * + explode (no shuffle until the final groupBy on `domain`, whose
+    * cardinality is domains — tiny), blocklist broadcast.
+    */
+  def urlDomains(docs: DataFrame, blocklist: Seq[String],
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val urlRe = "https?://[A-Za-z0-9._~:/?#\\[\\]@!$&'()*+,;=%-]+"
+    val urls = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(urlRe), lit(0)))
+          .as("url"))
+      .select(col(idCol), parse_url(col("url"), lit("HOST")).as("domain"))
+    val blocked = blocklist.toDF("domain")
+    urls
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col(idCol)).as("n_docs"))
+  }
+
   val winnowFingerprint: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, k: Int, window: Int) =>
       if (text == null || text.length < k) 0L

@@ -1470,6 +1470,49 @@ object PipelineOps {
       TextStats.piiScrub(injected)
     },
 
+    // ---- X24: URL provenance extraction + per-domain rollup — the
+    //      C4/RefinedWeb domain-filter pass. The corpus has no URLs
+    //      (probed), so each doc gains two deterministic ones (an https
+    //      path URL and an http host:port query URL); both engines build
+    //      the identical string, extract with the same regex, resolve
+    //      hosts (Spark: native parse_url; DuckDB: anchored regexp —
+    //      both stop before :port), drop the blocklisted domain, and
+    //      roll up urls + distinct docs per domain. ---------------------
+    "x24_url_domains" -> Q(
+      """WITH d AS (SELECT doc_id,
+        |  text || ' see https://' ||
+        |  list_extract(['news.example.com','blog.example.org','docs.example.net',
+        |                'www.spam.example','cdn.example.io'],
+        |               CAST(doc_id % 5 + 1 AS INT)) ||
+        |  '/p/' || doc_id || ' and http://' ||
+        |  list_extract(['mirror.example.com','api.example.org','files.example.net'],
+        |               CAST(doc_id % 3 + 1 AS INT)) ||
+        |  ':8080/q?id=' || doc_id AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |        regexp_extract(x, '^https?://([^/:?#]+)', 1) AS domain
+        |      FROM (SELECT doc_id,
+        |              unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.:/?=_-]+')) AS x
+        |            FROM d))
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u WHERE domain NOT IN ('www.spam.example')
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val five = array(Seq("news.example.com", "blog.example.org",
+        "docs.example.net", "www.spam.example", "cdn.example.io").map(lit): _*)
+      val three = array(Seq("mirror.example.com", "api.example.org",
+        "files.example.net").map(lit): _*)
+      val injected = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://"),
+          element_at(five, (col("doc_id") % 5 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string"),
+          lit(" and http://"),
+          element_at(three, (col("doc_id") % 3 + 1).cast("int")),
+          lit(":8080/q?id="), col("doc_id").cast("string")).as("text"))
+      TextStats.urlDomains(injected, Seq("www.spam.example"))
+    },
+
     // ---- X7: deterministic stratified sampling (data mixing): exactly
     //      min(k, |stratum|) docs per source, membership a pure function
     //      of doc_id — reproducible across runs/engines/partitionings ----
