@@ -1069,6 +1069,38 @@ object Extras {
           col("new_parts"), sum(col("new_parts")).over(w).as("cum_parts"))
     },
 
+    // ---- W14: time-weighted average (TWAP) — each observation holds
+    //      until the user's next event, so its weight is the gap to that
+    //      event, NOT 1/n (the plain mean over-weights burst periods and
+    //      under-weights long steady ones). Weights are exact integer
+    //      microseconds × exact integer cents; the only float op is one
+    //      final identical division of two < 2^53 integers, so both
+    //      engines round identically. Deterministic tie order (ts,
+    //      event_id); each user's last event carries no interval. -------
+    "w14_time_weighted_avg" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |x AS (SELECT user_id, cents,
+        |       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |      FROM e)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dt) AS BIGINT) AS dt_us_total,
+        |  round(sum(cents * dt) * 1.0 / sum(dt), 6) AS twap_cents
+        |FROM x WHERE dt IS NOT NULL GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("dt_us_total"),
+          round(sum(col("cents") * col("dt")) * 1.0 / sum(col("dt")), 6)
+            .as("twap_cents"))
+    },
+
     // ---- W9: event-time RANGE frame — trailing 1-hour sum/count per
     //      user, bounded by TIME not row position (w5's ROWS frames can't
     //      express "last hour"). Ordered on floor-seconds so both engines
