@@ -2062,6 +2062,28 @@ object PipelineOps {
         s"t28_decont_${streamSeq.incrementAndGet()}", mode = "complete")
     },
 
+    // ---- T27 (streaming observability): observe() metrics on a STREAM -
+    //      the s22 single-pass-metrics discipline where the pass is a
+    //      streaming ingest: per-micro-batch observed rows are folded by
+    //      the consumer (no terminal Observation.get exists on an
+    //      unbounded query). All metrics are exact integer sums, so the
+    //      fold is associative and equals the batch replay regardless of
+    //      how the source slices batches; the corpus is staged as 4
+    //      files read one-per-trigger so the fold provably crosses
+    //      batches (the helper REQUIRES >= 2). ------------------------
+    "t27_stream_observed_metrics" -> Q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(4 AS BIGINT) AS n_batches
+        |FROM events WHERE event_type <> 'error'""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (nRows, nClicks, cents, nBatches) =
+        EventStream.observedIngestMetrics(s, dir, nFiles = 4)
+      Seq((nRows, nClicks, cents, nBatches))
+        .toDF("n_rows", "n_clicks", "cents", "n_batches")
+    },
+
     // ---- T12 (stateful streaming): near-dup detection ON INGEST --------
     //      MinHash-LSH as a stream: per-row signatures + banding run
     //      stateless on arriving documents; each (band, hash) bucket

@@ -123,6 +123,54 @@ object EventStream {
     streaming.sparkSession.table(name)
   }
 
+  /** Streaming observability (t27): `observe()` on a STREAM reports its
+    * aggregates once per micro-batch through `StreamingQueryProgress
+    * .observedMetrics` — there is no terminal `Observation.get` on an
+    * unbounded query, so the pipeline's metrics consumer must fold the
+    * per-batch rows itself. All three metrics here are exact integer
+    * sums (counts + cents), which are associative, so the fold equals
+    * the batch replay bit-for-bit no matter how the source slices
+    * batches. The corpus is staged as `nFiles` parquet files and read
+    * with `maxFilesPerTrigger=1` precisely so the fold REALLY crosses
+    * batches (a single-batch drain would never exercise the
+    * accumulation). The stream's "real work" is an append sink; metrics
+    * ride the same pass — at production scale a second metrics scan
+    * doubles the read bill, same rationale as the batch twin (s22).
+    * Returns (n_rows, n_clicks, cents, n_batches_with_data).
+    */
+  def observedIngestMetrics(parent: SparkSession, dir: String,
+                            nFiles: Int = 4): (Long, Long, Long, Long) = {
+    val ss = statefulSession(parent)
+    val stage = java.nio.file.Files.createTempDirectory("graft_t27_").toString
+    graft.Tables.t(parent, dir, "events")
+      .repartition(nFiles).write.mode("overwrite").parquet(stage)
+    val schema = parent.read.parquet(stage).schema
+    val name = s"t27_obs_${java.util.UUID.randomUUID().toString.take(8)}"
+    val work = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .filter(col("event_type") =!= "error")
+      .observe(name,
+        count(lit(1)).as("n_rows"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select("event_id", "event_type")
+    val q = work.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(name)))
+    q.stop()
+    val folded = perBatch.foldLeft((0L, 0L, 0L)) { case ((r, c, v), m) =>
+      // an empty micro-batch observes sum(...) as null; counts stay 0
+      def nl(x: Any): Long = if (x == null) 0L else x.asInstanceOf[Long]
+      (r + nl(m.get(0)), c + nl(m.get(1)), v + nl(m.get(2)))
+    }
+    require(perBatch.size >= 2,
+      s"observed metrics arrived in ${perBatch.size} batch(es) — " +
+        "the cross-batch fold was not exercised")
+    (folded._1, folded._2, folded._3, perBatch.size.toLong)
+  }
+
   /** Incremental materialized view via foreachBatch: an update-mode
     * streaming aggregation merged into a versioned parquet store with
     * [[graft.ops.Upsert]] on each micro-batch — the streaming analog of
