@@ -511,4 +511,108 @@ object Multimodal {
       .select(col("media_id"), col("mime"), col("data"),
         struct(col("n_bytes"), col("source")).as("meta"))
   }
+
+  // ---- container-header sniffing (m6): dimensions WITHOUT decode ------
+
+  final case class MediaHeader(media_id: Long, fmt: String,
+                               width: Int, height: Int)
+
+  /** Parse image dimensions from the CONTAINER HEADER alone — no pixel
+    * decode, no ImageIO. This is the triage pass a corpus-scale pipeline
+    * runs first: dimensions/format decide resize factors, aspect-ratio
+    * filters, and decode-cost budgeting, and they live in the first
+    * couple hundred bytes — decoding (CPU ~10³× the sniff) or even
+    * reading the full payload to learn them is waste. Formats: PNG
+    * (IHDR is fixed at byte 16 by spec), JPEG (marker walk to the first
+    * SOFn frame header), GIF (logical screen descriptor, LE16 at 6),
+    * BMP (BITMAPINFOHEADER, LE32 at 18). Returns None for anything
+    * truncated, corrupt, or unrecognized — callers drop, never throw
+    * (one bad payload must not kill a 100 TB stage).
+    */
+  def sniffDimensions(data: Array[Byte]): Option[MediaHeader] = {
+    def u8(i: Int) = data(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    try {
+      if (data.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+          u8(3) == 'G' && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
+          u8(7) == 0x0A && new String(data, 12, 4, "US-ASCII") == "IHDR") {
+        val (w, h) = (be32(16), be32(20))
+        if (w > 0 && h > 0) Some(MediaHeader(0L, "png", w, h)) else None
+      } else if (data.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+        // marker walk: FF <code> [len_be16 payload]; standalone markers
+        // (TEM, RSTn) carry no length. SOFn = C0..CF minus C4/C8/CC.
+        var i = 2
+        var out: Option[MediaHeader] = None
+        while (out.isEmpty && i + 3 < data.length) {
+          if (u8(i) != 0xFF) return None // desynced — corrupt stream
+          val code = u8(i + 1)
+          if (code == 0xFF) i += 1 // fill byte
+          else if (code == 0x01 || (code >= 0xD0 && code <= 0xD8)) i += 2
+          else if (code == 0xD9 || code == 0xDA) return None // EOI/SOS before SOF
+          else {
+            val len = be16(i + 2)
+            if (len < 2) return None
+            if (code >= 0xC0 && code <= 0xCF &&
+                code != 0xC4 && code != 0xC8 && code != 0xCC) {
+              if (i + 9 >= data.length) return None
+              val (h, w) = (be16(i + 5), be16(i + 7))
+              out = if (w > 0 && h > 0) Some(MediaHeader(0L, "jpeg", w, h)) else None
+              if (out.isEmpty) return None
+            }
+            i += 2 + len
+          }
+        }
+        out
+      } else if (data.length >= 10 &&
+          (new String(data, 0, 6, "US-ASCII") == "GIF87a" ||
+           new String(data, 0, 6, "US-ASCII") == "GIF89a")) {
+        Some(MediaHeader(0L, "gif", le16(6), le16(8)))
+      } else if (data.length >= 26 && u8(0) == 'B' && u8(1) == 'M' &&
+          le32(14) >= 40) {
+        val (w, h) = (le32(18), le32(22))
+        // height may be negative (top-down DIB); magnitude is the size
+        if (w > 0 && h != 0) Some(MediaHeader(0L, "bmp", w, math.abs(h))) else None
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic REAL image bytes for a media id: a solid-color
+    * `(16 + id % 64) × (16 + id % 48)` image, PNG for even ids and JPEG
+    * for odd — the dimensions are a closed form of the id, which is
+    * what makes the generate→encode→sniff roundtrip oracle-checkable
+    * while still passing through a real encoder's byte stream.
+    */
+  def syntheticImageBytes(id: Long): Array[Byte] = {
+    val (w, h) = ((16 + id % 64).toInt, (16 + id % 48).toInt)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((id * 2654435761L) & 0xFFFFFF).toInt
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(rgb))
+    g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "jpeg", buf)
+    buf.toByteArray
+  }
+
+  /** Header-sniff a media table: the [[extractFeatures]] batch shape
+    * (round-robin repartition, per-partition loop) with
+    * [[sniffDimensions]] as the kernel; undecodable rows drop.
+    */
+  def imageHeaders(media: DataFrame, targetPartitions: Int = 0): Dataset[MediaHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        sniffDimensions(data).map(_.copy(media_id = id))
+      })
+  }
 }

@@ -1810,6 +1810,28 @@ object PipelineOps {
         .toDF()
     },
 
+    // ---- M6: container-header dimension sniffing — format + width +
+    //      height from the first bytes of REAL PNG/JPEG payloads with
+    //      NO pixel decode (the triage pass that budgets decode cost and
+    //      applies aspect/size filters before any codec runs). The
+    //      payloads come out of real ImageIO encoders at dimensions that
+    //      are a closed form of the id, so the generate→encode→sniff
+    //      roundtrip is oracle-checkable; the sniffer itself is pinned
+    //      against ImageIO decode + corrupt/truncated payloads in
+    //      MultimodalHeaderSpec. -----------------------------------------
+    "m6_header_sniff" -> Q(
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |       CAST(16 + doc_id % 64 AS INT) AS width,
+        |       CAST(16 + doc_id % 48 AS INT) AS height
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticImageBytes(id))))
+        .toDF("media_id", "data")
+      Multimodal.imageHeaders(media, targetPartitions = 8).toDF()
+    },
+
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
     "t2_stream_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

@@ -1,0 +1,88 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** The header sniffer (m6) against GROUND TRUTH — real encoder output
+  * whose dimensions are known because we chose them:
+  *
+  *   · for every format ImageIO can write (png/jpeg/gif/bmp), sniffing
+  *     the encoded bytes returns that format and the encoded dimensions;
+  *   · on a sample of payloads the sniffer agrees with a FULL ImageIO
+  *     decode — header truth equals pixel truth;
+  *   · JPEG dimensions survive leading APPn metadata segments (the
+  *     marker walk, not a fixed offset, finds SOF);
+  *   · corrupt, truncated, empty, and non-image payloads return None
+  *     (drop, never throw — the shared 100 TB decode-stage contract);
+  *   · the distributed stage drops undecodable rows and keeps ids.
+  */
+class MultimodalHeaderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(0x4A90D9))
+    g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    assert(javax.imageio.ImageIO.write(img, fmt, buf), s"ImageIO lacks $fmt")
+    buf.toByteArray
+  }
+
+  test("every ImageIO-writable format sniffs to its encoded dimensions") {
+    for {
+      fmt <- Seq("png", "jpeg", "gif", "bmp")
+      (w, h) <- Seq((1, 1), (16, 16), (640, 480), (123, 7))
+    } {
+      val got = Multimodal.sniffDimensions(encode(fmt, w, h))
+      assert(got.map(m => (m.fmt, m.width, m.height)) === Some((fmt, w, h)),
+        s"fmt=$fmt w=$w h=$h got=$got")
+    }
+  }
+
+  test("sniffed dimensions equal full-decode dimensions on synthetic payloads") {
+    (0L until 40L).foreach { id =>
+      val data = Multimodal.syntheticImageBytes(id)
+      val sniffed = Multimodal.sniffDimensions(data).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      assert((sniffed.width, sniffed.height) === (img.getWidth, img.getHeight))
+      assert(sniffed.fmt === (if (id % 2 == 0) "png" else "jpeg"))
+    }
+  }
+
+  test("JPEG sniff survives an injected APP1 (EXIF-style) segment") {
+    val base = encode("jpeg", 200, 100)
+    // splice APP1 right after SOI: FF E1 <len> "Exif\0\0" + padding
+    val payload = "Exif".getBytes("US-ASCII") ++ Array.fill[Byte](30)(0)
+    val len = payload.length + 2
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+    val spliced = base.take(2) ++ app1 ++ base.drop(2)
+    val got = Multimodal.sniffDimensions(spliced)
+    assert(got.map(m => (m.fmt, m.width, m.height)) === Some(("jpeg", 200, 100)))
+  }
+
+  test("corrupt / truncated / empty / non-image payloads drop as None") {
+    val png = encode("png", 32, 32)
+    val jpg = encode("jpeg", 32, 32)
+    assert(Multimodal.sniffDimensions(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.sniffDimensions("plain text, not an image".getBytes).isEmpty)
+    assert(Multimodal.sniffDimensions(png.take(20)).isEmpty)   // mid-IHDR cut
+    assert(Multimodal.sniffDimensions(jpg.take(4)).isEmpty)    // SOI only
+    val desynced = jpg.clone(); desynced(2) = 0x00 // marker walk desyncs
+    assert(Multimodal.sniffDimensions(desynced).isEmpty)
+  }
+
+  test("the distributed stage keeps ids and drops undecodable rows") {
+    val rows = Seq(
+      (1L, encode("png", 20, 10)),
+      (2L, encode("jpeg", 8, 24)),
+      (3L, "garbage".getBytes): (Long, Array[Byte]))
+    val got = Multimodal.imageHeaders(rows.toDF("media_id", "data"))
+      .collect().map(m => (m.media_id, m.fmt, m.width, m.height)).sorted
+    assert(got.toSeq === Seq((1L, "png", 20, 10), (2L, "jpeg", 8, 24)))
+  }
+}
