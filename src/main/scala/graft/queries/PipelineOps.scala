@@ -2084,6 +2084,41 @@ object PipelineOps {
         s"t28_decont_${streamSeq.incrementAndGet()}", mode = "complete")
     },
 
+    // ---- T25 (streaming, CHAINED stateful operators): a 15-minute
+    //      windowed count feeding an hourly window-of-windows rollup in
+    //      ONE streaming query (window_time() keys the second level;
+    //      one watermark drives both state stores) — no drain between
+    //      the levels. Tail windows depend on append-mode finalization
+    //      of both levels, so BOTH sides keep only hourly windows
+    //      ending >= 2h before max ts — inside the cut every fine
+    //      window emitted and every hourly window finalized, so
+    //      emission strictness at the boundary cannot differ. ---------
+    "t25_stream_chained_windows" -> Q(
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |mx AS (SELECT max(us) AS m FROM e),
+        |q AS (SELECT (us // 900000000) * 900000000 AS q_start, event_type,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |h AS (SELECT (q_start // 3600000000) * 3600000000 AS h_start, event_type,
+        |             CAST(sum(n) AS BIGINT) AS n_events,
+        |             CAST(count(*) AS BIGINT) AS n_quarters
+        |      FROM q GROUP BY 1, 2)
+        |SELECT h_start, event_type, n_events, n_quarters
+        |FROM h, mx WHERE h_start + 3600000000 <= mx.m - 7200000000""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val rolled = EventStream.chainedWindowCounts(
+        EventStream.readEvents(ss, dir))
+      val drained = EventStream.runToMemory(rolled,
+        s"t25_chained_${streamSeq.incrementAndGet()}", mode = "append")
+      val mxUs = t(s, dir, "events")
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      drained
+        .select(unix_micros(col("window.start")).as("h_start"),
+          col("event_type"), col("n_events"),
+          col("n_quarters").cast("long").as("n_quarters"))
+        .filter(col("h_start") + 3600000000L <= mxUs - 7200000000L)
+    },
+
     // ---- T27 (streaming observability): observe() metrics on a STREAM -
     //      the s22 single-pass-metrics discipline where the pass is a
     //      streaming ingest: per-micro-batch observed rows are folded by

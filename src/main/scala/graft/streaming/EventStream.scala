@@ -123,6 +123,28 @@ object EventStream {
     streaming.sparkSession.table(name)
   }
 
+  /** Chained stateful operators in ONE streaming query (t25): a
+    * 15-minute windowed count whose APPEND-mode output feeds a second,
+    * hourly windowed aggregation downstream — Spark's multiple-stateful-
+    * operator support, keyed by `window_time()` (the first window's
+    * event-time representative), with the watermark propagating through
+    * both state stores. This is the streaming form of a rollup
+    * hierarchy: the fine level absorbs the raw event rate, the coarse
+    * level sees only one row per finalized fine window — at corpus
+    * scale that's the difference between the hourly state store holding
+    * events and holding 4 rows per key. Emission near the stream tail
+    * depends on append-mode finalization of BOTH levels, so callers
+    * must cut to windows comfortably behind the final watermark (the
+    * t25 entry and oracle both cut 2 h behind max ts).
+    */
+  def chainedWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_quarters"))
+
   /** Streaming observability (t27): `observe()` on a STREAM reports its
     * aggregates once per micro-batch through `StreamingQueryProgress
     * .observedMetrics` — there is no terminal `Observation.get` on an
