@@ -113,6 +113,43 @@ object Sampling {
       .select(col(idCol), col(strataCol), col("quota"))
   }
 
+  /** Weighted sampling without replacement (x26) — pick `k` documents
+    * with inclusion probability proportional to an integer weight (here:
+    * word count, so sampling is token-budget-proportional, the mixture
+    * shape "sample by content volume, not by document count").
+    *
+    * This is the A-ES scheme in its EXACT integer form: A-ES ranks items
+    * by u^(1/w) (u uniform), and u^(1/w) is distributed as the MAX of w
+    * independent uniforms — so each document draws its w per-unit hashes
+    * and keeps the max as its sort key. No `pow`/`ln` ever runs: libm
+    * rounding differs across engines, while the max-of-hashes form is
+    * pure integer arithmetic an oracle replays bit-for-bit ([[detHash]]
+    * of `doc_id * 1000003 + i`, collision-free on this corpus's id
+    * range). The expansion is per-row `transform` over `sequence(1, w)`
+    * — array math inside the row, no explode, no shuffle.
+    *
+    * Scale shape: the global top-k runs as orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, never a
+    * single-partition window over the corpus); the rank column is
+    * written by a window over the k SURVIVORS only.
+    */
+  def weightedSampleAes(df: DataFrame, k: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val nWords = size(split(col(textCol), " ")).cast("long")
+    val key = array_max(transform(
+      sequence(lit(1L), col("n_words")),
+      i => detHash(col(idCol) * lit(1000003L) + i)))
+    df.select(col(idCol), nWords.as("n_words"))
+      .withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(
+          Window.orderBy(col("sample_key").desc, col(idCol))).cast("long"))
+  }
+
   /** Training-sequence packing — the concat-and-chop step that turns a
     * corpus into fixed-`seqLen`-token LM training sequences: documents are
     * laid out in deterministic hash order and the token stream is chopped

@@ -1513,6 +1513,32 @@ object PipelineOps {
       TextStats.urlDomains(injected, Seq("www.spam.example"))
     },
 
+    // ---- X26: weighted sampling without replacement — inclusion
+    //      probability proportional to word count (token-budget-
+    //      proportional mixing). A-ES in its exact integer form: the
+    //      u^(1/w) rank key is distributed as the max of w uniforms, so
+    //      each doc keeps the max of w integer hashes — no pow/ln (libm
+    //      rounding differs across engines), every key replayable
+    //      bit-for-bit. Top-k runs as orderBy+limit, never a global
+    //      window. -----------------------------------------------------
+    "x26_weighted_sample" -> Q(
+      """WITH w AS (SELECT doc_id,
+        |            len(string_split(text, ' ')) AS n_words FROM documents),
+        |k AS (SELECT doc_id, n_words,
+        |       list_max(list_transform(generate_series(1, n_words),
+        |         i -> (((doc_id * 1000003 + i) % 2147483648) * 1103515245
+        |               + 12345) % 2147483648)) AS sample_key
+        |      FROM w),
+        |r AS (SELECT doc_id, n_words, sample_key,
+        |       row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rnk
+        |      FROM k)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(sample_key AS BIGINT) AS sample_key,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 50""".stripMargin) { (s, dir) =>
+      Sampling.weightedSampleAes(docs(s, dir), k = 50)
+    },
+
     // ---- X7: deterministic stratified sampling (data mixing): exactly
     //      min(k, |stratum|) docs per source, membership a pure function
     //      of doc_id — reproducible across runs/engines/partitionings ----
