@@ -2110,6 +2110,20 @@ object PipelineOps {
         s"t28_decont_${streamSeq.incrementAndGet()}", mode = "complete")
     },
 
+    // ---- T29 (streaming ops): read a checkpoint's STATE STORE as a
+    //      batch DataFrame — Spark 4's state data source, the window
+    //      into "what is this query holding per key" that at production
+    //      scale replaces stopping the stream or instrumenting the job.
+    //      For a complete-mode keyed count the final state IS the
+    //      per-key counts, so the snapshot hash-checks against the
+    //      batch replay; the metadata leg (operator name, store name,
+    //      partition count) is asserted in StateReaderSpec. ------------
+    "t29_state_store_reader" -> Q(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      EventStream.stateStoreSnapshot(s, dir)._1
+    },
+
     // ---- T25 (streaming, CHAINED stateful operators): a 15-minute
     //      windowed count feeding an hourly window-of-windows rollup in
     //      ONE streaming query (window_time() keys the second level;

@@ -123,6 +123,36 @@ object EventStream {
     streaming.sparkSession.table(name)
   }
 
+  /** The state data source (t29): run a stateful streaming aggregation
+    * with a checkpoint, then read the checkpoint's STATE STORE back as
+    * a batch DataFrame (`format("statestore")`) — Spark 4's ops window
+    * into running state, the tool that answers "what is this query
+    * holding, per key, right now" at production scale without stopping
+    * the stream or instrumenting the job. For a complete-mode keyed
+    * count, the final state IS the per-key counts, so the snapshot is
+    * exactly the batch replay — which is what makes this entry
+    * hash-verifiable rather than a rows-only probe. Reads with the same
+    * session config that wrote the state (RocksDB provider).
+    * Returns (stateSnapshot, stateMetadata).
+    */
+  def stateStoreSnapshot(parent: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ss = statefulSession(parent)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t29_ckpt_").toString
+    val name = s"t29_state_${java.util.UUID.randomUUID().toString.take(8)}"
+    val agg = readEvents(ss, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val snapshot = ss.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"))
+    val meta = ss.read.format("state-metadata").load(ckpt)
+    (snapshot, meta)
+  }
+
   /** Chained stateful operators in ONE streaming query (t25): a
     * 15-minute windowed count whose APPEND-mode output feeds a second,
     * hourly windowed aggregation downstream — Spark's multiple-stateful-
