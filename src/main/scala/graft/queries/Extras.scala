@@ -2165,6 +2165,38 @@ object Extras {
     //      for free. The observed values are exact integer aggregates,
     //      so the 1-row result hash-checks against a plain SQL replay.
     //      ObservationSpec asserts the single-scan property on the plan.
+    // ---- S24: parquet footer statistics as a queryable ZONE MAP ------
+    //      per-row-group, per-column min/max/null-count harvested from
+    //      footers alone (KBs per file, never a data scan) — the
+    //      data-skipping index a 100 TB layout audit plans against.
+    //      Footer parsing runs distributed over the file list; the
+    //      single-file, single-row-group local tables make every
+    //      harvested number SQL-replayable (count/min/max per column).
+    //      The pruning CONSUMER (files surviving a range predicate) is
+    //      asserted against real multi-file layouts in FooterStatsSpec.
+    "s24_footer_stats" -> Q(
+      """SELECT 'orders.parquet' AS file, CAST(0 AS INT) AS row_group,
+        |       'o_orderkey' AS column_name,
+        |       CAST(count(*) AS BIGINT) AS n_values,
+        |       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+        |       CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+        |       CAST(max(o_orderkey) AS DOUBLE) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders.parquet', CAST(0 AS INT), 'o_custkey',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(o_custkey) AS BIGINT),
+        |       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders.parquet', CAST(0 AS INT), 'o_totalprice',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+        |FROM orders""".stripMargin) { (s, dir) =>
+      graft.sources.FooterStats.zoneMap(s, Seq(s"$dir/orders.parquet"))
+    },
+
     "s22_observed_metrics" -> Q(
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(count(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT) AS n_big,

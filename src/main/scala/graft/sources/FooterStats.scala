@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One zone-map row: a column chunk's footer statistics. */
+final case class ZoneMapRow(file: String, row_group: Int, column_name: String,
+                            n_values: Long, n_nulls: Long,
+                            min_val: Double, max_val: Double)
+
+/** Parquet footer statistics as a queryable table (s24) — the zone map.
+  *
+  * Every parquet file already carries per-row-group, per-column
+  * min/max/null-count statistics in its footer; harvesting them costs a
+  * footer read (KBs) per file, never a data scan. At corpus scale this
+  * table IS the data-skipping index: planning a predicate against it
+  * prunes whole files/row groups before any scan task launches —
+  * the same statistics Spark's own scan uses for row-group skipping,
+  * made available for offline layout analysis (is the table clustered
+  * on this key? how selective would this predicate be?) and for
+  * building external file-pruning manifests.
+  *
+  * Footer reads are distributed: the file LIST is driver-side (cheap —
+  * it's a listing), the footer parsing runs in `mapPartitions` over the
+  * list, so a million-file corpus fans across the cluster. Columns kept
+  * are the ones whose footer stats are exact and portable: plain INT64
+  * (no logical type — timestamps shift with timezone annotations) and
+  * DOUBLE.
+  */
+object FooterStats {
+
+  def zoneMap(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(paths.nonEmpty, "zoneMap needs at least one parquet path")
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, 64))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { p =>
+          val hPath = new org.apache.hadoop.fs.Path(p)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(hPath, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toList.zipWithIndex.flatMap {
+              case (block, gi) =>
+                block.getColumns.asScala.toList.flatMap { c =>
+                  val pt = c.getPrimitiveType
+                  val stats = c.getStatistics
+                  val tn = pt.getPrimitiveTypeName.toString
+                  val keep = (tn == "INT64" &&
+                    pt.getLogicalTypeAnnotation == null) || tn == "DOUBLE"
+                  if (!keep || stats == null || !stats.hasNonNullValue) None
+                  else (stats.genericGetMin, stats.genericGetMax) match {
+                    case (mn: java.lang.Long, mx: java.lang.Long) =>
+                      Some(ZoneMapRow(hPath.getName, gi, c.getPath.toDotString,
+                        c.getValueCount, stats.getNumNulls,
+                        mn.toDouble, mx.toDouble))
+                    case (mn: java.lang.Double, mx: java.lang.Double) =>
+                      Some(ZoneMapRow(hPath.getName, gi, c.getPath.toDotString,
+                        c.getValueCount, stats.getNumNulls,
+                        mn.toDouble, mx.toDouble))
+                    case _ => None
+                  }
+                }
+            }.iterator // materialized above — the reader closes below
+          } finally reader.close()
+        }
+      }.toDF()
+  }
+
+  /** The zone map's consumer: which files can contain rows with
+    * `column ∈ [lo, hi]`? A file survives iff ANY of its row groups'
+    * [min, max] intersects the query range — the manifest a scan
+    * planner would read instead of listing + opening every file.
+    */
+  def pruneFiles(zoneMap: DataFrame, column: String,
+                 lo: Double, hi: Double): DataFrame =
+    zoneMap
+      .filter(col("column_name") === column &&
+        col("max_val") >= lo && col("min_val") <= hi)
+      .select("file").distinct()
+}
