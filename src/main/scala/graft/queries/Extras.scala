@@ -1256,6 +1256,30 @@ object Extras {
       HeavyHitters.confirm(items, sketch)
     },
 
+    // ---- A24: EXACT mergeable distinct counts via bitmap aggregates —
+    //      a23's pattern (build partials, merge later) with bitmaps in
+    //      place of HLL: bitmap_bucket_number shards the id space into
+    //      fixed 32k-bit buckets, per-(type, day, bucket) bitmaps build
+    //      map-side, bitmap_or_agg merges the day partials, bitmap_count
+    //      sums to the EXACT distinct count. The warehouse trade: exact
+    //      where HLL is ±2%, state linear in the distinct-id RANGE per
+    //      bucket (vs HLL's constant) — right when ids are dense
+    //      (users, docs), wrong for sparse 64-bit hashes. Exactness is
+    //      what makes this one hash-oracle-checkable. ------------------
+    "a24_bitmap_distinct" -> Q(
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy("event_type", "bucket")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+    },
+
     // ---- A23: MERGEABLE distinct-count sketches — the persist-partials /
     //      union-later warehouse pattern a15's one-shot
     //      approx_count_distinct can't express: per-type HLL sketches
@@ -2272,6 +2296,39 @@ object Extras {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("_k")).as("sum_k"),
           count(when(col("_m").isNull, 1)).as("n_missing_null"))
+    },
+
+    // ---- F24: error-safe arithmetic (try_*) — the ANSI-mode escape
+    //      hatches a pipeline uses where one malformed row must not kill
+    //      a 100 TB job: try_divide (÷0 → NULL), try_multiply (BIGINT
+    //      overflow → NULL), try_cast (malformed string → NULL),
+    //      try_element_at (out-of-bounds → NULL; index 0 still THROWS —
+    //      invalid, not out-of-bounds — so indexes here stay nonzero).
+    //      The oracle states each expected OUTPUT via CASE, so it pins
+    //      the null-on-error contract rather than replaying the error. --
+    "f24_try_arith" -> Q(
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE round(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                  / (o_orderkey % 3), 6) END AS d,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |       ELSE 9223372036854775807 END AS ovf,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+        |  TRY_CAST(o_orderstatus AS INT) AS bad,
+        |  CASE o_orderkey % 3 WHEN 0 THEN 20 WHEN 1 THEN 30
+        |       ELSE NULL END AS elem
+        |FROM orders""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(expr(
+          "try_divide(cast(round(o_totalprice * 100) as bigint), o_orderkey % 3)"),
+          6).as("d"),
+        expr("try_multiply(9223372036854775807L, " +
+          "CASE WHEN o_orderkey % 2 = 0 THEN 2L ELSE 1L END)").as("ovf"),
+        expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("pri"),
+        expr("try_cast(o_orderstatus AS INT)").as("bad"),
+        expr("try_element_at(array(10, 20, 30), " +
+          "cast(o_orderkey % 3 + 2 as int))").as("elem"))
     },
 
     // ---- F23: COLLATED equality (Spark 4 collations) — case-insensitive
