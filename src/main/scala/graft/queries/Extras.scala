@@ -1101,6 +1101,49 @@ object Extras {
             .as("twap_cents"))
     },
 
+    // ---- W15: exponentially-weighted state (EWMA fold, α = ½) — the
+    //      sequential smoother w14's interval weighting can't express:
+    //      s_n = x_n + s_{n-1}/2, folded over each user's events in
+    //      event order. α = ½ keeps every step dyadic (cents × 2^-k),
+    //      and the fold ORDER is pinned by packing (Δus, cents) into one
+    //      sortable BIGINT — collect_list order is nondeterministic, the
+    //      sorted packed array is not, and both engines then execute the
+    //      identical IEEE op sequence. Scale shape: one groupBy carrying
+    //      (pack, sort, fold) as per-row array math; the min-us join is
+    //      a broadcast of one row per user. -----------------------------
+    "w15_ewma" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT user_id, min(us) AS us0 FROM e GROUP BY 1),
+        |p AS (SELECT e.user_id, ((us - us0) // 1000) * 4194304 + cents AS pk
+        |      FROM e JOIN m USING (user_id)),
+        |g AS (SELECT user_id, list_sort(list(pk)) AS pks,
+        |       CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+        |SELECT user_id, n,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(pks, x -> CAST(x % 4194304 AS DOUBLE))),
+        |    (a, b) -> a / 2 + b), 6) AS ewma_cents
+        |FROM g""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val m = e.groupBy("user_id").agg(min(col("us")).as("us0"))
+      e.join(broadcast(m), "user_id")
+        .select(col("user_id"),
+          // Δms × 2^22 + cents: Δµs × 2^22 overflows BIGINT on a
+          // 30-day span; ms ties sort by the cents payload — same
+          // packed value, same order, on both engines
+          (((col("us") - col("us0")) / 1000).cast("long") * 4194304L +
+            col("cents")).as("pk"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("pk"))).as("pks"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("n"),
+          round(aggregate(
+            transform(col("pks"), x => (x % 4194304L).cast("double")),
+            lit(0.0), (a, b) => a / 2 + b), 6).as("ewma_cents"))
+    },
+
     // ---- W9: event-time RANGE frame — trailing 1-hour sum/count per
     //      user, bounded by TIME not row position (w5's ROWS frames can't
     //      express "last hour"). Ordered on floor-seconds so both engines
