@@ -2110,6 +2110,25 @@ object PipelineOps {
         s"t28_decont_${streamSeq.incrementAndGet()}", mode = "complete")
     },
 
+    // ---- T30 (streaming ops): late-data DROPPING, Spark 4 semantics
+    //      pinned — the late-event filter runs against the PREVIOUS
+    //      batch's watermark, so a one-row sentinel batch burns the lag
+    //      before the late file arrives; by then both filter
+    //      watermarks sit a 15-day gap above every late row and ALL of
+    //      them drop, whatever the boundary strictness. The sink's
+    //      final per-window counts are therefore exactly the batch
+    //      aggregation of the on-time (ts >= min+15d) rows — which is
+    //      the oracle. The filter-lag acceptance hazard and metric
+    //      undercount are pinned in LateDataSpec. ---------------------
+    "t30_stream_late_drop" -> Q(
+      """WITH b AS (SELECT min(ts) + INTERVAL 15 DAY AS cut FROM events),
+        |e AS (SELECT epoch_us(ts) AS us FROM events, b WHERE ts >= b.cut)
+        |SELECT (us // 3600000000) * 3600000000 AS h_start,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1""".stripMargin) { (s, dir) =>
+      EventStream.lateDataDrop(s, dir)._1
+    },
+
     // ---- T29 (streaming ops): read a checkpoint's STATE STORE as a
     //      batch DataFrame — Spark 4's state data source, the window
     //      into "what is this query holding per key" that at production

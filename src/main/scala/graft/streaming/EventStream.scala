@@ -123,6 +123,66 @@ object EventStream {
     streaming.sparkSession.table(name)
   }
 
+  /** Late-data dropping (t30), with Spark 4's ACTUAL semantics pinned:
+    * the aggregation's late-event filter runs against the watermark of
+    * the PREVIOUS batch, so late rows arriving in the very next batch
+    * after the watermark advanced are still ACCEPTED (they re-form
+    * state and emit — the silent double-emission hazard), and only
+    * rows a further batch behind drop. The replay stages three files,
+    * one per trigger, mtime-ordered: the on-time bulk, a one-row
+    * sentinel burning the lag batch, then everything below
+    * min(ts)+15 d. By the late batch, BOTH filter watermarks sit a
+    * 15-day gap above every late row — all of them drop, whatever the
+    * boundary strictness — so the sink's per-window counts are exactly
+    * the batch aggregation of the on-time rows. (The
+    * `numRowsDroppedByWatermark` metric undercounts here — part of the
+    * filtering happens in an uninstrumented pre-shuffle filter — which
+    * is itself worth knowing; LateDataSpec pins the lag and the
+    * conservation.) Returns the update-mode sink deduped to final
+    * per-window counts, plus the metered drop count.
+    */
+  def lateDataDrop(parent: SparkSession, dir: String): (DataFrame, Long) = {
+    val ss = statefulSession(parent)
+    val ev = graft.Tables.t(parent, dir, "events")
+    val cutUs = ev.agg(min(unix_micros(col("ts")))).first().getLong(0) +
+      15L * 86400L * 1000000L
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val stage = java.nio.file.Files.createTempDirectory("graft_t30_").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_t30_w_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(stage, name))
+    }
+    val us = unix_micros(col("ts"))
+    writeOne(ev.filter(us >= cutUs && us < maxUs), "0_bulk.parquet")
+    writeOne(ev.filter(us === maxUs), "1_sentinel.parquet")
+    writeOne(ev.filter(us < cutUs), "2_late.parquet")
+    stampMtimeOrder(Seq(s"$stage/0_bulk.parquet",
+      s"$stage/1_sentinel.parquet", s"$stage/2_late.parquet"))
+    val schema = parent.read.parquet(stage).schema
+    val name = s"t30_late_${java.util.UUID.randomUUID().toString.take(8)}"
+    val agg = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    q.processAllAvailable()
+    val dropped = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    // update mode re-emits a window each batch it changes in — the final
+    // count per window is the max (counts only grow)
+    val finalCounts = ss.table(name)
+      .groupBy(unix_micros(col("window.start")).as("h_start"))
+      .agg(max(col("n")).as("n"))
+    (finalCounts, dropped)
+  }
+
   /** The state data source (t29): run a stateful streaming aggregation
     * with a checkpoint, then read the checkpoint's STATE STORE back as
     * a batch DataFrame (`format("statestore")`) — Spark 4's ops window
