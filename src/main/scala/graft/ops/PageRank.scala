@@ -27,6 +27,47 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Personalized PageRank (g8): identical integer arithmetic to [[run]]
+    * but the teleport mass lands ONLY on `sources` — r₀ is 1,000,000 on
+    * sources / 0 elsewhere, and each refresh adds the 150,000 teleport
+    * term only on sources. Ranks then measure proximity TO the source
+    * set (the recommendation / trust-propagation form) instead of global
+    * centrality; nodes unreachable from every source stay at exactly 0.
+    * `sources` is one `node` column; ids not present in the graph are
+    * ignored (the flag joins onto the edge-derived node table).
+    */
+  def runPersonalized(edges: DataFrame, sources: DataFrame, iterations: Int,
+                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col(srcCol), col(dstCol)).localCheckpoint(false)
+    val deg = e.groupBy(srcCol).agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(false)
+    val nodes = e.select(col(srcCol).as("node"))
+      .union(e.select(col(dstCol).as("node")))
+      .distinct()
+      .join(sources.select(col("node")).distinct()
+        .withColumn("_isrc", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_isrc"), lit(0)).as("_isrc"))
+      .localCheckpoint(false)
+
+    var ranks = nodes.select(col("node"),
+      (col("_isrc") * 1000000L).as("rank_micro"))
+    for (_ <- 0 until iterations) {
+      val contrib = e.join(deg, srcCol)
+        .join(ranks.withColumnRenamed("node", srcCol), srcCol)
+        .select(col(dstCol).as("node"),
+          expr("rank_micro div _deg").as("_c"))
+      val in = contrib.groupBy("node").agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(in, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(_isrc * 150000 + (85 * coalesce(_s, 0)) div 100 AS BIGINT)")
+            .as("rank_micro"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
   def run(edges: DataFrame, iterations: Int,
           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")

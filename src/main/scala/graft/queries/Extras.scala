@@ -1441,6 +1441,55 @@ object Extras {
       PageRank.run(e, iterations = 3)
     },
 
+    // ---- G8: PERSONALIZED PageRank — g1's integer-exact arithmetic
+    //      with teleport mass landing only on a source set (customers
+    //      with key % 50 = 0 ⟺ node % 100 = 0 under the even/odd id
+    //      scheme): ranks measure proximity TO the sources — the
+    //      recommendation / trust-propagation form — and nodes
+    //      unreachable from every source stay at exactly 0. Same trade
+    //      graph, three unrolled oracle rounds, bit-for-bit. ----------
+    "g8_ppr" -> Q(
+      """WITH eo AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node,
+        |        CAST(CASE WHEN node % 100 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+        |       FROM nd),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS s
+        |       FROM e JOIN d USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT nd.node,
+        |        CAST(CASE WHEN nd.node % 100 = 0 THEN 150000 ELSE 0 END
+        |             + (85 * coalesce(i1.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nd LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS s
+        |       FROM e JOIN d USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT nd.node,
+        |        CAST(CASE WHEN nd.node % 100 = 0 THEN 150000 ELSE 0 END
+        |             + (85 * coalesce(i2.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nd LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS s
+        |       FROM e JOIN d USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT nd.node,
+        |        CAST(CASE WHEN nd.node % 100 = 0 THEN 150000 ELSE 0 END
+        |             + (85 * coalesce(i3.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nd LEFT JOIN i3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3""".stripMargin) { (s, dir) =>
+      val eo = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = eo.unionByName(
+        eo.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = t(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"))
+        .filter(col("node") % 100 === 0)
+      PageRank.runPersonalized(e, sources, iterations = 3)
+    },
+
     // ---- G2: synchronous label propagation (community detection) — the
     //      third graph-analytics member next to d7's components and g1's
     //      PageRank: every node adopts its neighbors' most frequent label
