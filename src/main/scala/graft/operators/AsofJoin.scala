@@ -55,6 +55,37 @@ object AsofJoin {
               rightCols: Seq[String]): DataFrame =
     impl(left, right, key, leftTime, rightTime, rightCols, backward = false)
 
+  /** Backward as-of WITH TOLERANCE: the latest right row at or before
+    * the left time, but only if it is no staler than `toleranceSeconds`
+    * — the pandas/polars `merge_asof(tolerance=…)` contract a
+    * time-series enrichment needs when "the last known value" stops
+    * being trustworthy after a bound (a quote older than the staleness
+    * budget must enrich as NULL, not as stale data). Same one-shuffle
+    * window as [[apply]]; the right event time rides along in the
+    * payload and one post-pass nulls every carried column atomically
+    * when the match is out of budget — the latest-at-or-before row
+    * either IS the within-tolerance match or no row is, so filtering
+    * after the as-of pick loses nothing.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     rightCols: Seq[String],
+                     toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0: $toleranceSeconds")
+    require(!left.columns.contains("_asof_rt") &&
+      !right.columns.contains("_asof_rt"),
+      "column name _asof_rt is reserved by AsofJoin.backwardWithin")
+    val r2 = right.withColumn("_asof_rt", col(rightTime).cast("timestamp"))
+    val joined = apply(left, r2, key, leftTime, rightTime,
+      rightCols :+ "_asof_rt")
+    val fresh = col("_asof_rt").isNotNull &&
+      col("_asof_rt") >= col(leftTime).cast("timestamp") -
+        expr(s"INTERVAL $toleranceSeconds SECOND")
+    rightCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }.drop("_asof_rt")
+  }
+
   private def impl(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
                    rightCols: Seq[String], backward: Boolean): DataFrame = {

@@ -492,6 +492,45 @@ object Extras {
         .select("event_id", "user_id", "last_orderkey")
     },
 
+    // ---- J20: as-of join WITH TOLERANCE (pandas/polars
+    //      merge_asof(tolerance=…)) — j9's latest-at-or-before match,
+    //      nulled when staler than 3 days: "last known value" stops
+    //      being trustworthy past the staleness budget. Same one-shuffle
+    //      window; the right time rides the payload and one post-pass
+    //      nulls out-of-budget matches atomically. DuckDB ASOF has no
+    //      tolerance either — its oracle applies the same pick-then-
+    //      filter identity (the latest at-or-before row either IS the
+    //      within-budget match or no row is). -------------------------
+    "j20_asof_tolerance" -> Q(
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |            o_orderdate::timestamp + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts2
+        |           FROM orders)
+        |SELECT e.event_id, e.user_id,
+        |       CASE WHEN o.ts2 >= e.ts - INTERVAL 3 DAY THEN o.o_orderkey
+        |            END AS recent_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.ts2""".stripMargin,
+      ansi = """WITH o AS (SELECT o_custkey, o_orderkey,
+        |            timestampadd(SECOND, o_orderkey % 86400,
+        |                         CAST(o_orderdate AS TIMESTAMP)) AS ts2
+        |           FROM orders)
+        |SELECT e.event_id, e.user_id, l.o_orderkey AS recent_orderkey
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o.o_orderkey FROM o
+        |  WHERE o.o_custkey = e.user_id AND o.ts2 <= e.ts
+        |    AND o.ts2 >= e.ts - INTERVAL 3 DAY
+        |  ORDER BY o.ts2 DESC, o.o_orderkey DESC LIMIT 1) l""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders").select(
+        col("o_custkey").as("user_id"),
+        col("o_orderkey").as("recent_orderkey"),
+        expr("cast(o_orderdate as timestamp) + make_dt_interval(0, 0, 0, o_orderkey % 86400)")
+          .as("ts2"))
+      graft.operators.AsofJoin.backwardWithin(ev, ord, "user_id", "ts", "ts2",
+          Seq("recent_orderkey"), toleranceSeconds = 3L * 86400L)
+        .select("event_id", "user_id", "recent_orderkey")
+    },
+
     // ---- J19: FORWARD as-of join (next order at or after each event,
     //      per customer) — the mirror contract of j9 through the same
     //      one-shuffle tagged-union window, frame looking FORWARD;
