@@ -579,6 +579,56 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  final case class WavHeader(media_id: Long, n_channels: Int,
+                             sample_rate: Int, bits: Int, n_samples: Long)
+
+  /** WAV container-header sniff (m7) — the audio leg of [[sniffDimensions]]:
+    * channels / rate / bit depth / sample count from the RIFF chunk walk
+    * alone, no `javax.sound` codec, no PCM read. Sample count is derived,
+    * not stored: data-chunk bytes ÷ frame size. The walk is generic
+    * (chunks are skipped by their declared size, odd sizes padded to
+    * even per RIFF), so writers that emit LIST/fact chunks before `data`
+    * parse identically. None for anything truncated or non-PCM-shaped.
+    */
+  def sniffWav(data: Array[Byte]): Option[WavHeader] = {
+    def u16(i: Int) = (data(i) & 0xFF) | ((data(i + 1) & 0xFF) << 8)
+    def u32(i: Int) = (data(i) & 0xFF).toLong | ((data(i + 1) & 0xFF).toLong << 8) |
+      ((data(i + 2) & 0xFF).toLong << 16) | ((data(i + 3) & 0xFF).toLong << 24)
+    def tag(i: Int) = new String(data, i, 4, "US-ASCII")
+    try {
+      if (data.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataBytes = -1L
+      while (i + 8 <= data.length && (fmt.isEmpty || dataBytes < 0)) {
+        val (id, size) = (tag(i), u32(i + 4))
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= data.length) {
+          val audioFormat = u16(i + 8)
+          if (audioFormat != 1) return None // PCM only, like readPcm
+          fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
+        } else if (id == "data") dataBytes = size
+        i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+      }
+      for ((ch, rate, bits) <- fmt; if dataBytes >= 0 && ch > 0 && bits >= 8)
+        yield WavHeader(0L, ch, rate, bits, dataBytes / (ch * bits / 8))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Header-sniff a WAV media table — the [[imageHeaders]] stage shape
+    * with [[sniffWav]] as the kernel; undecodable rows drop.
+    */
+  def wavHeaders(media: DataFrame, targetPartitions: Int = 0): Dataset[WavHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        sniffWav(data).map(_.copy(media_id = id))
+      })
+  }
+
   /** Deterministic REAL image bytes for a media id: a solid-color
     * `(16 + id % 64) × (16 + id % 48)` image, PNG for even ids and JPEG
     * for odd — the dimensions are a closed form of the id, which is

@@ -164,6 +164,15 @@ object Extras {
     * only dialect guards: explicit BIGINT casts where DuckDB widens
     * (HUGEINT sums, BIGINT rank).
     */
+  /** sql3: identical text runs on BOTH engines — GROUP BY ALL with
+    * ORDER-independent output (check.py sorts rows).
+    */
+  private[queries] val sql3Text: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem GROUP BY ALL""".stripMargin
+
   private val sql1Text: String =
     """WITH rev AS (
       |  SELECT n_name, year(o_orderdate) AS o_year,
@@ -279,6 +288,17 @@ object Extras {
     "sql2_duckdb_dialect" -> Q(sql2Text) { (s, dir) =>
       t(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql(graft.sql.DuckDialect.translate(sql2Text))
+    },
+
+    // ---- SQL3: GROUP BY ALL / ORDER BY ALL — the shared modern-SQL
+    //      shorthand (DuckDB popularized it, Spark 4 adopted it): every
+    //      non-aggregate select item becomes a grouping key, so the
+    //      query text needs no positional/name echo and survives column
+    //      additions. The SAME text runs verbatim on both engines —
+    //      frontend breadth with zero translation. ---------------------
+    "sql3_group_by_all" -> Q(sql3Text) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sql3Text)
     },
 
     // ---- F1: chamber letter ↔ int codec (pa_legislature.py:7-23) -------

@@ -1521,6 +1521,33 @@ object PipelineOps {
     //      rounding differs across engines), every key replayable
     //      bit-for-bit. Top-k runs as orderBy+limit, never a global
     //      window. -----------------------------------------------------
+    // ---- X27: corpus vocabulary profile — the four numbers a
+    //      tokenizer-training / quality pass reads first: total token
+    //      occurrences, vocabulary size, hapax count (singletons — the
+    //      long-tail mass that dominates BPE merge candidates), and the
+    //      top term frequency. One explode + one two-level agg; the
+    //      second level is four scalars. ------------------------------
+    "x27_vocab_profile" -> Q(
+      """WITH tok AS (SELECT u.t AS term
+        |             FROM (SELECT string_split(lower(text), ' ') AS ws
+        |                   FROM documents), unnest(ws) AS u(t)
+        |             WHERE u.t <> ''),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1)
+        |SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab_size,
+        |       CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+        |       CAST(max(f) AS BIGINT) AS top_freq
+        |FROM tf""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f")).as("total_tokens"),
+          count(lit(1)).as("vocab_size"),
+          count(when(col("f") === 1, 1)).as("n_hapax"),
+          max(col("f")).as("top_freq"))
+    },
+
     "x26_weighted_sample" -> Q(
       """WITH w AS (SELECT doc_id,
         |            len(string_split(text, ' ')) AS n_words FROM documents),
@@ -1856,6 +1883,24 @@ object PipelineOps {
         .mapPartitions(_.map(id => (id, Multimodal.syntheticImageBytes(id))))
         .toDF("media_id", "data")
       Multimodal.imageHeaders(media, targetPartitions = 8).toDF()
+    },
+
+    // ---- M7: WAV container-header sniff — m6's audio leg: channels /
+    //      rate / bit depth / sample count from the RIFF chunk walk
+    //      alone (sample count DERIVED: data bytes ÷ frame size), no
+    //      javax.sound codec. Payloads come from the real m5 tone
+    //      encoder at closed-form sample counts, so the
+    //      generate→encode→sniff roundtrip is oracle-checkable. --------
+    "m7_wav_header_sniff" -> Q(
+      """SELECT doc_id AS media_id, 1 AS n_channels, 8000 AS sample_rate,
+        |       16 AS bits, CAST(1000 + doc_id % 3000 AS BIGINT) AS n_samples
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          Multimodal.syntheticToneWav(440.0, (1000 + id % 3000).toInt, 8000, 0.5))))
+        .toDF("media_id", "data")
+      Multimodal.wavHeaders(media, targetPartitions = 8).toDF()
     },
 
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
