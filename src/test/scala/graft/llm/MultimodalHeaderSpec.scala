@@ -76,6 +76,30 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.sniffDimensions(desynced).isEmpty)
   }
 
+  test("WAV sniff returns the encoded rate/channels/bits and DERIVED sample count") {
+    for (n <- Seq(1, 1000, 3999)) {
+      val wav = Multimodal.syntheticToneWav(440.0, n, 8000, 0.5)
+      val got = Multimodal.sniffWav(wav)
+      assert(got.map(h => (h.n_channels, h.sample_rate, h.bits, h.n_samples))
+        === Some((1, 8000, 16, n.toLong)), s"n=$n got=$got")
+      // header truth equals decode truth
+      val dec = Multimodal.decodeAudio(wav).get
+      assert(got.get.n_samples === dec.n_samples)
+      assert(got.get.sample_rate === dec.sample_rate)
+    }
+  }
+
+  test("WAV sniff drops corrupt / truncated / non-PCM payloads as None") {
+    val wav = Multimodal.syntheticToneWav(440.0, 500, 8000, 0.5)
+    assert(Multimodal.sniffWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.sniffWav(wav.take(30)).isEmpty)       // mid-fmt cut
+    assert(Multimodal.sniffWav("RIFFxxxxJUNK".getBytes).isEmpty)
+    val nonPcm = wav.clone()
+    // fmt chunk starts at 12; audioFormat field at +8 — flip PCM(1) to 7
+    nonPcm(20) = 7
+    assert(Multimodal.sniffWav(nonPcm).isEmpty)
+  }
+
   test("the distributed stage keeps ids and drops undecodable rows") {
     val rows = Seq(
       (1L, encode("png", 20, 10)),
