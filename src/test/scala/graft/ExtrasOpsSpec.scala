@@ -85,6 +85,33 @@ class ExtrasOpsSpec extends SparkSpec {
     }
   }
 
+  test("x26/g8/w15/a24: round-8 plan shapes match their scale claims") {
+    // x26: the weighted top-k is TakeOrderedAndProject over per-row
+    // array math — per-partition heaps, never a global Sort, no explode
+    val x26 = SparkEntry.queries("x26_weighted_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(x26.contains("TakeOrderedAndProject"), x26.take(800))
+    assert(!x26.contains("Generate"), x26.take(800))
+    // g8: every PPR round is an equi-join — no cartesian, no nested loop
+    val g8 = SparkEntry.queries("g8_ppr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!g8.contains("CartesianProduct") && !g8.contains("NestedLoop"),
+      g8.take(500))
+    // w15: the per-user min-us side joins BROADCAST (one row per user);
+    // the fold itself is per-row array math, no second wide shuffle
+    val w15 = SparkEntry.queries("w15_ewma")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(w15.contains("BroadcastHashJoin"), w15.take(800))
+    // a24: the bitmap aggs plan SortAggregate (binary buffers are not
+    // hash-agg mutable types — Spark-inherent), but the partial halves
+    // run MAP-SIDE before each exchange, which is the scale claim: the
+    // id stream combines locally, only (key, bitmap) partials shuffle
+    val a24 = SparkEntry.queries("a24_bitmap_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(a24.contains("partial_bitmap_construct_agg") &&
+      a24.contains("partial_bitmap_or_agg"), a24.take(1200))
+  }
+
   test("w6: unpivot is the inverse of pivot on the part metrics") {
     val orig = Tables.t(spark, dir, "part")
       .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
