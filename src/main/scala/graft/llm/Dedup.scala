@@ -102,6 +102,58 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id1", "id2", "containment")
 
+  /** WEIGHTED (multiset) Jaccard near-dup pairs (d15):
+    * Σ min(aᵢ,bᵢ) / Σ max(aᵢ,bᵢ) over n-gram OCCURRENCE COUNTS — the
+    * measure that separates "same phrases, same proportions" from "same
+    * phrase set, wildly different repetition" (a page that repeats one
+    * boilerplate block 50× shares [[jaccardPairs]]'s full shingle SET
+    * with its 1× original, set-Jaccard 1.0, while its weighted Jaccard
+    * collapses). Σmax is never materialized: Σmax = |A| + |B| − Σmin
+    * (multiset identity), so the pair pass only sums minima over shared
+    * shingles. All-integer output — (inter, uni) plus the threshold as
+    * `2·inter ≥ uni` (J ≥ ½) — so the oracle hash-checks with no float.
+    *
+    * Scale shape: the SAME inverted-index + chunk-guarded
+    * [[postingPairs]] machinery as the set form, carried unchanged by
+    * packing (id, cnt) into one BIGINT (id·2²⁰ + cnt): a packed posting
+    * list sorts identically to its id list (counts occupy the low bits
+    * and each id appears once per list), so hot-shingle chunking,
+    * ordering, and pair conventions all transfer. Exactness needs
+    * per-(doc, shingle) counts < 2²⁰ — counts are bounded by document
+    * word length, so this holds for anything short of a million-word
+    * single document (the clamp keeps packing order sane even then).
+    */
+  def weightedJaccardPairs(docs: DataFrame, n: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = docs.where(size(words) >= n)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
+    // reused by totals AND postings — cut once
+    val cnts = grams.groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(false)
+    val totals = cnts.groupBy(idCol).agg(sum(col("_cnt")).as("_tot"))
+    val packed = cnts.select(col("shingle"),
+      (col(idCol) * 1048576L + least(col("_cnt"), lit(1048575L))).as("_pid"))
+    val postings = packed.groupBy("shingle")
+      .agg(sort_array(collect_list(col("_pid"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .localCheckpoint(false)
+    postingPairs(postings)
+      .select(expr("id1 div 1048576").as("_i1"), (col("id1") % 1048576L).as("_c1"),
+        expr("id2 div 1048576").as("_i2"), (col("id2") % 1048576L).as("_c2"))
+      .groupBy(col("_i1").as("id1"), col("_i2").as("id2"))
+      .agg(sum(least(col("_c1"), col("_c2"))).as("inter"))
+      .join(totals.select(col(idCol).as("id1"), col("_tot").as("_t1")), "id1")
+      .join(totals.select(col(idCol).as("id2"), col("_tot").as("_t2")), "id2")
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("_t1") + col("_t2") - col("inter")).as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))
+  }
+
   /** Posting lists longer than this expand through the chunked, shuffled
     * path in [[postingPairs]]: per-task pair expansion is capped at
     * HotListChunk² regardless of how hot a shingle is, so one boilerplate

@@ -346,6 +346,35 @@ object PipelineOps {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // ---- D15: WEIGHTED (multiset) Jaccard near-dup pairs — d2 over
+    //      n-gram OCCURRENCE COUNTS: Σmin/Σmax separates "same phrases,
+    //      same proportions" from "same set, different repetition" (a
+    //      page repeating one boilerplate block 50× has set-Jaccard 1.0
+    //      with its 1× original; its weighted Jaccard collapses). Σmax
+    //      is never materialized (= |A|+|B|−Σmin); output is the
+    //      all-integer (inter, uni) with 2·inter ≥ uni as the J ≥ ½
+    //      threshold, so the hash check carries no float. Same
+    //      chunk-guarded posting machinery as d2, carried by packing
+    //      (id, cnt) into one BIGINT. --------------------------------
+    "d15_weighted_jaccard" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+        |       WHERE len(ws) >= 3),
+        |c AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM sh GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS inter
+        |      FROM c a JOIN c b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, inter,
+        |       CAST(t1.tot + t2.tot - inter AS BIGINT) AS uni
+        |FROM p JOIN t t1 ON t1.doc_id = id1 JOIN t t2 ON t2.doc_id = id2
+        |WHERE inter * 2 >= t1.tot + t2.tot - inter""".stripMargin) { (s, dir) =>
+      Dedup.weightedJaccardPairs(docs(s, dir), n = 3)
+    },
+
     // ---- D7: connected components over the near-dup pair graph — the
     //      pairs→clusters step (distributed min-label propagation; oracle
     //      = DuckDB recursive CTE over the SAME jaccard pair graph) ------
