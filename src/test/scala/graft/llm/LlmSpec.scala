@@ -23,6 +23,34 @@ class LlmSpec extends SparkSpec {
     assert(groups.filter(col("keep_id") >= 1000000).count() === 0)
   }
 
+  test("weighted Jaccard separates repetition that set-Jaccard cannot see") {
+    import spark.implicits._
+    // doc 1: one block; doc 2: the SAME block 9× — the distinct shingle
+    // sets differ only by doc 2's two copy-boundary shingles (set-J =
+    // 7/9 ≈ 0.78, comfortably a set-near-dup), while the multiset ratio
+    // collapses (inter 7 vs uni 79: each in-block shingle occurs 9×)
+    val block = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = Seq(
+      (1L, block),
+      (2L, Seq.fill(9)(block).mkString(" ")),
+      (3L, block + " kappa"), // near-dup of 1 in BOTH measures
+      (4L, "totally different words with no shared phrases at all")
+    ).toDF("doc_id", "text")
+    val set = Dedup.jaccardPairs(d, n = 3, threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set.contains((1L, 2L)), s"set-Jaccard must see (1,2) as identical: $set")
+    val weighted = Dedup.weightedJaccardPairs(d, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // the 9× repetition drops below the J >= 1/2 gate entirely
+    assert(!weighted.contains((1L, 2L)),
+      s"weighted Jaccard must reject the 9x repetition: $weighted")
+    // the genuine near-dup survives with exact integer evidence:
+    // doc1 has 7 shingles, doc3 has 8, sharing all 7 → inter=7, uni=8
+    assert(weighted((1L, 3L)) === (7L, 8L), s"got ${weighted.get((1L, 3L))}")
+    assert(!weighted.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("MinHash-LSH pairs are a subset of exact Jaccard pairs with high recall") {
     val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.6)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
