@@ -2203,6 +2203,37 @@ object PipelineOps {
       EventStream.lateDataDrop(s, dir)._1
     },
 
+    // ---- T31 (streaming): Trigger.AvailableNow — the production
+    //      periodic-drain trigger: process everything available, then
+    //      TERMINATE on your own (every other streaming entry drains via
+    //      processAllAvailable on a live query; AvailableNow is what a
+    //      cron-scheduled incremental job actually runs — it respects
+    //      source rate limits across multiple batches and shuts the
+    //      query down when caught up). Self-termination is asserted
+    //      (awaitTermination with a bound, never stop()). ---------------
+    "t31_trigger_available_now" -> Q(
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val name = s"t31_avnow_${streamSeq.incrementAndGet()}"
+      val agg = EventStream.readEvents(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "AvailableNow query did not self-terminate within 5 minutes")
+      ss.table(name)
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("cents"))
+    },
+
     // ---- T29 (streaming ops): read a checkpoint's STATE STORE as a
     //      batch DataFrame — Spark 4's state data source, the window
     //      into "what is this query holding per key" that at production
