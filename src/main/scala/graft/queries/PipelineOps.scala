@@ -2305,6 +2305,37 @@ object PipelineOps {
         .toDF("n_rows", "n_clicks", "cents", "n_batches")
     },
 
+    // ---- M8: vision token budgeting — the ViT preprocessing arithmetic
+    //      a multimodal training manifest needs: each image contributes
+    //      ceil(w/P)·ceil(h/P) patch tokens (P = 14), and images lay out
+    //      into fixed-token-budget batches per source shard with the
+    //      x11 running-total discipline (batch = (cum − n) div budget:
+    //      one window per shard, never a global single-partition sort).
+    //      Dimensions are m6's closed forms, so the whole layout is
+    //      engine-replayable. -------------------------------------------
+    "m8_patch_token_budget" -> Q(
+      """WITH d AS (SELECT doc_id, source,
+        |            CAST(ceil((16 + doc_id % 64) / 14.0) *
+        |                 ceil((16 + doc_id % 48) / 14.0) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST((cum - n_tokens) // 64 AS BIGINT) AS batch_id
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).select(col("doc_id"), col("source"),
+        (ceil((lit(16) + col("doc_id") % 64) / 14.0) *
+          ceil((lit(16) + col("doc_id") % 48) / 14.0)).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("(cum - n_tokens) div 64").as("batch_id"))
+    },
+
     // ---- T12 (stateful streaming): near-dup detection ON INGEST --------
     //      MinHash-LSH as a stream: per-row signatures + banding run
     //      stateless on arriving documents; each (band, hash) bucket
