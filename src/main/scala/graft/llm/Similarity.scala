@@ -86,6 +86,84 @@ object Similarity {
     else ranked.select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Blocked exact top-k (e14) — [[bruteForceTopK]]'s scale twin, same
+    * answers through a different execution tier: the query block ships
+    * ONCE as primitive arrays and each corpus partition runs a tight
+    * JVM loop (per-query bounded heaps, one pass over the partition's
+    * vectors), emitting only queries × k candidates per partition. The
+    * Catalyst form scores through per-row expression evaluation and
+    * shuffles every scored row into the rank window; here the scoring
+    * loop is branch-free array math (the tier below a native Expression
+    * — §2's custom-operator preference (d), justified because the inner
+    * product over a query BLOCK has no per-row expression shape), and
+    * the shuffle carries only the per-partition survivors — at a
+    * billion corpus rows that is the difference between shuffling the
+    * corpus and shuffling parallelism × k rows. Bit-identical to the
+    * Catalyst form: quantized dots are exact integer sums (order-free),
+    * the heap keeps smaller ids on cosine ties, and the final global
+    * rank runs the SAME window over the tiny survivor set — e14 shares
+    * e1's oracle verbatim.
+    */
+  def bruteForceTopKBlocked(queries: DataFrame, corpus: DataFrame, k: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), quantized(col(vecCol)))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    require(qRows.nonEmpty, "query block is empty")
+    val qb = spark.sparkContext.broadcast(qRows)
+    val survivors = corpus
+      .select(col(idCol).cast("long"), quantized(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val qNorm = qs.map { case (_, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }; s
+        }
+        // max-heap of (−cosine, id): the head is the WORST survivor
+        // (lowest cosine, larger id on ties), so eviction keeps exactly
+        // the window's (cosine desc, id asc) top-k
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+        it.foreach { case (cid, cvSeq) =>
+          val cv = cvSeq.toArray
+          var cn = 0.0
+          var i = 0
+          while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != cid) {
+              var d = 0.0; var j = 0
+              while (j < qv.length && j < cv.length) {
+                d += qv(j) * cv(j); j += 1
+              }
+              val cos = d / math.sqrt(qNorm(qi) * cn)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((-cos, cid))
+              else if (Ordering.Tuple2[Double, Long].lt((-cos, cid), h.head)) {
+                h.dequeue(); h.enqueue((-cos, cid))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (negCos, cid) => (qs(qi)._1, cid, -negCos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    survivors.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Exact top-k by raw INNER PRODUCT (MIPS) — the retrieval objective
     * of dot-product-trained embedding models, which cosine top-k (e1)
     * silently distorts for vectors of unequal norm. Executed through

@@ -38,6 +38,27 @@ object PipelineOps {
         |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
         |WHERE c * 1.0 / least(n1.n, n2.n) >= 0.9""".stripMargin
 
+  /** ONE exact-cosine-top-k oracle for e1 AND its blocked scale twin
+    * e14 — both entries must produce identical rows by construction, so
+    * they share the contract string verbatim (the d14/d14b discipline).
+    */
+  private val annTopkOracleSql: String =
+    """WITH q AS (SELECT vec_id AS qid,
+      |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid,
+      |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+      |      FROM embeddings),
+      |sc AS (SELECT qid, cid,
+      |        list_dot_product(qv, cv) /
+      |        sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+      |       FROM q, c WHERE qid <> cid),
+      |r AS (SELECT qid AS query_id, cid AS neighbor_id,
+      |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
+      |       cos FROM sc)
+      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+      |FROM r WHERE rank <= 5""".stripMargin
+
   /** Scratch parquet path for m4b's persisted fingerprints — fixed per
     * process (overwrite mode) and embedded in the oracle SQL below, so
     * the DuckDB replay reads exactly the bytes the entry paired through.
@@ -725,24 +746,24 @@ object PipelineOps {
         .select("query_id", "neighbor_id", "rank", "dot")
     },
 
-    "e1_ann_topk" -> Q(
-      """WITH q AS (SELECT vec_id AS qid,
-        |            list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS qv
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS cid,
-        |       list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
-        |      FROM embeddings),
-        |sc AS (SELECT qid, cid,
-        |        list_dot_product(qv, cv) /
-        |        sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
-        |       FROM q, c WHERE qid <> cid),
-        |r AS (SELECT qid AS query_id, cid AS neighbor_id,
-        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
-        |       cos FROM sc)
-        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
-        |FROM r WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    "e1_ann_topk" -> Q(annTopkOracleSql) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+
+    // ---- E14: blocked exact top-k — e1's SCALE TWIN through the
+    //      mapPartitions tier: the query block ships once as primitive
+    //      arrays, each corpus partition runs a tight JVM scoring loop
+    //      with per-query bounded heaps, and only queries × k survivors
+    //      per partition reach the rank shuffle (e1 shuffles every
+    //      scored row). Bit-identical by construction (exact integer
+    //      dots are order-free, heap eviction matches the window's tie
+    //      order) — SAME oracle as e1, verbatim. --------------------
+    "e14_knn_blocked" -> Q(annTopkOracleSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKBlocked(emb.filter(col("vec_id") < 10), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
     },
