@@ -817,6 +817,46 @@ object Extras {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
     },
 
+    // ---- A25: robust outlier gate (median + MAD) — the data-quality
+    //      filter that survives the outliers it is hunting (mean/stddev
+    //      z-scores move WITH contamination; the median and the median
+    //      absolute deviation don't). Two exact-percentile passes over
+    //      integer cents: every intermediate (med at .5 granularity,
+    //      dev, mad at .25) is an exactly-representable double, so both
+    //      engines compare dev > 3·MAD identically. The med/mad tables
+    //      are one row per type — broadcast joins, no second wide
+    //      shuffle. -----------------------------------------------------
+    "a25_robust_outliers" -> Q(
+      """WITH e AS (SELECT event_type,
+        |            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, med, abs(cents - med) AS dev
+        |      FROM e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, med, quantile_cont(dev, 0.5) AS mad
+        |      FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, round(s.med, 4) AS median_cents,
+        |       round(s.mad, 4) AS mad_cents,
+        |       CAST(count(CASE WHEN dev > 3 * s.mad THEN 1 END) AS BIGINT) AS n_outliers,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM d JOIN s ON d.event_type = s.event_type
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val m = e.groupBy("event_type")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val d = e.join(broadcast(m), "event_type")
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val mad = d.groupBy("event_type", "med")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      d.drop("med").join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), round(col("med"), 4).as("median_cents"),
+          round(col("mad"), 4).as("mad_cents"), col("n_outliers"), col("n"))
+    },
+
     // ---- A15: sketch aggregates — HLL++ distinct count and quantile-
     //      sketch percentile. The constant-memory path when exact
     //      distinct/percentile state would blow up at corpus scale; no
