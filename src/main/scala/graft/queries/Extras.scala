@@ -1589,6 +1589,66 @@ object Extras {
       PageRank.runPersonalized(e, sources, iterations = 3)
     },
 
+    // ---- G9: degree statistics + assortativity — the graph-shape
+    //      numbers a partitioning strategy is chosen FROM (max degree
+    //      says whether per-vertex neighborhoods fit a task; degree
+    //      correlation says whether hubs attach to hubs, the skew-join
+    //      risk profile). Assortativity = Pearson r of (deg src, deg
+    //      dst) over edges, via a16's exact-integer-moments discipline:
+    //      the five sums are exact (< 2^53), the final combination is
+    //      ONE identical double chain on both engines. -----------------
+    "g9_degree_stats" -> Q(
+      """WITH eo AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |x AS (SELECT d1.deg AS dx, d2.deg AS dy
+        |      FROM e JOIN d d1 ON d1.src = e.src JOIN d d2 ON d2.src = e.dst),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |       CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+        |       CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+        |       CAST(sum(dy * dy) AS DOUBLE) AS syy,
+        |       CAST(sum(dx * dy) AS DOUBLE) AS sxy FROM x)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+        |       CAST(n AS BIGINT) AS n_edges,
+        |       (SELECT CAST(max(deg) AS BIGINT) FROM d) AS max_deg,
+        |       round((n * sxy - sx * sy) /
+        |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |         AS assortativity
+        |FROM m""".stripMargin) { (s, dir) =>
+      val eo = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = eo.unionByName(
+        eo.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(false)
+      val d = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+      val x = e.join(d.withColumnRenamed("src", "_s1").withColumnRenamed("deg", "dx"),
+          col("src") === col("_s1"))
+        .join(d.withColumnRenamed("src", "_s2").withColumnRenamed("deg", "dy"),
+          col("dst") === col("_s2"))
+        .select("dx", "dy")
+      val m = x.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dx")).cast("double").as("sx"),
+        sum(col("dy")).cast("double").as("sy"),
+        sum(col("dx") * col("dx")).cast("double").as("sxx"),
+        sum(col("dy") * col("dy")).cast("double").as("syy"),
+        sum(col("dx") * col("dy")).cast("double").as("sxy"))
+      val stats = d.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"))
+      m.crossJoin(broadcast(stats))
+        .select(col("n_nodes"), col("n").cast("long").as("n_edges"),
+          col("max_deg"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("assortativity"))
+    },
+
     // ---- G2: synchronous label propagation (community detection) — the
     //      third graph-analytics member next to d7's components and g1's
     //      PageRank: every node adopts its neighbors' most frequent label
