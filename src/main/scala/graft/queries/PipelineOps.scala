@@ -2224,6 +2224,41 @@ object PipelineOps {
       EventStream.lateDataDrop(s, dir)._1
     },
 
+    // ---- T33 (streaming): MULTI-SOURCE union topology — two
+    //      independent file streams (the corpus split even/odd) union
+    //      into one stateful aggregation, each side provenance-tagged.
+    //      The shape every consolidation pipeline runs (N landing zones
+    //      → one state); per-tag counts prove neither source was
+    //      dropped or double-read. ------------------------------------
+    "t33_stream_union_sources" -> Q(
+      """SELECT event_type,
+        |  CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+        |  CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val ev = t(s, dir, "events")
+      def stageHalf(even: Boolean): String = {
+        val out = java.nio.file.Files.createTempDirectory(
+          s"graft_t33_${if (even) "e" else "o"}_").toString
+        ev.filter((col("event_id") % 2 === 0) === even)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+      val (d0, d1) = (stageHalf(even = true), stageHalf(even = false))
+      val schema = s.read.parquet(d0).schema
+      def src(d: String, tag: String) =
+        ss.readStream.schema(schema).parquet(d)
+          .withColumn("src_tag", lit(tag))
+      val agg = src(d0, "even").unionByName(src(d1, "odd"))
+        .groupBy("event_type")
+        .agg(count(when(col("src_tag") === "even", 1)).as("n_even"),
+          count(when(col("src_tag") === "odd", 1)).as("n_odd"),
+          count(lit(1)).as("n"))
+      EventStream.runToMemory(agg,
+        s"t33_union_${streamSeq.incrementAndGet()}", mode = "complete")
+    },
+
     // ---- T31 (streaming): Trigger.AvailableNow — the production
     //      periodic-drain trigger: process everything available, then
     //      TERMINATE on your own (every other streaming entry drains via

@@ -497,6 +497,22 @@ object Relational {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
     },
 
+    // ---- O5: keyset-free pagination — ORDER BY + LIMIT/OFFSET (Spark
+    //      supports OFFSET since 3.4; a total order makes the page
+    //      deterministic). The API-paging shape; at corpus scale deep
+    //      offsets degrade (every page sorts the prefix) — keyset
+    //      pagination (WHERE key > last_seen, s3's work-queue shape) is
+    //      the scale path, which is why BOTH exist here. ---------------
+    "o5_pagination" -> Q(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 15 OFFSET 30""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(30).limit(15)
+        .select("o_orderkey", "o_totalprice")
+    },
+
     // ---- U1: set difference (anti join) -------------------------------
     "u1_anti_join" -> Q(
       """SELECT c_custkey FROM customer
