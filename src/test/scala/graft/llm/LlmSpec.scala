@@ -23,6 +23,20 @@ class LlmSpec extends SparkSpec {
     assert(groups.filter(col("keep_id") >= 1000000).count() === 0)
   }
 
+  test("blocked exact top-k (e14) is bit-identical to the Catalyst form (e1)") {
+    val q = emb.filter(col("vec_id") < 10)
+    val a = Similarity.bruteForceTopK(q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val b = Similarity.bruteForceTopKBlocked(q, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(a.length === 50)
+    // UNROUNDED doubles must agree — integer dots are order-free and the
+    // kernel's heap replays the window's exact tie order
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("weighted Jaccard separates repetition that set-Jaccard cannot see") {
     import spark.implicits._
     // doc 1: one block; doc 2: the SAME block 9× — the distinct shingle
