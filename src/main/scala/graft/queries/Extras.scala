@@ -2582,6 +2582,26 @@ object Extras {
           "cast(o_orderkey % 3 + 2 as int))").as("elem"))
     },
 
+    // ---- F26: content-addressed document identity — sha256/md5 of the
+    //      text as the STABLE id an ingest mints (position- and
+    //      arrival-order-free, so re-crawls and shard moves never change
+    //      a document's identity, and exact dedup becomes an id
+    //      equality). The distinct-digest count doubling as an exact
+    //      dedup cross-check against d1. --------------------------------
+    "f26_content_id" -> Q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_sha,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+        |       min(sha256(text)) AS min_sha, min(md5(text)) AS min_md5
+        |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(sha2(col("text"), 256)).as("n_distinct_sha"),
+        count_distinct(md5(col("text"))).as("n_distinct_md5"),
+        min(sha2(col("text"), 256)).as("min_sha"),
+        min(md5(col("text"))).as("min_md5"))
+    },
+
     // ---- F23: COLLATED equality (Spark 4 collations) — case-insensitive
     //      join/group as a first-class COLLATION instead of lower()
     //      normalization: the join key carries UTF8_LCASE, Catalyst plans

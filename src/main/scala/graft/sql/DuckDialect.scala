@@ -228,6 +228,11 @@ object DuckDialect {
         s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)})"
       else s"regexp_replace(${args.mkString(", ")})"
     }
+    // DuckDB sha256(x) → Spark sha2(x, 256) (Spark has no 1-arg alias)
+    s = rewriteCalls(s, "sha256") { args =>
+      if (args.size == 1) s"sha2(${args.head}, 256)"
+      else s"sha256(${args.mkString(", ")})"
+    }
     // DuckDB chr(n) is the Unicode code point; Spark's chr is mod-256
     // ASCII (chr(769) = chr(1), not the combining acute) — fold
     // constant BMP code points into a \uXXXX string literal, which
