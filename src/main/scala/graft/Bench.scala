@@ -70,7 +70,7 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val long = votes.VoteMatrix.meltAll(spark, "/root/reference/vote_data")
-        val dir = java.nio.file.Files.createTempDirectory("graft_bench_export_").toString
+        val dir = graft.Scratch.dir("graft_bench_export_")
         votes.Export.writeAllDistributed(spark, long, dir)
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
@@ -150,20 +150,58 @@ object Bench {
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
     }
     spark.stop()
-    // The driver keeps only a ~2000-char stdout TAIL, and the full line
-    // above (200-entry queries/spread/gc/load maps + notes) far exceeds
-    // it — BENCH_r05..r07 all carry "parsed": null because the tail holds
-    // only the line's truncated end. Emit a second, machine-first line
-    // LAST (after spark.stop(), which logs to stderr only) that is
-    // guaranteed to fit: headline metric + failures + the slowest entries
-    // with their spread/gc/load telemetry, full data pointer at
-    // bench_last.json. Dropping the other entries is deliberate — the
-    // regression rule needs the slow tail, and the full map survives in
-    // the written file either way.
-    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(12)
-      .map { case (k, (v, lo, hi), (gc, ld)) =>
-        s""""$k":{"sec":$v,"spread":[$lo,$hi],"gc_ms":$gc,"load":$ld}"""
+    // The driver keeps only a ~2000-char stdout TAIL (which also contains
+    // sbt's trailing "[success] Total time: ..." line), and the full line
+    // above (239-entry queries/spread/gc/load maps + notes) far exceeds
+    // it — BENCH_r05..r08 all carry "parsed": null. r8's "compact" line
+    // still overflowed: 12 slowest entries with full-precision doubles +
+    // spread pushed the JSON head outside the window, so the tail held a
+    // line with its FRONT cut off. Emit a second, machine-first line LAST
+    // (after spark.stop(), which logs to stderr only) via a pure formatter
+    // hard-capped at MaxCompactLen chars (unit-tested in BenchLineSpec):
+    // headline metric + capped failures + the 5 slowest entries with
+    // rounded gc/load telemetry, full data pointer at bench_last.json.
+    // Dropping the other entries is deliberate — the regression rule needs
+    // the slow tail, and the full map survives in the written file.
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1)
+      .map { case (k, (v, _, _), (gc, ld)) => (k, v, gc, ld) }
+    val failedNames = results.collect { case (k, (v, _, _), _) if v < 0 => k }
+    println(compactLine(total, results.size, failedNames, loadStart, slowest, sfDir))
+  }
+
+  /** Hard ceiling for the machine-first stdout line. The driver's stdout
+    * tail is ~2000 chars and must also hold sbt's trailing
+    * "[success] Total time: ..." line (~70 chars) plus the "[info] "
+    * prefix; 1500 leaves comfortable margin. */
+  val MaxCompactLen = 1500
+
+  /** Pure formatter for the final compact bench line — the ONLY line the
+    * driver can reliably parse (everything longer is truncated by its
+    * stdout tail cap; see BENCH_r05..r08 "parsed": null). Keeps at most
+    * 5 slowest entries and at most 8 failure names (with a total count),
+    * rounds doubles to fixed decimals, and drops entries from the end
+    * until the line fits MaxCompactLen — so the invariant holds for any
+    * entry-name lengths, not just today's. */
+  def compactLine(total: Double, nQueries: Int, failures: Seq[String],
+      loadStart: Double, slowestAll: Seq[(String, Double, Long, Double)],
+      sfDir: String): String = {
+    def sec(d: Double) = f"$d%.3f"
+    def ld(d: Double) = f"$d%.2f"
+    val failJson =
+      if (failures.isEmpty) """"failures":[]"""
+      else s""""n_failures":${failures.size},"failures":${
+        failures.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    def line(entries: Seq[(String, Double, Long, Double)]): String = {
+      val slow = entries.map { case (k, v, gc, l) =>
+        s""""$k":{"sec":${sec(v)},"gc_ms":$gc,"load":${ld(l)}}"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"load_start":$loadStart,"slowest":$slowest,"full":"bench_last.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":$nQueries,$failJson,"load_start":${ld(loadStart)},"slowest":$slow,"full":"bench_last.json","sf":"$sfDir"}"""
+    }
+    var keep = slowestAll.take(5)
+    while (keep.nonEmpty && line(keep).length > MaxCompactLen) keep = keep.init
+    val out = line(keep)
+    require(out.length <= MaxCompactLen,
+      s"compact bench line is ${out.length} chars > $MaxCompactLen")
+    out
   }
 }

@@ -42,8 +42,7 @@ object StressStream {
       r
     }
 
-    val work = java.nio.file.Files
-      .createTempDirectory("graft-stress-stream").toString
+    val work = graft.Scratch.dir("graft-stress-stream")
 
     // ---- t16: sessionization with event-time timeouts under replay ----
     val gapMinutes = 30

@@ -597,17 +597,32 @@ object Multimodal {
     def tag(i: Int) = new String(data, i, 4, "US-ASCII")
     try {
       if (data.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var i = 12
+      var i = 12L
       var fmt: Option[(Int, Int, Int)] = None
       var dataBytes = -1L
       while (i + 8 <= data.length && (fmt.isEmpty || dataBytes < 0)) {
-        val (id, size) = (tag(i), u32(i + 4))
+        val ii = i.toInt
+        val (id, size) = (tag(ii), u32(ii + 4))
         if (id == "fmt " && size >= 16 && i + 8 + 16 <= data.length) {
-          val audioFormat = u16(i + 8)
+          val audioFormat = u16(ii + 8)
           if (audioFormat != 1) return None // PCM only, like readPcm
-          fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 22)))
+          fmt = Some((u16(ii + 10), u32(ii + 12).toInt, u16(ii + 22)))
         } else if (id == "data") dataBytes = size
-        i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+        // Advance entirely in Long: a corrupt chunk declaring size near
+        // 0xFFFFFFFF would, as an Int, wrap the step to ≤ 0 and hang the
+        // executor thread forever (NonFatal can't catch a hang — one bad
+        // payload must not kill a 100 TB stage). `size` from u32 is an
+        // unsigned Long, so `next` is strictly > i; a declared size that
+        // runs past the payload just ends the walk, matching the
+        // "None for anything truncated or corrupt" contract. RIFF pads
+        // odd chunks to even.
+        val next = i + 8 + size + (size & 1L)
+        if (next <= i || next > data.length) {
+          // corrupt/oversized chunk: keep whatever fmt/data we already
+          // saw (a data chunk legitimately extends to EOF in streamed
+          // writers), but stop walking.
+          i = data.length.toLong + 8
+        } else i = next
       }
       for ((ch, rate, bits) <- fmt; if dataBytes >= 0 && ch > 0 && bits >= 8)
         yield WavHeader(0L, ch, rate, bits, dataBytes / (ch * bits / 8))

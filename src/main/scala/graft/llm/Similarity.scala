@@ -70,9 +70,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      keepVec: Boolean = false): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      quantized(col(vecCol)).as("_qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantized(col(vecCol)).as("_cv"))
+    // Both sides go through the shared [[cleanVectors]] hygiene (null and
+    // zero-norm drop) — a zero-norm corpus row makes cosine NaN, which
+    // Spark's desc sort ranks ABOVE every real similarity, i.e. it would
+    // be everyone's #1 neighbor. Defining the drop here (and in the e14
+    // blocked twin) keeps the twin contract corpus-independent.
+    val q = broadcast(cleanVectors(queries, idCol, vecCol, "query_id", "_qv"))
+    val c = cleanVectors(corpus, idCol, vecCol, "neighbor_id", "_cv")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id")
@@ -109,17 +113,27 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows: Array[(Long, Array[Double])] = queries
-      .select(col(idCol).cast("long"), quantized(col(vecCol)))
+    // Same [[cleanVectors]] hygiene as e1 (null + zero-norm drop), so the
+    // twin contract holds by CONSTRUCTION on any corpus: without it a
+    // zero-norm vector's NaN cosine orders differently in the JVM heap
+    // (Scala total ordering: NaN after everything) than in Spark's window
+    // sort (NaN first) — a silent e1/e14 split waiting for future data.
+    val qRows: Array[(Long, Array[Double])] =
+      cleanVectors(queries, idCol, vecCol, "query_id", "_qv")
+      .select(col("query_id").cast("long"), col("_qv"))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
     require(qRows.nonEmpty, "query block is empty")
+    val dim = qRows(0)._2.length
+    require(qRows.forall(_._2.length == dim),
+      s"query block has mixed vector dimensions (expected $dim)")
     val qb = spark.sparkContext.broadcast(qRows)
-    val survivors = corpus
-      .select(col(idCol).cast("long"), quantized(col(vecCol)))
+    val survivors = cleanVectors(corpus, idCol, vecCol, "neighbor_id", "_cv")
+      .select(col("neighbor_id").cast("long"), col("_cv"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val qs = qb.value
+        val d0 = qs(0)._2.length
         val qNorm = qs.map { case (_, v) =>
           var s = 0.0; var i = 0
           while (i < v.length) { s += v(i) * v(i); i += 1 }; s
@@ -131,6 +145,10 @@ object Similarity {
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
         it.foreach { case (cid, cvSeq) =>
           val cv = cvSeq.toArray
+          // A truncated dot over mismatched dimensions would SILENTLY
+          // diverge from e1's zip_with semantics — fail loudly instead.
+          require(cv.length == d0,
+            s"corpus vector $cid has dim ${cv.length}, query block has $d0")
           var cn = 0.0
           var i = 0
           while (i < cv.length) { cn += cv(i) * cv(i); i += 1 }
@@ -139,7 +157,7 @@ object Similarity {
             val (qid, qv) = qs(qi)
             if (qid != cid) {
               var d = 0.0; var j = 0
-              while (j < qv.length && j < cv.length) {
+              while (j < qv.length) {
                 d += qv(j) * cv(j); j += 1
               }
               val cos = d / math.sqrt(qNorm(qi) * cn)

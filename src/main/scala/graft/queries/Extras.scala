@@ -2488,7 +2488,7 @@ object Extras {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       // the real consumer: one pass to parquet; metrics ride along
-      val out = java.nio.file.Files.createTempDirectory("graft_s22_").toString
+      val out = graft.Scratch.dir("graft_s22_")
       work.write.mode("overwrite").parquet(out)
       val m = obs.get
       Seq((m("n_rows").asInstanceOf[Long], m("n_big").asInstanceOf[Long],

@@ -1351,8 +1351,7 @@ object PipelineOps {
     //      are spec-verified (VectorIngestSpec, IvfPqDeltaSpec). Output:
     //      per-list code counts of the final maintained index.
     "t18_stream_index_maintain" -> Q.rowsOnly { (s, dir) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_t18_").toString
+      val work = graft.Scratch.dir("graft_t18_")
       val corpusDir = s"$work/corpus"
       val emb = t(s, dir, "embeddings")
       emb.filter(col("vec_id") < 300)
@@ -2239,8 +2238,7 @@ object PipelineOps {
       val ss = EventStream.statefulSession(s)
       val ev = t(s, dir, "events")
       def stageHalf(even: Boolean): String = {
-        val out = java.nio.file.Files.createTempDirectory(
-          s"graft_t33_${if (even) "e" else "o"}_").toString
+        val out = graft.Scratch.dir(s"graft_t33_${if (even) "e" else "o"}_")
         ev.filter((col("event_id") % 2 === 0) === even)
           .write.mode("overwrite").parquet(out)
         out

@@ -147,14 +147,15 @@ object EventStream {
     val cutUs = ev.agg(min(unix_micros(col("ts")))).first().getLong(0) +
       15L * 86400L * 1000000L
     val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
-    val stage = java.nio.file.Files.createTempDirectory("graft_t30_").toString
+    val stage = graft.Scratch.dir("graft_t30_")
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_t30_w_").toString
+      val tmp = graft.Scratch.dir("graft_t30_w_")
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(stage, name))
+      graft.Scratch.drop(tmp) // fully consumed by the copy above
     }
     val us = unix_micros(col("ts"))
     writeOne(ev.filter(us >= cutUs && us < maxUs), "0_bulk.parquet")
@@ -197,7 +198,7 @@ object EventStream {
     */
   def stateStoreSnapshot(parent: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ss = statefulSession(parent)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_t29_ckpt_").toString
+    val ckpt = graft.Scratch.dir("graft_t29_ckpt_")
     val name = s"t29_state_${java.util.UUID.randomUUID().toString.take(8)}"
     val agg = readEvents(ss, dir)
       .groupBy(col("event_type"))
@@ -253,7 +254,7 @@ object EventStream {
   def observedIngestMetrics(parent: SparkSession, dir: String,
                             nFiles: Int = 4): (Long, Long, Long, Long) = {
     val ss = statefulSession(parent)
-    val stage = java.nio.file.Files.createTempDirectory("graft_t27_").toString
+    val stage = graft.Scratch.dir("graft_t27_")
     graft.Tables.t(parent, dir, "events")
       .repartition(nFiles).write.mode("overwrite").parquet(stage)
     val schema = parent.read.parquet(stage).schema

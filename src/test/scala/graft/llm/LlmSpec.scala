@@ -37,6 +37,36 @@ class LlmSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("e1/e14 twin contract survives zero-norm and null corpus vectors") {
+    import spark.implicits._
+    // r8 advice: a zero-norm vector's NaN cosine sorts FIRST in Spark's
+    // window (NaN above every double) but LAST-ish in the JVM heap — a
+    // silent e1/e14 split. Both paths now share the cleanVectors drop, so
+    // degenerate rows appear in NEITHER result.
+    val poisoned = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq(
+        (900001L, Array.fill(8)(0.0f)),              // zero norm
+        (900002L, null.asInstanceOf[Array[Float]])   // null vector
+      ).toDF("vec_id", "embedding"))
+    val q = emb.filter(col("vec_id") < 10)
+    val a = Similarity.bruteForceTopK(q, poisoned, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val b = Similarity.bruteForceTopKBlocked(q, poisoned, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(a.toSeq === b.toSeq)
+    assert(!a.exists(_._2 >= 900000L), "degenerate rows must never rank")
+    // dimension mismatch fails LOUDLY in the blocked kernel instead of
+    // silently truncating the dot
+    val shortVec = Seq((900003L, Array.fill(3)(0.5f))).toDF("vec_id", "embedding")
+    val mixed = emb.select(col("vec_id"), col("embedding")).unionByName(shortVec)
+    val err = intercept[org.apache.spark.SparkException] {
+      Similarity.bruteForceTopKBlocked(q, mixed, k = 5).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("weighted Jaccard separates repetition that set-Jaccard cannot see") {
     import spark.implicits._
     // doc 1: one block; doc 2: the SAME block 9× — the distinct shingle

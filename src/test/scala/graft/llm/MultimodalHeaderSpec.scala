@@ -100,6 +100,36 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.sniffWav(nonPcm).isEmpty)
   }
 
+  test("WAV sniff terminates (no hang) on near-0xFFFFFFFF chunk sizes") {
+    // r8 advice (Multimodal sniffWav): an unknown chunk declaring size
+    // 0xFFFFFFF8 (or F7) made the Int-arithmetic advance step 0/negative
+    // — a 32-byte crafted payload hung the executor thread forever. The
+    // walk must stay in Long and treat a chunk running past the payload
+    // as end-of-walk. A timed wrapper would be flaky; the Long-advance
+    // guarantees next > i, so plain calls suffice — they'd hang the
+    // suite if the bug returned.
+    def riff(chunks: (String, Long, Int)*): Array[Byte] = {
+      val body = chunks.flatMap { case (id, declared, actual) =>
+        id.getBytes("US-ASCII") ++ Array(
+          (declared & 0xFF).toByte, ((declared >> 8) & 0xFF).toByte,
+          ((declared >> 16) & 0xFF).toByte, ((declared >> 24) & 0xFF).toByte) ++
+          Array.fill[Byte](actual)(0)
+      }
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++ body
+    }
+    for (bad <- Seq(0xFFFFFFF7L, 0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L)) {
+      assert(Multimodal.sniffWav(riff(("LIST", bad, 12))).isEmpty)
+      // also when the poisoned chunk precedes a valid-looking fmt tag in
+      // the raw bytes — the walk must stop, not skip into it
+      assert(Multimodal.sniffWav(riff(("junk", bad, 0), ("fmt ", 16L, 16))).isEmpty)
+    }
+    // zero-size unknown chunk is fine (advance = 8) and the walk continues
+    val ok = Multimodal.syntheticToneWav(440.0, 100, 8000, 0.5)
+    val withEmpty = ok.take(12) ++ "pad ".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ ok.drop(12)
+    assert(Multimodal.sniffWav(withEmpty).exists(_.n_samples == 100L))
+  }
+
   test("the distributed stage keeps ids and drops undecodable rows") {
     val rows = Seq(
       (1L, encode("png", 20, 10)),
