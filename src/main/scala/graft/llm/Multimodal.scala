@@ -680,4 +680,354 @@ object Multimodal {
         sniffDimensions(data).map(_.copy(media_id = id))
       })
   }
+
+  // ───────────────────────── video containers (m9) ─────────────────────────
+
+  final case class VideoHeader(media_id: Long, fmt: String, width: Int,
+                               height: Int, duration_ms: Long, n_tracks: Int)
+
+  private def u32be(d: Array[Byte], i: Long): Long = {
+    val k = i.toInt
+    ((d(k) & 0xFF).toLong << 24) | ((d(k + 1) & 0xFF).toLong << 16) |
+      ((d(k + 2) & 0xFF).toLong << 8) | (d(k + 3) & 0xFF).toLong
+  }
+  private def u64be(d: Array[Byte], i: Long): Long =
+    (u32be(d, i) << 32) | u32be(d, i + 4)
+
+  /** Walk the ISO-BMFF boxes in `data[from, until)`. Handles compact
+    * (u32) sizes, `size == 1` → 64-bit largesize, and `size == 0` →
+    * box extends to the end of the enclosing scope. All arithmetic in
+    * Long (the sniffWav hang lesson): a corrupt size can never step
+    * backwards, so the walk always terminates. Returns false on any
+    * malformed box — callers treat that as "not this container".
+    */
+  private def walkBoxes(data: Array[Byte], from: Long, until: Long)(
+      f: (String, Long, Long) => Unit): Boolean = {
+    var i = from
+    while (i + 8 <= until) {
+      val size32 = u32be(data, i)
+      val tp = new String(data, i.toInt + 4, 4, "US-ASCII")
+      var header = 8L
+      var size = size32
+      if (size32 == 1L) {
+        if (i + 16 > until) return false
+        size = u64be(data, i + 8); header = 16L
+      } else if (size32 == 0L) size = until - i
+      val next = i + size
+      if (size < header || next <= i || next > until) return false
+      f(tp, i + header, next)
+      i = next
+    }
+    true
+  }
+
+  /** MP4 / ISO-BMFF header sniff: duration from `moov/mvhd` (version 0
+    * and 1 layouts), track count from `trak` boxes, dimensions from the
+    * video track's `tkhd` 16.16 fixed-point width/height (an audio
+    * track's tkhd carries 0×0 and is skipped). First bytes only — no
+    * sample tables, no codec config parsed, the m6/m7 triage
+    * discipline. None unless the payload leads with `ftyp` and carries
+    * a well-formed `moov` with both mvhd and a sized video track.
+    */
+  def sniffMp4(data: Array[Byte]): Option[VideoHeader] = {
+    try {
+      if (data.length < 16) return None
+      if (u32be(data, 0) < 8 ||
+          new String(data, 4, 4, "US-ASCII") != "ftyp") return None
+      var durationMs = -1L
+      var w = 0; var h = 0; var nTracks = 0
+      val ok = walkBoxes(data, 0, data.length) { (tp, ps, pe) =>
+        if (tp == "moov") {
+          val okMoov = walkBoxes(data, ps, pe) { (ct, cps, cpe) =>
+            if (ct == "mvhd" && cpe - cps >= 20) {
+              val v = data(cps.toInt) & 0xFF
+              if (v == 1 && cpe - cps >= 32) {
+                val ts = u32be(data, cps + 20); val dur = u64be(data, cps + 24)
+                if (ts > 0) durationMs = math.round(dur * 1000.0 / ts)
+              } else if (v == 0) {
+                val ts = u32be(data, cps + 12); val dur = u32be(data, cps + 16)
+                if (ts > 0) durationMs = math.round(dur * 1000.0 / ts)
+              }
+            } else if (ct == "trak") {
+              nTracks += 1
+              walkBoxes(data, cps, cpe) { (tt, tps, tpe) =>
+                if (tt == "tkhd") {
+                  val v = data(tps.toInt) & 0xFF
+                  val wOff = if (v == 1) 88L else 76L // fixed tkhd layout
+                  if (tpe - tps >= wOff + 8) {
+                    val tw = (u32be(data, tps + wOff) >> 16).toInt
+                    val th = (u32be(data, tps + wOff + 4) >> 16).toInt
+                    if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+                  }
+                }
+              }
+            }
+          }
+          if (!okMoov) return None
+        }
+      }
+      if (ok && durationMs >= 0 && w > 0 && h > 0 && nTracks > 0)
+        Some(VideoHeader(0L, "mp4", w, h, durationMs, nTracks))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Parse an EBML element id at `i`: raw value INCLUDING the length
+    * marker (the class-id form Matroska specs list), plus its byte
+    * length. None on truncation or a >4-byte id. */
+  private def ebmlId(d: Array[Byte], i: Long): Option[(Long, Int)] = {
+    if (i >= d.length) return None
+    val b0 = d(i.toInt) & 0xFF
+    val len =
+      if ((b0 & 0x80) != 0) 1 else if ((b0 & 0x40) != 0) 2
+      else if ((b0 & 0x20) != 0) 3 else if ((b0 & 0x10) != 0) 4 else return None
+    if (i + len > d.length) return None
+    var v = 0L; var k = 0
+    while (k < len) { v = (v << 8) | (d((i + k).toInt) & 0xFF); k += 1 }
+    Some((v, len))
+  }
+
+  /** Parse an EBML size varint at `i`: (-1, len) for the all-ones
+    * "unknown size" form, else (value, len). */
+  private def ebmlSize(d: Array[Byte], i: Long): Option[(Long, Int)] = {
+    if (i >= d.length) return None
+    val b0 = d(i.toInt) & 0xFF
+    var len = 1; var mask = 0x80
+    while (len <= 8 && (b0 & mask) == 0) { len += 1; mask >>= 1 }
+    if (len > 8 || i + len > d.length) return None
+    var v = (b0 & (mask - 1)).toLong
+    var k = 1
+    while (k < len) { v = (v << 8) | (d((i + k).toInt) & 0xFF); k += 1 }
+    val unknown = v == (1L << (7 * len)) - 1
+    Some((if (unknown) -1L else v, len))
+  }
+
+  /** Walk EBML child elements in `data[from, until)`. An unknown-size
+    * element consumes the rest of the scope (legal for Segment in
+    * streamed muxers). Long arithmetic throughout; false on malformed.
+    */
+  private def walkEbml(data: Array[Byte], from: Long, until: Long)(
+      f: (Long, Long, Long) => Unit): Boolean = {
+    var i = from
+    var done = false
+    while (!done && i < until) {
+      ebmlId(data, i) match {
+        case None => return false
+        case Some((id, il)) =>
+          ebmlSize(data, i + il) match {
+            case None => return false
+            case Some((sz, sl)) =>
+              val ps = i + il + sl
+              val pe = if (sz < 0) until else ps + sz
+              if (pe < ps || pe > until) return false
+              f(id, ps, pe)
+              if (sz < 0) done = true // unknown size: rest of scope consumed
+              else i = pe
+          }
+      }
+    }
+    true
+  }
+
+  private def ebmlUintAt(d: Array[Byte], ps: Long, pe: Long): Long = {
+    var v = 0L; var i = ps
+    while (i < pe) { v = (v << 8) | (d(i.toInt) & 0xFF); i += 1 }
+    v
+  }
+
+  /** MKV / EBML header sniff: `Info/TimestampScale` (default 10⁶ ns)
+    * and `Info/Duration` (float32/float64, in scale ticks) give
+    * duration; `Tracks/TrackEntry/Video/PixelWidth|PixelHeight` give
+    * dimensions; track count = TrackEntry count (audio entries carry no
+    * Video element and contribute only to the count). Void/CRC and any
+    * unknown elements are skipped by their declared size.
+    */
+  def sniffMkv(data: Array[Byte]): Option[VideoHeader] = {
+    try {
+      if (data.length < 8) return None
+      if (ebmlId(data, 0L) match {
+            case Some((id, _)) => id != 0x1A45DFA3L
+            case None => true
+          }) return None
+      var scale = 1000000L            // ns per tick, Matroska default
+      var durTicks = -1.0
+      var w = 0; var h = 0; var nTracks = 0
+      val ok = walkEbml(data, 0, data.length) { (id, ps, pe) =>
+        if (id == 0x18538067L) {      // Segment
+          walkEbml(data, ps, pe) { (sid, sps, spe) =>
+            if (sid == 0x1549A966L) { // Info
+              walkEbml(data, sps, spe) { (iid, ips, ipe) =>
+                if (iid == 0x2AD7B1L) scale = ebmlUintAt(data, ips, ipe)
+                else if (iid == 0x4489L) {
+                  val n = ipe - ips
+                  if (n == 8) durTicks = java.lang.Double
+                    .longBitsToDouble(u64be(data, ips))
+                  else if (n == 4) durTicks = java.lang.Float
+                    .intBitsToFloat(u32be(data, ips).toInt).toDouble
+                }
+              }
+            } else if (sid == 0x1654AE6BL) { // Tracks
+              walkEbml(data, sps, spe) { (tid, tps, tpe) =>
+                if (tid == 0xAEL) {          // TrackEntry
+                  nTracks += 1
+                  walkEbml(data, tps, tpe) { (eid, eps, epe) =>
+                    if (eid == 0xE0L) {      // Video
+                      walkEbml(data, eps, epe) { (vid, vps, vpe) =>
+                        if (vid == 0xB0L)
+                          w = math.max(w, ebmlUintAt(data, vps, vpe).toInt)
+                        else if (vid == 0xBAL)
+                          h = math.max(h, ebmlUintAt(data, vps, vpe).toInt)
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      if (ok && durTicks >= 0 && scale > 0 && w > 0 && h > 0 && nTracks > 0)
+        Some(VideoHeader(0L, "mkv", w, h,
+          math.round(durTicks * scale / 1e6), nTracks))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Container dispatch for the video leg: `ftyp` ⇒ MP4/ISO-BMFF,
+    * EBML magic ⇒ MKV, anything else drops. */
+  def sniffVideo(data: Array[Byte]): Option[VideoHeader] =
+    if (data.length >= 8 && new String(data, 4, 4, "US-ASCII") == "ftyp")
+      sniffMp4(data)
+    else if (data.length >= 4 && (data(0) & 0xFF) == 0x1A &&
+        (data(1) & 0xFF) == 0x45 && (data(2) & 0xFF) == 0xDF &&
+        (data(3) & 0xFF) == 0xA3)
+      sniffMkv(data)
+    else None
+
+  /** Header-sniff a video media table — the [[imageHeaders]] stage shape
+    * with [[sniffVideo]] as the kernel; undecodable rows drop. */
+  def videoHeaders(media: DataFrame, targetPartitions: Int = 0): Dataset[VideoHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        sniffVideo(data).map(_.copy(media_id = id))
+      })
+  }
+
+  // deterministic synthetic containers: closed-form fields of the id so
+  // the generate→mux→sniff roundtrip is oracle-checkable (the m6/m7
+  // pattern), while the bytes still pass through real box/EBML layouts
+
+  private def be32a(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64a(v: Long): Array[Byte] = be32a(v >>> 32) ++ be32a(v)
+  private def box(tp: String, payload: Array[Byte],
+                  large: Boolean = false): Array[Byte] =
+    if (large) be32a(1) ++ tp.getBytes("US-ASCII") ++
+      be64a(16L + payload.length) ++ payload
+    else be32a(8L + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
+
+  private val unityMatrix: Array[Byte] =
+    be32a(0x00010000L) ++ be32a(0) ++ be32a(0) ++
+    be32a(0) ++ be32a(0x00010000L) ++ be32a(0) ++
+    be32a(0) ++ be32a(0) ++ be32a(0x40000000L)
+
+  private def mvhdPayload(durMs: Long, v1: Boolean, nextTrack: Int): Array[Byte] = {
+    val times =
+      if (v1) be64a(0) ++ be64a(0) ++ be32a(1000) ++ be64a(durMs)
+      else be32a(0) ++ be32a(0) ++ be32a(1000) ++ be32a(durMs)
+    Array[Byte](if (v1) 1 else 0, 0, 0, 0) ++ times ++
+      be32a(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ // rate, volume
+      Array.fill[Byte](2 + 8)(0) ++ unityMatrix ++
+      Array.fill[Byte](24)(0) ++ be32a(nextTrack.toLong)
+  }
+
+  private def tkhdPayload(trackId: Int, w: Int, h: Int, durMs: Long,
+                          v1: Boolean): Array[Byte] = {
+    val times =
+      if (v1) be64a(0) ++ be64a(0) ++ be32a(trackId.toLong) ++ be32a(0) ++ be64a(durMs)
+      else be32a(0) ++ be32a(0) ++ be32a(trackId.toLong) ++ be32a(0) ++ be32a(durMs)
+    Array[Byte](if (v1) 1 else 0, 0, 0, 7) ++ times ++
+      Array.fill[Byte](8)(0) ++                      // reserved
+      Array.fill[Byte](2 + 2 + 2 + 2)(0) ++          // layer/alt/volume/reserved
+      unityMatrix ++
+      be32a(w.toLong << 16) ++ be32a(h.toLong << 16) // 16.16 fixed
+  }
+
+  /** Deterministic MP4 bytes: duration `1000 + id % 100000` ms (timescale
+    * 1000), `(160 + id % 1280) × (120 + id % 720)`, a second (audio,
+    * 0×0-tkhd) track when `id % 3 == 0`. Every 5th id muxes version-1
+    * (64-bit time) mvhd/tkhd and a largesize mdat, so both box layouts
+    * stay exercised by the corpus itself. `free` boxes at top level and
+    * inside moov exercise unknown-box skip. */
+  def syntheticMp4Bytes(id: Long): Array[Byte] = {
+    val durMs = 1000 + id % 100000
+    val (w, h) = ((160 + id % 1280).toInt, (120 + id % 720).toInt)
+    val v1 = id % 5 == 0
+    val twoTracks = id % 3 == 0
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32a(0) ++
+      "isom".getBytes("US-ASCII") ++ "mp42".getBytes("US-ASCII"))
+    val free = box("free", Array.fill[Byte](4)(0))
+    val vtrak = box("trak", box("tkhd", tkhdPayload(1, w, h, durMs, v1)))
+    val atrak =
+      if (twoTracks) box("trak", box("tkhd", tkhdPayload(2, 0, 0, durMs, v1)))
+      else Array.emptyByteArray
+    val moov = box("moov",
+      box("mvhd", mvhdPayload(durMs, v1, if (twoTracks) 3 else 2)) ++
+        free ++ vtrak ++ atrak)
+    val mdat = box("mdat", Array.fill[Byte](8)(0x42), large = v1)
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    var n = 8
+    while (n > 1 && (id >>> ((n - 1) * 8)) == 0) n -= 1
+    (0 until n).map(k => ((id >>> ((n - 1 - k) * 8)) & 0xFF).toByte).toArray
+  }
+  private def ebmlSizeBytes(n: Long): Array[Byte] =
+    if (n < 0x7F) Array((0x80L | n).toByte)
+    else if (n < 0x3FFF) Array((0x40L | (n >> 8)).toByte, (n & 0xFF).toByte)
+    else if (n < 0x1FFFFF) Array((0x20L | (n >> 16)).toByte,
+      ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+    else Array((0x10L | (n >> 24)).toByte, ((n >> 16) & 0xFF).toByte,
+      ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+  private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlSizeBytes(payload.length.toLong) ++ payload
+  private def ebmlUintBytes(v: Long): Array[Byte] = {
+    var n = 8
+    while (n > 1 && (v >>> ((n - 1) * 8)) == 0) n -= 1
+    (0 until n).map(k => ((v >>> ((n - 1 - k) * 8)) & 0xFF).toByte).toArray
+  }
+
+  /** Deterministic MKV bytes with the same closed-form fields as
+    * [[syntheticMp4Bytes]]: TimestampScale 10⁶ ns (1 tick = 1 ms),
+    * Duration as float64 ticks, Video PixelWidth/PixelHeight, a second
+    * (audio) TrackEntry when `id % 3 == 0`, and a Void element inside
+    * Segment exercising unknown-element skip. */
+  def syntheticMkvBytes(id: Long): Array[Byte] = {
+    val durMs = 1000 + id % 100000
+    val (w, h) = ((160 + id % 1280).toInt, (120 + id % 720).toInt)
+    val ebml = ebmlEl(0x1A45DFA3L,
+      ebmlEl(0x4282L, "matroska".getBytes("US-ASCII")))
+    val info = ebmlEl(0x1549A966L,
+      ebmlEl(0x2AD7B1L, ebmlUintBytes(1000000L)) ++
+        ebmlEl(0x4489L, be64a(java.lang.Double.doubleToLongBits(durMs.toDouble))))
+    val videoTe = ebmlEl(0xAEL,
+      ebmlEl(0x83L, ebmlUintBytes(1L)) ++
+        ebmlEl(0xE0L,
+          ebmlEl(0xB0L, ebmlUintBytes(w.toLong)) ++
+            ebmlEl(0xBAL, ebmlUintBytes(h.toLong))))
+    val audioTe =
+      if (id % 3 == 0) ebmlEl(0xAEL, ebmlEl(0x83L, ebmlUintBytes(2L)))
+      else Array.emptyByteArray
+    val void = ebmlEl(0xECL, Array.fill[Byte](6)(0))
+    val segment = ebmlEl(0x18538067L,
+      info ++ void ++ ebmlEl(0x1654AE6BL, videoTe ++ audioTe))
+    ebml ++ segment
+  }
 }

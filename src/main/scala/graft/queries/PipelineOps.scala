@@ -1952,6 +1952,35 @@ object PipelineOps {
       Multimodal.wavHeaders(media, targetPartitions = 8).toDF()
     },
 
+    // ---- M9: video-container header sniff — the triage leg a training
+    //      pipeline with a `media` column hits FIRST: duration + track
+    //      dims + track count from the MP4/ISO-BMFF box walk
+    //      (moov/mvhd/tkhd, compact AND version-1/largesize layouts) or
+    //      the MKV/EBML element walk (Info/TimestampScale+Duration,
+    //      Tracks/TrackEntry/Video) — first bytes only, no codec, no
+    //      sample tables, the m6/m7 discipline. Payloads are real
+    //      box/EBML layouts muxed at closed-form fields of the id (even
+    //      ids MP4, odd MKV; every 3rd id carries a second audio track;
+    //      every 5th MP4 uses 64-bit v1 boxes), so generate→mux→sniff is
+    //      oracle-checkable; truncation/corruption drops are pinned in
+    //      MultimodalHeaderSpec. ------------------------------------------
+    "m9_video_header_sniff" -> Q(
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS fmt,
+        |       CAST(160 + doc_id % 1280 AS INT) AS width,
+        |       CAST(120 + doc_id % 720 AS INT) AS height,
+        |       CAST(1000 + doc_id % 100000 AS BIGINT) AS duration_ms,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          if (id % 2 == 0) Multimodal.syntheticMp4Bytes(id)
+          else Multimodal.syntheticMkvBytes(id))))
+        .toDF("media_id", "data")
+      Multimodal.videoHeaders(media, targetPartitions = 8).toDF()
+    },
+
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
     "t2_stream_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

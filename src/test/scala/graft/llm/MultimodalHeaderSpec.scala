@@ -130,6 +130,75 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.sniffWav(withEmpty).exists(_.n_samples == 100L))
   }
 
+  test("MP4 sniff returns muxed duration/dims/tracks for v0, v1 and two-track layouts") {
+    // ids chosen to hit: v0 single-track (1→but odd... use evens), v0
+    // two-track (6), v1 largesize (10), v1+two-track (30)
+    for (id <- Seq(2L, 4L, 6L, 10L, 30L, 1234L)) {
+      val got = Multimodal.sniffVideo(Multimodal.syntheticMp4Bytes(id))
+      val expTracks = if (id % 3 == 0) 2 else 1
+      assert(got.map(v => (v.fmt, v.width, v.height, v.duration_ms, v.n_tracks))
+        === Some(("mp4", (160 + id % 1280).toInt, (120 + id % 720).toInt,
+          1000 + id % 100000, expTracks)), s"id=$id got=$got")
+    }
+  }
+
+  test("MKV sniff returns muxed duration/dims/tracks incl. the audio-entry case") {
+    for (id <- Seq(1L, 3L, 5L, 9L, 4321L)) {
+      val got = Multimodal.sniffVideo(Multimodal.syntheticMkvBytes(id))
+      val expTracks = if (id % 3 == 0) 2 else 1
+      assert(got.map(v => (v.fmt, v.width, v.height, v.duration_ms, v.n_tracks))
+        === Some(("mkv", (160 + id % 1280).toInt, (120 + id % 720).toInt,
+          1000 + id % 100000, expTracks)), s"id=$id got=$got")
+    }
+  }
+
+  test("video sniff drops truncated / corrupt / non-video payloads, and terminates") {
+    val mp4 = Multimodal.syntheticMp4Bytes(2L)
+    val mkv = Multimodal.syntheticMkvBytes(1L)
+    assert(Multimodal.sniffVideo(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.sniffVideo("not a container at all".getBytes).isEmpty)
+    // truncation mid-moov / mid-segment drops (no partial answer)
+    assert(Multimodal.sniffVideo(mp4.take(mp4.length / 2)).isEmpty)
+    assert(Multimodal.sniffVideo(mkv.take(mkv.length / 2)).isEmpty)
+    // a box declaring a size past the payload drops
+    val oversized = mp4.clone()
+    // ftyp is the first box: poison its u32 size to a huge value
+    oversized(0) = 0x7F; oversized(1) = 0xFF.toByte
+    assert(Multimodal.sniffVideo(oversized).isEmpty)
+    // size==0 ("to end of file") on a leading non-moov box swallows moov
+    val zeroSize = mp4.clone(); zeroSize(0) = 0; zeroSize(1) = 0
+    zeroSize(2) = 0; zeroSize(3) = 0
+    assert(Multimodal.sniffVideo(zeroSize).isEmpty)
+    // WAV-hang lesson: near-0xFFFFFFFF sizes must terminate, not loop
+    val wrap = mp4.clone()
+    wrap(0) = 0xFF.toByte; wrap(1) = 0xFF.toByte
+    wrap(2) = 0xFF.toByte; wrap(3) = 0xF8.toByte
+    assert(Multimodal.sniffVideo(wrap).isEmpty)
+  }
+
+  test("video sniff skips unknown boxes/elements without losing the payload") {
+    // syntheticMp4Bytes already interleaves `free` boxes (top level and
+    // inside moov) and syntheticMkvBytes a Void element; additionally
+    // prepend an unknown top-level box after ftyp
+    val base = Multimodal.syntheticMp4Bytes(8L)
+    val ftypLen = 24 // fixed mux layout
+    val unknown = Array[Byte](0, 0, 0, 12) ++ "wide".getBytes ++
+      Array.fill[Byte](4)(0x55)
+    val withUnknown = base.take(ftypLen) ++ unknown ++ base.drop(ftypLen)
+    assert(Multimodal.sniffVideo(withUnknown)
+      === Multimodal.sniffVideo(base))
+  }
+
+  test("the distributed video stage keeps ids and drops undecodable rows") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticMkvBytes(1L)),
+      (2L, Multimodal.syntheticMp4Bytes(2L)),
+      (3L, "garbage".getBytes): (Long, Array[Byte]))
+    val got = Multimodal.videoHeaders(rows.toDF("media_id", "data"))
+      .collect().map(v => (v.media_id, v.fmt)).sorted
+    assert(got.toSeq === Seq((1L, "mkv"), (2L, "mp4")))
+  }
+
   test("the distributed stage keeps ids and drops undecodable rows") {
     val rows = Seq(
       (1L, encode("png", 20, 10)),
