@@ -801,6 +801,46 @@ object Dedup {
       .select(idCol, "n_grams", "n_novel")
   }
 
+  /** Span-level CROSS-CORPUS decontamination (d16) — the matrix cell the
+    * doc-level operators miss: a benchmark QUOTE embedded inside an
+    * otherwise-clean training document. Doc-level exact decontamination
+    * (d6/d10) reports only an overlap count at a doc-level threshold and
+    * fuzzy decontamination (d12) needs doc-level Jaccard ≥ τ — a 40-token
+    * quote inside a 2,000-token doc clears neither bar decisively and,
+    * even when flagged, gives no boundaries to cut. This operator answers
+    * WHERE: every k-char gram of every training doc that appears in ANY
+    * benchmark doc flags its position, and flagged positions within k of
+    * each other condense into maximal spans per (train doc, bench doc) —
+    * d14's span machinery pointed across corpora, yielding
+    * character-exact cut lists for surgical quote removal.
+    *
+    * Scale shape is d10/d12's: the benchmark side is bounded (eval
+    * suites), so its distinct (bench_id, gram-hash-pair) set BROADCASTS
+    * and the flagging join is map-side — the training corpus never
+    * shuffles on this operator; only the tiny flagged-position set
+    * reaches the per-(train,bench) condense window. The wire carries two
+    * independent 64-bit gram hashes, never gram text (the d14b
+    * discipline: a false flag needs a 128-bit collision among distinct
+    * grams — not a real event — so the output is identical to exact text
+    * matching and the entry runs under a character-exact SQL oracle).
+    */
+  def contaminationSpans(docs: DataFrame, bench: DataFrame, k: Int,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         benchIdCol: String = "doc_id"): DataFrame = {
+    val benchGrams = broadcast(
+      gramPositions(bench, k, benchIdCol, textCol)
+        .select(col(benchIdCol).as("bench_id"),
+          xxhash64(col("gram")).as("_h1"),
+          xxhash64(lit("graft-d16-salt"), col("gram")).as("_h2"))
+        .distinct())
+    val grams = gramPositions(docs, k, idCol, textCol)
+      .select(col(idCol), col("p"),
+        xxhash64(col("gram")).as("_h1"),
+        xxhash64(lit("graft-d16-salt"), col("gram")).as("_h2"))
+    condenseSpans(grams.join(benchGrams, Seq("_h1", "_h2")), k,
+      Seq(idCol, "bench_id"))
+  }
+
   /** (id, p, gram) for every k-gram position of every doc. */
   private def gramPositions(docs: DataFrame, k: Int,
                             idCol: String, textCol: String): DataFrame =
@@ -812,20 +852,25 @@ object Dedup {
       .toDF(idCol, "_p0", "gram")
       .select(col(idCol), (col("_p0") + 1).as("p"), col("gram"))
 
-  /** Flagged positions → maximal per-doc spans (A11 islands). */
+  /** Flagged positions → maximal spans (A11 islands) per key tuple —
+    * per doc for d14/d14b, per (train doc, bench doc) for d16. */
   private def condenseSpans(flagged: DataFrame, k: Int,
-                            idCol: String): DataFrame = {
+                            keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCol).orderBy("p")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("p")
     val brk = when(col("p") - lag("p", 1).over(w) <= k, 0).otherwise(1)
     flagged
-      .select(col(idCol), col("p"), brk.as("_brk"))
-      .select(col(idCol), col("p"),
-        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("_sid"))
-      .groupBy(col(idCol), col("_sid"))
+      .select(keys.map(col) ++ Seq(col("p"), brk.as("_brk")): _*)
+      .select(keys.map(col) ++ Seq(col("p"),
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("_sid")): _*)
+      .groupBy((keys :+ "_sid").map(col): _*)
       .agg(min(col("p")).cast("long").as("span_start"),
         (max(col("p")) + (k - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
-      .select(idCol, "span_start", "span_end", "n_grams")
+      .select(keys.head, keys.tail ++ Seq("span_start", "span_end", "n_grams"): _*)
   }
+
+  private def condenseSpans(flagged: DataFrame, k: Int,
+                            idCol: String): DataFrame =
+    condenseSpans(flagged, k, Seq(idCol))
 }

@@ -545,6 +545,52 @@ object PipelineOps {
       Dedup.duplicateSpansHashed(docs(s, dir), k = 20, minDocs = 2)
     },
 
+    // ---- D16: span-level CROSS-CORPUS decontamination — the matrix
+    //      cell d6/d10 (doc-level exact), d12 (doc-level fuzzy) and d14
+    //      (within-corpus spans) all miss: a benchmark QUOTE embedded in
+    //      an otherwise-clean training doc, with exact boundaries for
+    //      surgical removal. Benchmark gram-hash pairs BROADCAST (the
+    //      d10/d12 shape — the corpus never shuffles; the wire carries
+    //      16-byte hash pairs, the d14b discipline), flagged positions
+    //      condense per (train doc, bench doc). Planted quotes (60 chars
+    //      of bench text framed by neutral filler, re-keyed +100000)
+    //      make the catch demonstrable; the oracle replays plant +
+    //      exact text matching character-for-character. ----------------
+    "d16_span_decontaminate" -> Q(
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, repeat('u', 40) || substr(text, 11, 60) || repeat('v', 40)
+        |  FROM bench WHERE doc_id < 1000),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, substr(text, u.p, 20) AS gram
+        |       FROM bench, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+        |tg AS (SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
+        |       FROM train, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+        |f AS (SELECT t.doc_id, bg.bench_id, t.p FROM tg t JOIN bg ON t.gram = bg.gram),
+        |b AS (SELECT doc_id, bench_id, p,
+        |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id, bench_id ORDER BY p) <= 20
+        |             THEN 0 ELSE 1 END AS brk
+        |      FROM f),
+        |s AS (SELECT doc_id, bench_id, p,
+        |        sum(brk) OVER (PARTITION BY doc_id, bench_id ORDER BY p
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM b)
+        |SELECT doc_id, bench_id, CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 19 AS BIGINT) AS span_end,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM s GROUP BY doc_id, bench_id, sid""".stripMargin) { (s, dir) =>
+      val all = docs(s, dir)
+      val bench = all.where(col("doc_id") % 50 === 0)
+      val planted = bench.where(col("doc_id") < 1000)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("u" * 40), substring(col("text"), 11, 60),
+            lit("v" * 40)).as("text"))
+      val train = all.where(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text").unionByName(planted)
+      Dedup.contaminationSpans(train, bench, k = 20)
+    },
+
     // ---- X23: per-doc gram NOVELTY (memorization proxy): how much of a
     //      doc's 20-gram mass appears for the FIRST time, by doc-id
     //      (ingestion) order — near-0 docs are recombinations of earlier

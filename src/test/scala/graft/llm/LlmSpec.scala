@@ -67,6 +67,49 @@ class LlmSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("d16 finds an embedded benchmark quote with exact boundaries where doc-level ops miss") {
+    import spark.implicits._
+    // A 40-word benchmark quote inside a 2,000-word training doc:
+    //  - d12 fuzzy decontamination needs doc-level Jaccard >= 0.6; here
+    //    J ~ 40/2000 = 0.02 — structurally invisible.
+    //  - d6 exact decontamination at a gross-contamination threshold
+    //    (minOverlap = 50 shared shingles) misses the ~38 quote shingles,
+    //    and even a flag would carry no boundaries to cut.
+    //  - d16 reports the exact character span of the quote.
+    val quoteWords = (1 to 40).map(i => s"benchword$i")
+    val quote = quoteWords.mkString(" ")
+    val fillerA = (1 to 1000).map(i => s"alpha$i").mkString(" ")
+    val fillerB = (1 to 960).map(i => s"omega$i").mkString(" ")
+    val trainText = s"$fillerA $quote $fillerB"
+    val train = Seq((7L, trainText)).toDF("doc_id", "text")
+    val bench = Seq((3L, s"benchmark preamble text here $quote and a closing sentence"))
+      .toDF("doc_id", "text")
+
+    val spans = Dedup.contaminationSpans(train, bench, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.length === 1, s"expected exactly the quote span: ${spans.toSeq}")
+    val (docId, benchId, start, end) = spans.head
+    assert(docId === 7L && benchId === 3L)
+    val expStart = fillerA.length + 2 // 1-based, after "fillerA "
+    // the span covers the quote; boundaries may extend into the single
+    // joining spaces (a gram straddling "...} benchword1" starts 19 chars
+    // earlier), but never into a full filler word
+    assert(start >= expStart - 19 && start <= expStart,
+      s"start=$start expected near $expStart")
+    val expEnd = expStart + quote.length - 1
+    assert(end >= expEnd && end <= expEnd + 19, s"end=$end expected near $expEnd")
+    assert(trainText.substring((start - 1).toInt, end.toInt).contains(quote))
+
+    // doc-level exact at the gross threshold: misses
+    val d6 = Dedup.contamination(train, bench, n = 3, minOverlap = 50)
+      .filter(col("contaminated")).count()
+    assert(d6 === 0L, "doc-level exact decontamination at minOverlap=50 must miss")
+    // doc-level fuzzy at tau=0.6: misses
+    val d12 = Dedup.fuzzyContamination(train, bench, n = 3,
+      numHashes = 64, bands = 32, threshold = 0.6).count()
+    assert(d12 === 0L, "doc-level fuzzy decontamination must miss a 2% quote")
+  }
+
   test("weighted Jaccard separates repetition that set-Jaccard cannot see") {
     import spark.implicits._
     // doc 1: one block; doc 2: the SAME block 9× — the distinct shingle
