@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed fact keys — the generic form of the
@@ -42,4 +42,54 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Session tuned so AQE's `OptimizeSkewedJoin` fires at test-corpus
+    * scale (j21): the production defaults call a partition skewed only
+    * past 256 MB, which a local-mode toy corpus never reaches, so the
+    * thresholds scale down while the MECHANISM under test (runtime skew
+    * detection + partition splitting) stays Spark's own. Cloned session
+    * (own SQLConf, shared SparkContext) — nothing concurrent on the
+    * parent ever observes these overrides. On a real cluster the
+    * defaults are usually right; leave them alone and just keep AQE on.
+    */
+  def aqeSession(parent: SparkSession,
+                 skewedPartitionThresholdBytes: Long = 100L * 1024,
+                 advisoryPartitionSizeBytes: Long = 50L * 1024,
+                 skewedPartitionFactor: Double = 2.0): SparkSession = {
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "32")
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      skewedPartitionThresholdBytes.toString)
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      advisoryPartitionSizeBytes.toString)
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      skewedPartitionFactor.toString)
+    ss
+  }
+
+  /** Native-AQE twin of [[salted]] (j21): the same skewed equi-join,
+    * handled by Spark's runtime skew split instead of hand-salting. The
+    * `merge` hint pins a sort-merge join — it keeps the tiny dim side
+    * out of a broadcast (which would dissolve the skew problem the entry
+    * exists to exercise) AND tells AQE not to demote the SMJ, leaving
+    * `OptimizeSkewedJoin` free to split oversized partitions and
+    * replicate the matching dim rows per split. Results are identical to
+    * the plain join by construction (AQE splits preserve join
+    * semantics), so j21 shares j12's oracle verbatim.
+    *
+    * When manual salting ([[salted]]) is still required:
+    *   - the SKEWED side must broadcast or the join is not sort-merge /
+    *     shuffled-hash (AQE only splits SMJ and SHJ shuffle partitions);
+    *   - the join output must keep a FIXED partitioning for a downstream
+    *     stage (AQE's split changes the output partitioning, which is
+    *     why `OptimizeSkewedJoin` skips joins under a required child
+    *     distribution);
+    *   - AQE is disabled, or the skew is in the *dimension* replication
+    *     factor rather than partition bytes (salting spreads by key
+    *     construction, not by observed size).
+    */
+  def aqeSkewed(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.hint("merge").join(dim, Seq(key))
 }

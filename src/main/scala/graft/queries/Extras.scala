@@ -264,6 +264,18 @@ object Extras {
   private val bucketedBuilt =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Hot-key join at its worst (every order lands on one of 10 keys) —
+    * shared verbatim by j12 (manual deterministic salting) and j21
+    * (Spark's native AQE skew split): both must equal the plain join.
+    */
+  private val skewJoinOracleSql: String =
+    """WITH f AS (SELECT o_orderkey, o_custkey % 10 AS hot_key,
+      |            cast(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |d AS (SELECT n_nationkey % 10 AS hot_key, min(n_name) AS grp
+      |      FROM nation GROUP BY 1)
+      |SELECT grp, count(*) AS n, cast(sum(cents) AS BIGINT) AS sum_cents
+      |FROM f JOIN d USING (hot_key) GROUP BY grp""".stripMargin
+
   val entries: Map[String, Q] = Map(
 
     // ---- SQL1: the spark.sql entry point — temp views + the same SQL
@@ -2317,13 +2329,7 @@ object Extras {
     //      operator salts the fact side deterministically and replicates
     //      the dim ×8, so each hot key spreads over 8 reducers; results
     //      identical to the plain join (the oracle). -----------------------
-    "j12_salted_skew_join" -> Q(
-      """WITH f AS (SELECT o_orderkey, o_custkey % 10 AS hot_key,
-        |            cast(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        |d AS (SELECT n_nationkey % 10 AS hot_key, min(n_name) AS grp
-        |      FROM nation GROUP BY 1)
-        |SELECT grp, count(*) AS n, cast(sum(cents) AS BIGINT) AS sum_cents
-        |FROM f JOIN d USING (hot_key) GROUP BY grp""".stripMargin) { (s, dir) =>
+    "j12_salted_skew_join" -> Q(skewJoinOracleSql) { (s, dir) =>
       val f = t(s, dir, "orders").select(col("o_orderkey"),
         (col("o_custkey") % 10).as("hot_key"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -2331,6 +2337,28 @@ object Extras {
         .groupBy((col("n_nationkey") % 10).as("hot_key"))
         .agg(min("n_name").as("grp"))
       SkewJoin.salted(f, d, "hot_key", salt = 8)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    },
+
+    // ---- J21: the AQE-native twin of j12 — the SAME hot-key corpus,
+    //      skew handled by Spark's runtime OptimizeSkewedJoin instead of
+    //      hand-salting: a merge hint pins the sort-merge join (keeps
+    //      the tiny dim out of a broadcast and AQE from demoting), and
+    //      the skew thresholds scale to corpus size so the split
+    //      actually fires locally (SkewJoinSpec plan-asserts skew=true).
+    //      Shares j12's oracle verbatim. SkewJoin.aqeSkewed's scaladoc
+    //      records when manual salting is still required (broadcast-side
+    //      skew, fixed output partitioning, non-SMJ/SHJ joins). ---------
+    "j21_aqe_skew_join" -> Q(skewJoinOracleSql) { (s, dir) =>
+      val ss = SkewJoin.aqeSession(s)
+      val f = t(ss, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 10).as("hot_key"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val d = t(ss, dir, "nation")
+        .groupBy((col("n_nationkey") % 10).as("hot_key"))
+        .agg(min("n_name").as("grp"))
+      SkewJoin.aqeSkewed(f, d, "hot_key")
         .groupBy("grp")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     },

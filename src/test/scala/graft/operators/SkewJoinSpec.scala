@@ -56,4 +56,30 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.salted(fact.withColumnRenamed("payload", "_salt"), dim, "k", 4)
     }
   }
+
+  test("AQE twin equals the plain join AND the skew split actually fires") {
+    // hot corpus: 200k rows on 3 keys with a fat payload so partition
+    // bytes clear the (test-scaled) skew threshold
+    val ss = SkewJoin.aqeSession(spark)
+    import ss.implicits._
+    val bigFact = ss.range(200000)
+      .select(col("id"), (col("id") % 3).as("k"),
+        concat(lit("x"), col("id").cast("string"),
+          lit("y" * 64)).as("payload"))
+    val smallDim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val joined = SkewJoin.aqeSkewed(bigFact, smallDim, "k")
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("id").as("s"))
+    val got = joined.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val exp = bigFact.join(smallDim, "k")
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === exp)
+    // after execution the adaptive plan is final: the SMJ must be marked
+    // as a skew join (OptimizeSkewedJoin fired and split partitions)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to fire; plan:\n${plan.take(2000)}")
+  }
 }
