@@ -141,22 +141,63 @@ object Components {
   /** Dedup clusters from near-dup pairs: survivor = min id per component,
     * one row per component with its member list (the distributed analog of
     * find_duplicates.py's merge groups).
+    *
+    * @param maxMembers member-list clamp, 0 = unlimited (the reference's
+    *   full merge-group contract, and the default the d7/d7b/d9 oracles
+    *   verify). At 100 TB a degenerate mega-cluster (boilerplate-dominated
+    *   corpora produce them) would land its whole membership in ONE row
+    *   built by one task; pass a positive clamp to cap the row (the
+    *   smallest `maxMembers` ids survive — deterministic, and the
+    *   survivor-relevant prefix since survivor = min). `n_members` stays
+    *   the EXACT component size either way, so clamped rows are
+    *   detectable (`n_members > size(members)`), and [[membership]] is
+    *   the row-per-member form that never builds a big row at all.
     */
   def dedupClusters(edges: DataFrame, id1: String = "id1",
-                    id2: String = "id2"): DataFrame =
-    clusters(connectedComponents(edges, id1 = id1, id2 = id2))
+                    id2: String = "id2", maxMembers: Int = 0): DataFrame =
+    clusters(connectedComponents(edges, id1 = id1, id2 = id2), maxMembers)
 
   /** [[dedupClusters]] through the [[connectedComponentsBigStar]] scale
     * path — identical output by construction (shared oracle in d7b).
     */
   def dedupClustersBigStar(edges: DataFrame, id1: String = "id1",
-                           id2: String = "id2"): DataFrame =
-    clusters(connectedComponentsBigStar(edges, id1 = id1, id2 = id2))
+                           id2: String = "id2", maxMembers: Int = 0): DataFrame =
+    clusters(connectedComponentsBigStar(edges, id1 = id1, id2 = id2), maxMembers)
 
-  private def clusters(labels: DataFrame): DataFrame =
-    labels
-      .groupBy("component")
-      .agg(sort_array(collect_list(col("id"))).as("members"),
-        count(lit(1)).as("n_members"))
-      .select(col("component").as("survivor"), col("members"), col("n_members"))
+  /** The scale-safe long form of [[dedupClusters]]: one (survivor,
+    * member) row per node — no per-component row ever materializes, so a
+    * mega-cluster costs rows, not one unbounded row in one task. This is
+    * the artifact a 100 TB dedup JOIN actually consumes (drop rows where
+    * member ≠ survivor); the list form exists for the reference's
+    * merge-group report shape.
+    */
+  def membership(edges: DataFrame, id1: String = "id1",
+                 id2: String = "id2"): DataFrame =
+    connectedComponents(edges, id1 = id1, id2 = id2)
+      .select(col("component").as("survivor"), col("id").as("member"))
+
+  private def clusters(labels: DataFrame, maxMembers: Int = 0): DataFrame =
+    if (maxMembers > 0) {
+      // Clamp BEFORE the collect so neither the agg buffer nor the output
+      // row ever holds more than maxMembers ids (slicing after a full
+      // collect_list would still build the unbounded buffer). The window
+      // and the groupBy share the partitioning key, so the clamp adds a
+      // within-partition sort, not a second shuffle.
+      import org.apache.spark.sql.expressions.Window
+      val byId = Window.partitionBy("component").orderBy("id")
+      val whole = Window.partitionBy("component")
+      labels
+        .withColumn("_rn", row_number().over(byId))
+        .withColumn("_n", count(lit(1)).over(whole))
+        .filter(col("_rn") <= maxMembers)
+        .groupBy("component")
+        .agg(sort_array(collect_list(col("id"))).as("members"),
+          max(col("_n")).as("n_members"))
+        .select(col("component").as("survivor"), col("members"), col("n_members"))
+    } else
+      labels
+        .groupBy("component")
+        .agg(sort_array(collect_list(col("id"))).as("members"),
+          count(lit(1)).as("n_members"))
+        .select(col("component").as("survivor"), col("members"), col("n_members"))
 }

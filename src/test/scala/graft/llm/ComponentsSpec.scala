@@ -27,6 +27,42 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Set((3L, Seq(3L, 5L, 9L), 3L), (100L, Seq(100L, 101L), 2L)))
   }
 
+  test("maxMembers clamps the member row on a star graph; counts stay exact") {
+    // a star: hub 0 joined to 1..200 — the degenerate mega-cluster shape
+    // (boilerplate-dominated corpora) whose full member list would land
+    // in one unbounded row built by one task at 100 TB
+    val star = (1L to 200L).map(i => (0L, i)).toDF("id1", "id2")
+    for (clamp <- Seq(1, 5, 64)) {
+      val got = Components.dedupClusters(star, maxMembers = clamp).collect()
+      assert(got.length === 1)
+      val (survivor, members, n) =
+        (got(0).getLong(0), got(0).getSeq[Long](1), got(0).getLong(2))
+      assert(survivor === 0L)
+      // smallest `clamp` ids survive (deterministic, includes the survivor)
+      assert(members === (0L until clamp.toLong).toSeq)
+      // n_members is the EXACT size, so clamped rows are detectable
+      assert(n === 201L)
+    }
+    // clamp larger than the component and the default are both the full list
+    val full = Components.dedupClusters(star, maxMembers = 1000).collect()
+    assert(full(0).getSeq[Long](1) === (0L to 200L).toSeq)
+    val dflt = Components.dedupClusters(star).collect()
+    assert(dflt(0).getSeq[Long](1) === (0L to 200L).toSeq)
+    // bigstar path honors the same clamp
+    val bs = Components.dedupClustersBigStar(star, maxMembers = 5).collect()
+    assert(bs(0).getSeq[Long](1) === (0L to 4L).toSeq && bs(0).getLong(2) === 201L)
+  }
+
+  test("membership long form emits one row per node — never a big row") {
+    val edges = Seq((5L, 3L), (3L, 9L), (100L, 101L)).toDF("id1", "id2")
+    val got = Components.membership(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 3L), (3L, 5L), (3L, 9L), (100L, 100L), (100L, 101L)))
+    // star graph: row count = node count, no aggregation anywhere
+    val star = (1L to 200L).map(i => (0L, i)).toDF("id1", "id2")
+    assert(Components.membership(star).count() === 201L)
+  }
+
   test("non-convergence inside maxIter fails loudly") {
     val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
     intercept[IllegalArgumentException] {
