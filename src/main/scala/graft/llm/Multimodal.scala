@@ -359,6 +359,100 @@ object Multimodal {
       })
   }
 
+  final case class SpectralFeatures(media_id: Long, sample_rate: Int,
+                                    n_windows: Int, dominant_band: Int,
+                                    band_milli: Seq[Long])
+
+  /** Goertzel power |X(k)|² of bin `k` over `x[from, from+n)` — the
+    * single-bin DFT recurrence (Goertzel 1958; standard DSP textbook
+    * material): O(n) per bin with one cosine, no FFT plan, no
+    * allocation — the right shape for "a handful of bands per payload"
+    * inside a batched decode stage. */
+  private def goertzelPower(x: Array[Double], from: Int, n: Int, k: Int): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * k / n)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      val s = x(from + i) + coeff * s1 - s2
+      s2 = s1; s1 = s
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Spectral band energies (m10) — the tone/music/silence triage the
+    * peak/RMS features (m5) can't support: per payload, decode to PCM
+    * ([[readPcm]]'s corrupt-drop contract), mix to mono, slice into
+    * `window`-sample windows, and accumulate Goertzel power at each
+    * requested band frequency's NEAREST BIN (integer `k` =
+    * round(f·window/rate) — a tone sitting exactly on a bin leaks
+    * nothing into the others, which is what makes the entry's milli
+    * fractions closed-form). Output per band = ‰ of the summed measured
+    * energy (integer milli, deterministic per payload), plus the
+    * dominant band index (−1 for silence). Windows beyond the last full
+    * one are ignored; payloads shorter than one window drop.
+    */
+  def spectralBands(data: Array[Byte], bandHz: Array[Double],
+                    window: Int): Option[SpectralFeatures] =
+    readPcm(data).flatMap { case (fmt, samples) =>
+      val ch = fmt.getChannels
+      val nFrames = samples.length / ch
+      if (nFrames < window || bandHz.isEmpty || window <= 0) None
+      else {
+        val sr = fmt.getSampleRate.toDouble
+        val mono = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0.0; var c = 0
+          while (c < ch) { s += samples(f * ch + c); c += 1 }
+          mono(f) = s / ch
+          f += 1
+        }
+        val nW = nFrames / window
+        val energy = new Array[Double](bandHz.length)
+        var wi = 0
+        while (wi < nW) {
+          var bi = 0
+          while (bi < bandHz.length) {
+            val k = math.max(0, math.round(bandHz(bi) * window / sr).toInt)
+            energy(bi) += goertzelPower(mono, wi * window, window, k)
+            bi += 1
+          }
+          wi += 1
+        }
+        val tot = energy.sum
+        val milli: Seq[Long] =
+          if (tot <= 0) bandHz.toSeq.map(_ => 0L)
+          else energy.toSeq.map(e => math.round(1000.0 * e / tot))
+        var dom = -1
+        if (tot > 0) {
+          var best = Double.NegativeInfinity
+          var i = 0
+          while (i < energy.length) {
+            if (energy(i) > best) { best = energy(i); dom = i }
+            i += 1
+          }
+        }
+        Some(SpectralFeatures(0L, fmt.getSampleRate.toInt, nW, dom, milli))
+      }
+    }
+
+  /** Spectral twin of [[extractAudioFeatures]]: per-partition batched
+    * decode + Goertzel bands, undecodable rows dropped. */
+  def audioSpectralFeatures(media: DataFrame, bandHz: Array[Double],
+                            window: Int,
+                            targetPartitions: Int = 0): Dataset[SpectralFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions)
+      else media
+    sized.select(col("media_id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        spectralBands(data, bandHz, window).map(_.copy(media_id = id))
+      })
+  }
+
   /** Deterministic synthetic tone: `nSamples` of a `freqHz` sine at
     * `amplitude` (of full scale), 16-bit mono PCM wrapped in a real WAV
     * container by `AudioSystem.write`. The audio-media generator for

@@ -2027,6 +2027,45 @@ object PipelineOps {
       Multimodal.videoHeaders(media, targetPartitions = 8).toDF()
     },
 
+    // ---- M10: audio spectral bands — windowed Goertzel energy at 4
+    //      band frequencies over the m5 decode leg: the tone/music/
+    //      silence triage peak/RMS can't support. The corpus muxes tones
+    //      EXACTLY on analysis bins (sr 8000, window 400 → 20 Hz bins;
+    //      bands 400/800/1600/2400 Hz = bins 20/40/80/120; 2000 samples
+    //      = 20–120 whole cycles per window), so a tone leaks nothing
+    //      into the other measured bins and the ‰ energy split is
+    //      closed-form: 1000 in the tone's band, 0 elsewhere, all-zero
+    //      with dominant −1 for the silent rows — which is what lets a
+    //      DSP feature extractor run under an exact SQL oracle.
+    //      Off-bin tones, multi-channel mixing and corrupt-drop are
+    //      pinned in MultimodalAudioSpec. -------------------------------
+    "m10_audio_spectral" -> Q(
+      """SELECT doc_id AS media_id, 8000 AS sample_rate, 5 AS n_windows,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1 ELSE doc_id % 4 END AS INT) AS dominant_band,
+        |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 4 = 0 THEN 1000 ELSE 0 END AS BIGINT) AS b0_milli,
+        |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 4 = 1 THEN 1000 ELSE 0 END AS BIGINT) AS b1_milli,
+        |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 4 = 2 THEN 1000 ELSE 0 END AS BIGINT) AS b2_milli,
+        |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 4 = 3 THEN 1000 ELSE 0 END AS BIGINT) AS b3_milli
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = Array(400.0, 800.0, 1600.0, 2400.0)
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val amp = if (id % 7 == 0) 0.0 else 0.5
+          (id, Multimodal.syntheticToneWav(
+            bands((id % 4).toInt), nSamples = 2000, sampleRate = 8000, amp))
+        }).toDF("media_id", "data")
+      Multimodal.audioSpectralFeatures(media, bands, window = 400,
+          targetPartitions = 8)
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_windows"),
+          col("dominant_band"),
+          col("band_milli")(0).as("b0_milli"),
+          col("band_milli")(1).as("b1_milli"),
+          col("band_milli")(2).as("b2_milli"),
+          col("band_milli")(3).as("b3_milli"))
+    },
+
     // ---- T2 (streaming): tumbling-window counts with watermark ---------
     "t2_stream_window" -> Q(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

@@ -86,6 +86,49 @@ class MultimodalAudioSpec extends SparkSpec {
       "corrupt rows must pass through byte-identical")
   }
 
+  test("spectral bands: a bin-aligned tone concentrates ALL milli energy in its band") {
+    val bands = Array(400.0, 800.0, 1600.0, 2400.0)
+    for ((f, bi) <- bands.zipWithIndex) {
+      val wav = Multimodal.syntheticToneWav(f, 2000, 8000, 0.5)
+      val got = Multimodal.spectralBands(wav, bands, window = 400).get
+      assert(got.n_windows === 5 && got.sample_rate === 8000)
+      assert(got.dominant_band === bi, s"f=$f got=$got")
+      assert(got.band_milli(bi) === 1000L, s"f=$f got=$got")
+      assert(got.band_milli.zipWithIndex.filter(_._2 != bi).forall(_._1 == 0L))
+    }
+  }
+
+  test("spectral bands: an OFF-bin tone still dominates its nearest band (>=90%)") {
+    val bands = Array(400.0, 800.0, 1600.0, 2400.0)
+    // 410 Hz: half-bin offset at 20 Hz resolution — worst-case leakage
+    val got = Multimodal.spectralBands(
+      Multimodal.syntheticToneWav(410.0, 2000, 8000, 0.5), bands, 400).get
+    assert(got.dominant_band === 0)
+    assert(got.band_milli(0) >= 900L, s"got=$got")
+  }
+
+  test("spectral bands: silence is all-zero with dominant -1; corrupt drops; short drops") {
+    val bands = Array(400.0, 800.0, 1600.0, 2400.0)
+    val silent = Multimodal.spectralBands(
+      Multimodal.syntheticToneWav(440.0, 2000, 8000, 0.0), bands, 400).get
+    assert(silent.dominant_band === -1 && silent.band_milli.forall(_ == 0L))
+    assert(Multimodal.spectralBands("junk junk junk".getBytes, bands, 400).isEmpty)
+    // payload shorter than one full window drops rather than emitting a
+    // zero-window row
+    assert(Multimodal.spectralBands(
+      Multimodal.syntheticToneWav(440.0, 300, 8000, 0.5), bands, 400).isEmpty)
+  }
+
+  test("spectral stage mixes channels and keeps ids; distributed run matches kernel") {
+    val bands = Array(400.0, 800.0, 1600.0, 2400.0)
+    val tone = Multimodal.syntheticToneWav(800.0, 2000, 8000, 0.5)
+    val rows = Seq(1L -> tone, 2L -> "garbage".getBytes: (Long, Array[Byte]))
+    val got = Multimodal.audioSpectralFeatures(mediaOf(rows), bands, 400)
+      .collect()
+    assert(got.map(_.media_id).toSeq === Seq(1L))
+    assert(got.head.dominant_band === 1 && got.head.band_milli(1) === 1000L)
+  }
+
   test("the m5 corpus decodes end-to-end with deterministic features") {
     val docs = Seq((0L, "x"), (1L, "y"), (7L, "z")).toDF("doc_id", "text")
     val feats = Multimodal.extractAudioFeatures(
