@@ -31,7 +31,15 @@ object Components {
     * @return (id, component) — component = min node id reachable
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          id1: String = "id1", id2: String = "id2"): DataFrame = {
+                          id1: String = "id1", id2: String = "id2"): DataFrame =
+    connectedComponentsCounted(edges, maxIter, id1, id2)._1
+
+  /** [[connectedComponents]] plus the executed round count — the Stress
+    * harness records rounds vs the big-star path's alternations on
+    * high-diameter graphs. */
+  private[graft] def connectedComponentsCounted(
+      edges: DataFrame, maxIter: Int = 25,
+      id1: String = "id1", id2: String = "id2"): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val sym = edges.select(col(id1).as("src"), col(id2).as("dst"))
       .union(edges.select(col(id2).as("src"), col(id1).as("dst")))
@@ -63,7 +71,7 @@ object Components {
         iter += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds")
-      labels
+      (labels, iter)
     } finally sym.unpersist()
   }
 
@@ -92,7 +100,14 @@ object Components {
     */
   def connectedComponentsBigStar(edges: DataFrame, maxIter: Int = 25,
                                  id1: String = "id1",
-                                 id2: String = "id2"): DataFrame = {
+                                 id2: String = "id2"): DataFrame =
+    connectedComponentsBigStarCounted(edges, maxIter, id1, id2)._1
+
+  /** [[connectedComponentsBigStar]] plus the executed alternation count
+    * (the Stress harness's O(log n) evidence). */
+  private[graft] def connectedComponentsBigStarCounted(
+      edges: DataFrame, maxIter: Int = 25,
+      id1: String = "id1", id2: String = "id2"): (DataFrame, Int) = {
     var rel = edges.select(col(id1).as("u"), col(id2).as("v"))
       .union(edges.select(col(id2).as("u"), col(id1).as("v")))
       .filter(col("u") =!= col("v"))
@@ -133,9 +148,9 @@ object Components {
     require(converged,
       s"connectedComponentsBigStar did not converge in $maxIter alternations")
     // star forest: (member → root) per non-root; roots label themselves
-    rel.select(col("u").as("id"), col("v").as("component"))
+    (rel.select(col("u").as("id"), col("v").as("component"))
       .unionByName(rel.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+      .distinct(), iter)
   }
 
   /** Dedup clusters from near-dup pairs: survivor = min id per component,
