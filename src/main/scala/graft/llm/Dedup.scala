@@ -826,6 +826,20 @@ object Dedup {
     */
   def contaminationSpans(docs: DataFrame, bench: DataFrame, k: Int,
                          idCol: String = "doc_id", textCol: String = "text",
+                         benchIdCol: String = "doc_id"): DataFrame =
+    condenseContaminationFlags(
+      contaminationFlags(docs, bench, k, idCol, textCol, benchIdCol),
+      k, idCol)
+
+  /** The STATELESS front half of [[contaminationSpans]]: flag every
+    * training-doc position whose k-gram appears in a benchmark doc —
+    * gram explode, map-side broadcast join, nothing else. Runs unchanged
+    * on a STREAMING `docs` DataFrame (no window, no aggregation), which
+    * is what t35 rides: flag at ingest, condense the (tiny) flagged set
+    * downstream. Returns (idCol, bench_id, p).
+    */
+  def contaminationFlags(docs: DataFrame, bench: DataFrame, k: Int,
+                         idCol: String = "doc_id", textCol: String = "text",
                          benchIdCol: String = "doc_id"): DataFrame = {
     val benchGrams = broadcast(
       gramPositions(bench, k, benchIdCol, textCol)
@@ -833,13 +847,19 @@ object Dedup {
           xxhash64(col("gram")).as("_h1"),
           xxhash64(lit("graft-d16-salt"), col("gram")).as("_h2"))
         .distinct())
-    val grams = gramPositions(docs, k, idCol, textCol)
+    gramPositions(docs, k, idCol, textCol)
       .select(col(idCol), col("p"),
         xxhash64(col("gram")).as("_h1"),
         xxhash64(lit("graft-d16-salt"), col("gram")).as("_h2"))
-    condenseSpans(grams.join(benchGrams, Seq("_h1", "_h2")), k,
-      Seq(idCol, "bench_id"))
+      .join(benchGrams, Seq("_h1", "_h2"))
+      .select(col(idCol), col("bench_id"), col("p"))
   }
+
+  /** The batch back half of [[contaminationSpans]]: flagged positions →
+    * maximal spans per (train doc, bench doc). */
+  def condenseContaminationFlags(flagged: DataFrame, k: Int,
+                                 idCol: String = "doc_id"): DataFrame =
+    condenseSpans(flagged, k, Seq(idCol, "bench_id"))
 
   /** (id, p, gram) for every k-gram position of every doc. */
   private def gramPositions(docs: DataFrame, k: Int,

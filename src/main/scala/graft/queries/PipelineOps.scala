@@ -149,6 +149,36 @@ object PipelineOps {
       |       CAST(count(*) AS BIGINT) AS n_grams
       |FROM s GROUP BY doc_id, sid""".stripMargin
 
+  /** Span-level cross-corpus decontamination at k = 20 with planted
+    * quotes — shared by d16 (batch) and t35 (flag-at-ingest streaming
+    * twin): the streaming path flags the same positions statelessly and
+    * condenses after the drain, so both run under the SAME oracle.
+    */
+  private val spanDecontOracleSql: String =
+    """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, repeat('u', 40) || substr(text, 11, 60) || repeat('v', 40)
+      |  FROM bench WHERE doc_id < 1000),
+      |bg AS (SELECT DISTINCT doc_id AS bench_id, substr(text, u.p, 20) AS gram
+      |       FROM bench, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+      |tg AS (SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
+      |       FROM train, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+      |f AS (SELECT t.doc_id, bg.bench_id, t.p FROM tg t JOIN bg ON t.gram = bg.gram),
+      |b AS (SELECT doc_id, bench_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id, bench_id ORDER BY p) <= 20
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM f),
+      |s AS (SELECT doc_id, bench_id, p,
+      |        sum(brk) OVER (PARTITION BY doc_id, bench_id ORDER BY p
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM b)
+      |SELECT doc_id, bench_id, CAST(min(p) AS BIGINT) AS span_start,
+      |       CAST(max(p) + 19 AS BIGINT) AS span_end,
+      |       CAST(count(*) AS BIGINT) AS n_grams
+      |FROM s GROUP BY doc_id, bench_id, sid""".stripMargin
+
   /** Exact 3-gram Jaccard pairs at τ = 0.6, id columns only — the oracle
     * for every route that provably converges to the exact pair set: batch
     * MinHash-LSH (d3, rows=2 banding → miss probability ≈ 6e-7 at τ) and
@@ -556,30 +586,7 @@ object PipelineOps {
     //      of bench text framed by neutral filler, re-keyed +100000)
     //      make the catch demonstrable; the oracle replays plant +
     //      exact text matching character-for-character. ----------------
-    "d16_span_decontaminate" -> Q(
-      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
-        |train AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 100000, repeat('u', 40) || substr(text, 11, 60) || repeat('v', 40)
-        |  FROM bench WHERE doc_id < 1000),
-        |bg AS (SELECT DISTINCT doc_id AS bench_id, substr(text, u.p, 20) AS gram
-        |       FROM bench, unnest(generate_series(1, length(text) - 19)) AS u(p)),
-        |tg AS (SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
-        |       FROM train, unnest(generate_series(1, length(text) - 19)) AS u(p)),
-        |f AS (SELECT t.doc_id, bg.bench_id, t.p FROM tg t JOIN bg ON t.gram = bg.gram),
-        |b AS (SELECT doc_id, bench_id, p,
-        |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id, bench_id ORDER BY p) <= 20
-        |             THEN 0 ELSE 1 END AS brk
-        |      FROM f),
-        |s AS (SELECT doc_id, bench_id, p,
-        |        sum(brk) OVER (PARTITION BY doc_id, bench_id ORDER BY p
-        |                       ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM b)
-        |SELECT doc_id, bench_id, CAST(min(p) AS BIGINT) AS span_start,
-        |       CAST(max(p) + 19 AS BIGINT) AS span_end,
-        |       CAST(count(*) AS BIGINT) AS n_grams
-        |FROM s GROUP BY doc_id, bench_id, sid""".stripMargin) { (s, dir) =>
+    "d16_span_decontaminate" -> Q(spanDecontOracleSql) { (s, dir) =>
       val all = docs(s, dir)
       val bench = all.where(col("doc_id") % 50 === 0)
       val planted = bench.where(col("doc_id") < 1000)
@@ -589,6 +596,34 @@ object PipelineOps {
       val train = all.where(col("doc_id") % 50 =!= 0)
         .select("doc_id", "text").unionByName(planted)
       Dedup.contaminationSpans(train, bench, k = 20)
+    },
+
+    // ---- T35 (streaming): span decontamination AT INGEST — d16's flag
+    //      stage is stateless (gram explode + broadcast join, no window,
+    //      no aggregation), so it runs verbatim on the document STREAM;
+    //      only the tiny flagged-position set reaches the sink, and the
+    //      per-(train,bench) condense runs on the drained output. This
+    //      is the quote-detection posture a live ingestion pipeline
+    //      wants: the full corpus never lands unflagged, and the
+    //      expensive part (every gram of every doc) stays map-side in
+    //      the stream. Same planted corpus (built from the stream
+    //      itself, t33's two-arms-of-one-source union) ⇒ shares d16's
+    //      oracle verbatim. -----------------------------------------------
+    "t35_stream_span_decontaminate" -> Q(spanDecontOracleSql) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val bench = t(ss, dir, "documents").where(col("doc_id") % 50 === 0)
+      val docsStream = EventStream.readDocuments(ss, dir)
+      val trainStream = docsStream.where(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text")
+        .unionByName(docsStream
+          .where(col("doc_id") % 50 === 0 && col("doc_id") < 1000)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("u" * 40), substring(col("text"), 11, 60),
+              lit("v" * 40)).as("text")))
+      val flagged = Dedup.contaminationFlags(trainStream, bench, k = 20)
+      val drained = EventStream.runToMemory(flagged,
+        s"t35_spans_${streamSeq.incrementAndGet()}", mode = "append")
+      Dedup.condenseContaminationFlags(drained, k = 20)
     },
 
     // ---- X23: per-doc gram NOVELTY (memorization proxy): how much of a
