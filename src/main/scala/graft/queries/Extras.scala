@@ -2477,6 +2477,41 @@ object Extras {
     //      harvested number SQL-replayable (count/min/max per column).
     //      The pruning CONSUMER (files surviving a range predicate) is
     //      asserted against real multi-file layouts in FooterStatsSpec.
+    // ---- S25: parquet BLOOM-FILTER point-lookup pruning — the zone
+    //      map's sibling for `key = x` on an UNCLUSTERED column, where
+    //      min/max can never prune (every row group spans the domain).
+    //      The layout is written with parquet.bloom.filter.enabled on
+    //      the key, the probe reads footers + bloom headers only (never
+    //      data), and the exact-confirm semi-join removes bloom false
+    //      positives — so `present` equals true membership and the
+    //      whole index path runs under an exact EXISTS oracle. No false
+    //      negatives is the load-bearing property (a pruned key must be
+    //      PROVABLY absent); FooterStatsSpec pins it plus the
+    //      no-bloom⇒cannot-rule-out and multi-row-group OR semantics. --
+    "s25_bloom_filter_probe" -> Q(
+      """SELECT u.k AS probe_key,
+        |       EXISTS(SELECT 1 FROM orders o WHERE o.o_orderkey = u.k) AS present
+        |FROM unnest(generate_series(1, 400)) AS u(k)""".stripMargin) { (s, dir) =>
+      val scratch = scratchDir("graft_s25")
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .parquet(scratch)
+      val files = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      val probes = s.range(1, 401).select(col("id").as("probe_key"))
+      val might = graft.sources.FooterStats
+        .bloomProbe(s, files, "o_orderkey", 1L to 400L)
+      val confirmed = might.filter(col("might_contain")).select("probe_key")
+        .join(s.read.parquet(scratch).select(col("o_orderkey").as("probe_key")),
+          Seq("probe_key"), "left_semi")
+        .withColumn("present", lit(true))
+      probes.join(confirmed, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          coalesce(col("present"), lit(false)).as("present"))
+    },
+
     "s24_footer_stats" -> Q(
       """SELECT 'orders.parquet' AS file, CAST(0 AS INT) AS row_group,
         |       'o_orderkey' AS column_name,

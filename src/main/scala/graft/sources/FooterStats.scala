@@ -81,4 +81,56 @@ object FooterStats {
       .filter(col("column_name") === column &&
         col("max_val") >= lo && col("min_val") <= hi)
       .select("file").distinct()
+
+  /** Parquet BLOOM-FILTER probe (s25) — the zone map's point-lookup
+    * sibling: min/max statistics prune RANGE predicates but are useless
+    * for `key = x` on an unclustered column (every row group spans the
+    * whole domain); the per-row-group bloom filters parquet writes when
+    * `parquet.bloom.filter.enabled#col` is set answer exactly that.
+    * Probing costs a footer + bloom-header read per row group, never a
+    * data scan. Semantics are the pruning contract: `might_contain` is
+    * the OR over all row groups of all files — false ⇒ the key is
+    * PROVABLY absent (blooms have no false negatives), true ⇒ scan (or
+    * exact-confirm) the surviving groups; a row group that carries NO
+    * bloom for the column answers true ("cannot rule out"), never
+    * false. Every probe key appears in the output exactly once as long
+    * as the column exists in the layout (a misspelled column matches no
+    * chunks and yields an empty frame — caller beware, same as a
+    * misspelled column in [[pruneFiles]]).
+    *
+    * Same distribution shape as [[zoneMap]]: driver-side file list,
+    * footer/bloom reads fanned over `mapPartitions`.
+    */
+  def bloomProbe(spark: SparkSession, paths: Seq[String], column: String,
+                 keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(paths.nonEmpty, "bloomProbe needs at least one parquet path")
+    require(keys.nonEmpty, "bloomProbe needs at least one probe key")
+    val keyArr = keys.toArray
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, 64))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toList.flatMap { block =>
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == column).toList.flatMap { cc =>
+                  val bloom =
+                    reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                  if (bloom == null) keyArr.toList.map(k => (k, true))
+                  else keyArr.toList.map(k => (k, bloom.findHash(bloom.hash(k))))
+                }
+            }.iterator // materialized above — the reader closes below
+          } finally reader.close()
+        }
+      }
+      .toDF("probe_key", "_might")
+      .groupBy("probe_key")
+      .agg(max(col("_might")).as("might_contain"))
+  }
 }

@@ -73,4 +73,56 @@ class FooterStatsSpec extends SparkSpec {
     assert(v.getAs[Double]("max_val") === 9.75)
     assert(FooterStats.pruneFiles(zm, "v", 100.0, 200.0).count() === 0L)
   }
+
+  test("bloom probe: no false negatives; absent keys mostly pruned; FP rate sane") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf_").toString
+    // present keys: every 10th in [0, 10000) — an unclustered point-lookup
+    // target where min/max can never prune
+    (0 until 1000).map(i => (i * 10L, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val present = (0 until 1000).map(_ * 10L)
+    val absent = (0 until 1000).map(_ * 10L + 5L)
+    val got = FooterStats.bloomProbe(spark, files, "k", present ++ absent)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === 2000)
+    // the load-bearing property: a bloom may lie "maybe", never "absent"
+    assert(present.forall(got(_)), "bloom false negative — pruning would drop data")
+    val fpr = absent.count(got(_)).toDouble / absent.size
+    assert(fpr < 0.5, s"absurd false-positive rate $fpr — bloom not effective")
+    assert(absent.exists(!got(_)), "no absent key pruned — bloom likely unread")
+  }
+
+  test("bloom probe: a layout written WITHOUT blooms answers cannot-rule-out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf0_").toString
+    (0 until 100).map(i => (i.toLong, i)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val got = FooterStats.bloomProbe(spark, files, "k", Seq(5L, 1234L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(5L -> true, 1234L -> true),
+      "no bloom present: every probe must stay a scan candidate")
+  }
+
+  test("bloom probe ORs across files: a key in ANY file survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf2_").toString
+    (0 until 2).foreach { i =>
+      (0 until 500).map(j => (i * 100000L + j, j)).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .parquet(s"$dir/part$i")
+    }
+    val files = (0 until 2).flatMap { i =>
+      new java.io.File(s"$dir/part$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+    assert(files.size === 2)
+    val got = FooterStats.bloomProbe(spark, files, "k", Seq(3L, 100003L, 777L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(3L) && got(100003L), "keys present in exactly one file must survive the OR")
+  }
 }
