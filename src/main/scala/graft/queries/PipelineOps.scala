@@ -179,6 +179,19 @@ object PipelineOps {
       |       CAST(count(*) AS BIGINT) AS n_grams
       |FROM s GROUP BY doc_id, bench_id, sid""".stripMargin
 
+  /** Closed-form video-container truth — shared by m9 (batch sniff) and
+    * t36 (sniff-at-ingest streaming twin): the muxers derive every field
+    * from the id, so both paths run under the SAME oracle.
+    */
+  private val videoSniffOracleSql: String =
+    """SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS fmt,
+      |       CAST(160 + doc_id % 1280 AS INT) AS width,
+      |       CAST(120 + doc_id % 720 AS INT) AS height,
+      |       CAST(1000 + doc_id % 100000 AS BIGINT) AS duration_ms,
+      |       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks
+      |FROM documents""".stripMargin
+
   /** Exact 3-gram Jaccard pairs at τ = 0.6, id columns only — the oracle
     * for every route that provably converges to the exact pair set: batch
     * MinHash-LSH (d3, rows=2 banding → miss probability ≈ 6e-7 at τ) and
@@ -2045,14 +2058,7 @@ object PipelineOps {
     //      every 5th MP4 uses 64-bit v1 boxes), so generate→mux→sniff is
     //      oracle-checkable; truncation/corruption drops are pinned in
     //      MultimodalHeaderSpec. ------------------------------------------
-    "m9_video_header_sniff" -> Q(
-      """SELECT doc_id AS media_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS fmt,
-        |       CAST(160 + doc_id % 1280 AS INT) AS width,
-        |       CAST(120 + doc_id % 720 AS INT) AS height,
-        |       CAST(1000 + doc_id % 100000 AS BIGINT) AS duration_ms,
-        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks
-        |FROM documents""".stripMargin) { (s, dir) =>
+    "m9_video_header_sniff" -> Q(videoSniffOracleSql) { (s, dir) =>
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id,
@@ -2060,6 +2066,28 @@ object PipelineOps {
           else Multimodal.syntheticMkvBytes(id))))
         .toDF("media_id", "data")
       Multimodal.videoHeaders(media, targetPartitions = 8).toDF()
+    },
+
+    // ---- T36 (streaming): media triage AT INGEST — m9's container
+    //      sniff is a stateless per-record kernel, so it runs verbatim
+    //      on a streaming media column: the binary corpus is muxed
+    //      inside the stream (mapPartitions, no staging write) and each
+    //      micro-batch emits its headers. The posture a 100 TB media
+    //      crawl wants: duration/dims/track-count land as queryable
+    //      rows the moment a file arrives, decode budgeting runs BEFORE
+    //      any codec is scheduled. Shares m9's oracle verbatim. ---------
+    "t36_stream_media_sniff" -> Q(videoSniffOracleSql) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      import ss.implicits._
+      val mediaStream = EventStream.readDocuments(ss, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          if (id % 2 == 0) Multimodal.syntheticMp4Bytes(id)
+          else Multimodal.syntheticMkvBytes(id))))
+        .toDF("media_id", "data")
+      val sniffed = Multimodal.videoHeaders(mediaStream).toDF()
+      EventStream.runToMemory(sniffed,
+        s"t36_sniff_${streamSeq.incrementAndGet()}", mode = "append")
     },
 
     // ---- M10: audio spectral bands — windowed Goertzel energy at 4
