@@ -276,6 +276,28 @@ object Extras {
       |SELECT grp, count(*) AS n, cast(sum(cents) AS BIGINT) AS sum_cents
       |FROM f JOIN d USING (hot_key) GROUP BY grp""".stripMargin
 
+  /** Hourly OHLC bars, exact cents, (us, event_id) total order — shared
+    * verbatim by w16 (batch groupBy) and t37 (watermarked streaming
+    * window): the bar aggregates are plain min/max over packed structs,
+    * identical in both engines and both execution modes.
+    */
+  private[queries] val ohlcOracleSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+      |            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT *, (us // 3600000000) AS h,
+      |        row_number() OVER (PARTITION BY event_type, us // 3600000000
+      |                           ORDER BY us, event_id) AS rn_a,
+      |        row_number() OVER (PARTITION BY event_type, us // 3600000000
+      |                           ORDER BY us DESC, event_id DESC) AS rn_d
+      |      FROM e)
+      |SELECT event_type, CAST(h AS BIGINT) AS h,
+      |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+      |  CAST(max(cents) AS BIGINT) AS high,
+      |  CAST(min(cents) AS BIGINT) AS low,
+      |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+      |  CAST(count(*) AS BIGINT) AS n_ticks
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   val entries: Map[String, Q] = Map(
 
     // ---- SQL1: the spark.sql entry point — temp views + the same SQL
@@ -1253,6 +1275,31 @@ object Extras {
           round(aggregate(
             transform(col("pks"), x => (x % 4194304L).cast("double")),
             lit(0.0), (a, b) => a / 2 + b), 6).as("ewma_cents"))
+    },
+
+    // ---- W16: OHLC resample bars — the time-series DOWNSAMPLING shape
+    //      (tick stream → per-bucket open/high/low/close/volume bars)
+    //      that w14's TWAP and w15's EWMA don't cover: first/last are
+    //      positional, not weighted. Open/close are min/max over a
+    //      packed (us, event_id, cents) struct — (us, event_id) is a
+    //      unique total order, so the bar is deterministic under any
+    //      partitioning and the whole thing is ONE map-side-combinable
+    //      groupBy (no window, no sort): the 100 TB shape, since bars
+    //      are tiny and ticks never shuffle more than once. Exact cents
+    //      end-to-end. -------------------------------------------------
+    "w16_ohlc_bars" -> Q(ohlcOracleSql) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), expr("us div 3600000000").as("h"))
+        .agg(
+          min(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("close"),
+          count(lit(1)).as("n_ticks"))
     },
 
     // ---- W9: event-time RANGE frame — trailing 1-hour sum/count per

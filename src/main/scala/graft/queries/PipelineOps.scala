@@ -2090,6 +2090,41 @@ object PipelineOps {
         s"t36_sniff_${streamSeq.incrementAndGet()}", mode = "append")
     },
 
+    // ---- M11: frame-sample PLANNING from container headers — the step
+    //      between triage (m9) and decode (m2): budget which frames to
+    //      decode from header metadata ALONE (duration → time-uniform
+    //      timestamps, dims → per-frame byte estimate), so the decode
+    //      stage is scheduled against a known cost before any codec
+    //      touches payload bytes. Frame count `least(8, 1 + dur/1 s)`
+    //      and timestamps `i·dur div n` are integer closed forms of the
+    //      sniffed fields, which the oracle replays from the id —
+    //      proving sniff→plan end-to-end exact. ------------------------
+    "m11_frame_plan" -> Q(
+      """WITH h AS (SELECT doc_id AS media_id,
+        |  160 + doc_id % 1280 AS w, 120 + doc_id % 720 AS ht,
+        |  1000 + doc_id % 100000 AS dur FROM documents),
+        |n AS (SELECT *, least(8, 1 + dur // 1000) AS nf FROM h)
+        |SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+        |  CAST((u.i * dur) // nf AS BIGINT) AS ts_ms,
+        |  CAST(w * ht * 3 AS BIGINT) AS est_bytes
+        |FROM n, unnest(generate_series(0, nf - 1)) AS u(i)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id,
+          if (id % 2 == 0) Multimodal.syntheticMp4Bytes(id)
+          else Multimodal.syntheticMkvBytes(id))))
+        .toDF("media_id", "data")
+      Multimodal.videoHeaders(media, targetPartitions = 8).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("duration_ms"),
+          least(lit(8L), lit(1L) + expr("duration_ms div 1000")).as("nf"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("duration_ms"), col("nf"),
+          explode(sequence(lit(0L), col("nf") - 1)).as("i"))
+        .select(col("media_id"), col("i").cast("int").as("frame_idx"),
+          expr("(i * duration_ms) div nf").as("ts_ms"),
+          (col("width").cast("long") * col("height") * 3L).as("est_bytes"))
+    },
+
     // ---- M10: audio spectral bands — windowed Goertzel energy at 4
     //      band frequencies over the m5 decode leg: the tone/music/
     //      silence triage peak/RMS can't support. The corpus muxes tones
@@ -2379,6 +2414,34 @@ object PipelineOps {
         raw.where(col("doc_id") % 40 === 0), n = 3, minOverlap = 3)
       EventStream.runToMemory(out,
         s"t28_decont_${streamSeq.incrementAndGet()}", mode = "complete")
+    },
+
+    // ---- T37 (streaming): OHLC bars on the event stream — w16's
+    //      downsampling as a watermarked tumbling-window aggregation:
+    //      open/close stay min/max over the packed (us, event_id,
+    //      cents) struct, so the bar is deterministic under ANY
+    //      micro-batch slicing and the streaming state per bar is one
+    //      struct + three longs (bounded, watermark-evicted). Drained
+    //      complete; shares w16's oracle verbatim. --------------------
+    "t37_stream_ohlc_bars" -> Q(Extras.ohlcOracleSql) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val ev = EventStream.readEvents(ss, dir)
+        .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .withWatermark("ts", "1 hour")
+      val bars = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(min(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("close"),
+          count(lit(1)).as("n_ticks"))
+        .select(col("event_type"),
+          expr("unix_micros(window.start) div 3600000000").as("h"),
+          col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+      EventStream.runToMemory(bars,
+        s"t37_ohlc_${streamSeq.incrementAndGet()}", mode = "complete")
     },
 
     // ---- T30 (streaming ops): late-data DROPPING, Spark 4 semantics
