@@ -358,6 +358,95 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Build half of the INCREMENTAL dedup index (d18): persist the
+    * corpus's banded MinHash buckets as a parquet layout partitioned by
+    * band, with the banding parameters alongside (the e-family index
+    * discipline: an index without its build parameters is unusable).
+    * This is the production posture corpus×corpus dedup (d3) can't
+    * give: each ingest BATCH probes the standing index instead of
+    * re-banding the whole corpus — the per-batch cost is proportional
+    * to the batch, and the index append (new batch's bands) is an
+    * O(delta) parquet write into the same layout.
+    */
+  def buildLshIndex(docs: DataFrame, path: String, n: Int, numHashes: Int,
+                    bands: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    bandedHashes(minhashSignatures(docs, n, numHashes, idCol, textCol),
+        bands, rows, idCol)
+      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /** The O(delta) index append: band ONLY the new batch with the
+    * parameters read from the index meta and append into the same
+    * partitioned layout — after a batch clears its [[incrementalDedupPairs]]
+    * probe, its survivors join the standing index and the next batch
+    * sees them. (Parquet append into a band-partitioned layout touches
+    * only the delta's files; no rewrite of the standing buckets.)
+    */
+  def appendLshIndex(docs: DataFrame, path: String,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val meta = spark.read.json(s"$path/meta").collect().head
+    val n = meta.getAs[Long]("n").toInt
+    val numHashes = meta.getAs[Long]("num_hashes").toInt
+    val bands = meta.getAs[Long]("bands").toInt
+    bandedHashes(minhashSignatures(docs, n, numHashes, idCol, textCol),
+        bands, numHashes / bands, idCol)
+      .write.mode("append").partitionBy("band_idx").parquet(s"$path/bands")
+  }
+
+  /** Probe half of d18: near-dup pairs between a DELTA batch and the
+    * indexed corpus — delta docs band with the parameters read from the
+    * index meta (a drifted re-band would silently miss every bucket),
+    * candidates come from the (band_idx, band_hash) equi-join against
+    * the persisted buckets, and the exact-Jaccard verify runs on the
+    * candidate set only. The corpus never re-bands and never shuffles
+    * beyond the rows the candidate join touches; ids are side-tagged
+    * through the verifier so delta and corpus id spaces stay distinct
+    * (the d12 discipline). Returns (id1 = delta doc, id2 = corpus doc,
+    * jaccard ≥ threshold); candidate-miss probability is the d3
+    * S-curve.
+    */
+  def incrementalDedupPairs(indexPath: String, delta: DataFrame,
+                            corpus: DataFrame, threshold: Double,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spark = delta.sparkSession
+    val meta = spark.read.json(s"$indexPath/meta").collect().head
+    val n = meta.getAs[Long]("n").toInt
+    val numHashes = meta.getAs[Long]("num_hashes").toInt
+    val bands = meta.getAs[Long]("bands").toInt
+    val rows = numHashes / bands
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.select(concat(lit(tag), col(idCol).cast("string")).as(idCol),
+        col(textCol))
+    val deltaT = tagged(delta, "c")
+    val corpusT = tagged(corpus, "b")
+    val idx = spark.read.parquet(s"$indexPath/bands")
+      .select(col("band_idx"), col("band_hash"),
+        concat(lit("b"), col(idCol).cast("string")).as("_corpus_id"))
+    val deltaBands = bandedHashes(
+      minhashSignatures(deltaT, n, numHashes, idCol, textCol),
+      bands, rows, idCol)
+    val cands = deltaBands.join(idx, Seq("band_idx", "band_hash"))
+      .select(col(idCol).as("id1"), col("_corpus_id").as("id2"))
+      .distinct()
+      .localCheckpoint(false)
+    verifyJaccardPairs(deltaT.unionByName(corpusT), cands, n, threshold,
+        idCol, textCol)
+      .select(
+        expr("substring(id1, 2)").cast(delta.schema(idCol).dataType).as("id1"),
+        expr("substring(id2, 2)").cast(corpus.schema(idCol).dataType).as("id2"),
+        col("jaccard"))
+  }
+
   /** Deterministic rehash family: the i-th hash of a base 64-bit hash is
     * xxhash64(base, i) — index-derived, no RNG, and no overflow under ANSI
     * arithmetic (an affine `a*h + b` family would overflow long multiply).

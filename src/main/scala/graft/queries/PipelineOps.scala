@@ -530,6 +530,39 @@ object PipelineOps {
           round(col("jaccard") * 1e6).cast("long").as("j_micro"))
     },
 
+    // ---- D18: INCREMENTAL dedup against a PERSISTED LSH index — the
+    //      production ingest posture d3's corpus×corpus shape can't
+    //      give: the standing corpus is banded ONCE into a parquet
+    //      index (partitioned by band, parameters stored alongside, the
+    //      e-family index discipline) and each arriving batch probes
+    //      it — per-batch cost tracks the batch, the corpus never
+    //      re-bands. Delta bands join the persisted buckets, exact
+    //      Jaccard verifies candidates only; same 64/32 banding as
+    //      d3/d12 ⇒ same ≈6e-7 candidate-miss at τ=0.6, so the entry
+    //      runs under the exact cross-set Jaccard oracle. --------------
+    "d18_incremental_dedup" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT t.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh t JOIN sh b ON t.s = b.s
+        |      WHERE t.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST(round((c * 1.0 / (n1.n + n2.n - c)) * 1000000.0) AS BIGINT) AS j_micro
+        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
+      val all = docs(s, dir)
+      val corpus = all.where(col("doc_id") % 10 =!= 0)
+      val delta = all.where(col("doc_id") % 10 === 0)
+      val idxPath = Extras.scratchDir("graft_d18_idx")
+      Dedup.buildLshIndex(corpus, idxPath, n = 3, numHashes = 64, bands = 32)
+      Dedup.incrementalDedupPairs(idxPath, delta, corpus, threshold = 0.6)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard") * 1e6).cast("long").as("j_micro"))
+    },
+
     // ---- D13: containment (asymmetric) near-dup pairs — c = |A∩B| /
     //      min(|A|,|B|): the measure that catches SUBSET duplicates
     //      Jaccard structurally misses (a snippet quoted inside a longer

@@ -136,4 +136,46 @@ class ExtrasOpsSpec extends SparkSpec {
     assert(r.getAs[String]("canonical") ===
       s"https://${source.toLowerCase}.example.com/docs/1?lang=$lang")
   }
+
+  test("w16 OHLC downsample is ONE shuffle, no window, no sort") {
+    import spark.implicits._
+    val e = (1L to 5000L).map(i =>
+        ("click", 1700000000000000L + i * 1000000L, i, i % 97))
+      .toDF("event_type", "us", "event_id", "cents")
+      .repartition(8)
+    val bars = e.groupBy(col("event_type"), expr("us div 3600000000").as("h"))
+      .agg(min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close"),
+        count(lit(1)).as("n_ticks"))
+    bars.collect()
+    // the AQE string repeats the tree under "== Initial Plan ==" — count
+    // only the final plan. The input repartition(8) is a roundrobin
+    // exchange; the OPERATOR contributes exactly one hash exchange, with
+    // partial struct-min/max aggregates below it (map-side bars — struct
+    // aggs plan as SortAggregate since struct buffers aren't hash-agg
+    // mutable, the d15 note; the sorts are within-partition, not global)
+    val plan = bars.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly one agg shuffle:\n${plan.take(1500)}")
+    assert(plan.contains("partial_min(struct"),
+      s"bar partials must be map-side:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"OHLC must not plan a window:\n${plan.take(1500)}")
+    // deterministic open/close under any input partitioning
+    val again = e.repartition(3).groupBy(col("event_type"),
+        expr("us div 3600000000").as("h"))
+      .agg(min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val base = bars.select("event_type", "h", "open", "close")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again === base)
+  }
 }

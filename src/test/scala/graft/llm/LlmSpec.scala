@@ -110,6 +110,51 @@ class LlmSpec extends SparkSpec {
     assert(d12 === 0L, "doc-level fuzzy decontamination must miss a 2% quote")
   }
 
+  test("d18 index lifecycle: build, probe, O(delta) append — later batches see earlier ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d18_idx_").toString
+    val mk = (id: Long, body: String) => (id, body)
+    val corpus = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(2L, "one two three four five six seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    Dedup.buildLshIndex(corpus, dir, n = 3, numHashes = 64, bands = 32)
+    // batch 1: a near-dup of corpus doc 1 — found against the standing index
+    val batch1 = Seq(
+      mk(101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      mk(102L, "completely unrelated words that match nothing in the corpus")
+    ).toDF("doc_id", "text")
+    val hits1 = Dedup.incrementalDedupPairs(dir, batch1, corpus, threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits1 === Set((101L, 1L)), s"batch 1 vs corpus: $hits1")
+    // append batch 1, then batch 2 must see BOTH the corpus and batch 1
+    Dedup.appendLshIndex(batch1, dir)
+    val batch2 = Seq(
+      mk(201L, "one two three four five six seven eight nine ten twelve"),
+      mk(202L, "completely unrelated words that match nothing in the corpus")
+    ).toDF("doc_id", "text")
+    val standing = corpus.unionByName(batch1)
+    val hits2 = Dedup.incrementalDedupPairs(dir, batch2, standing, threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 201 near-dups corpus doc 2; 202 is an EXACT dup of the appended 102
+    assert(hits2 === Set((201L, 2L), (202L, 102L)), s"batch 2 vs standing: $hits2")
+  }
+
+  test("d16's flag join is a broadcast (the corpus-never-shuffles claim, plan-asserted)") {
+    import spark.implicits._
+    val train = (1L to 50L)
+      .map(i => (i, s"training document number $i with some shared words " * 3))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "benchmark text that is long enough to gram")).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(train, bench, k = 20)
+    flags.collect()
+    val plan = flags.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the training corpus must not shuffle on the flag join:\n${plan.take(1500)}")
+  }
+
   test("weighted Jaccard separates repetition that set-Jaccard cannot see") {
     import spark.implicits._
     // doc 1: one block; doc 2: the SAME block 9× — the distinct shingle
