@@ -2371,6 +2371,31 @@ object Extras {
             expr("parse_url(url, 'QUERY')")).as("canonical"))
     },
 
+    // ---- S26: join-key SKEW REPORT — the measurement you run BEFORE
+    //      choosing between j12 (manual salt), j21 (AQE split) and a
+    //      plain shuffle: per-key counts reduced to one row (total,
+    //      distinct keys, max/p50/p99 counts, hottest key, max÷mean in
+    //      micro-units). Run here over the same hot-key column the skew
+    //      joins exercise, so the three entries tell one story:
+    //      diagnose → pick strategy → join. One combinable groupBy +
+    //      a single-row rollup; only (key, count) rows shuffle. --------
+    "s26_skew_report" -> Q(
+      """WITH c AS (SELECT o_custkey % 10 AS k, count(*) AS n
+        |           FROM orders GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(n) AS BIGINT) AS max_cnt,
+        |       round(quantile_cont(n, 0.5), 4) AS p50_cnt,
+        |       round(quantile_cont(n, 0.99), 4) AS p99_cnt,
+        |       (SELECT k FROM c ORDER BY n DESC, k LIMIT 1) AS top_key,
+        |       CAST(round(max(n) * 1000000.0 * count(*) / sum(n)) AS BIGINT)
+        |         AS skew_ratio_micro
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.ops.SkewReport.keyStats(
+        t(s, dir, "orders").select((col("o_custkey") % 10).as("hot_key")),
+        "hot_key")
+    },
+
     // ---- J12: salted skew join — every order lands on one of 10 hot
     //      keys by construction, the worst case for a shuffle join. The
     //      operator salts the fact side deterministically and replicates
