@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST clean stdout line of `sbt runMain
+// graft.Bench` as compact JSON. Two sbt behaviors break that:
+// (1) forked-run output is routed through the logger and prefixed
+//     with "[info] " — StdoutOutput passes it through raw;
+// (2) sbt appends its own "[success] Total time: …" line after the
+//     program's output — showSuccess=false suppresses it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
