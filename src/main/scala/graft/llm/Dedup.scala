@@ -367,6 +367,14 @@ object Dedup {
     * re-banding the whole corpus — the per-batch cost is proportional
     * to the batch, and the index append (new batch's bands) is an
     * O(delta) parquet write into the same layout.
+    *
+    * ID CONTRACT: `idCol` must be globally unique across the corpus AND
+    * every batch ever appended via [[appendLshIndex]] — the index keeps
+    * all ids in one namespace, so a batch doc_id that collides with a
+    * standing id would silently merge the two documents' buckets and
+    * misattribute [[incrementalDedupPairs]] output. Ingest pipelines
+    * with per-batch local ids must prefix them (e.g. `batchNo * 10^12 +
+    * local_id` or a string prefix) before building/appending.
     */
   def buildLshIndex(docs: DataFrame, path: String, n: Int, numHashes: Int,
                     bands: Int, idCol: String = "doc_id",
@@ -388,6 +396,9 @@ object Dedup {
     * probe, its survivors join the standing index and the next batch
     * sees them. (Parquet append into a band-partitioned layout touches
     * only the delta's files; no rewrite of the standing buckets.)
+    * Appended ids share the standing index's namespace — see the ID
+    * CONTRACT on [[buildLshIndex]]: they must not collide with any id
+    * already indexed.
     */
   def appendLshIndex(docs: DataFrame, path: String,
                      idCol: String = "doc_id",

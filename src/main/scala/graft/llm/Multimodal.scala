@@ -701,7 +701,15 @@ object Multimodal {
           val audioFormat = u16(ii + 8)
           if (audioFormat != 1) return None // PCM only, like readPcm
           fmt = Some((u16(ii + 10), u32(ii + 12).toInt, u16(ii + 22)))
-        } else if (id == "data") dataBytes = size
+        } else if (id == "data") {
+          // A streamed writer's data chunk may legitimately declare more
+          // bytes than it flushed, but n_samples must come from bytes
+          // that EXIST: clamp to the payload actually present after the
+          // chunk header, else a corrupt size like 0xFFFFF000 on a tiny
+          // payload would inflate n_samples instead of reflecting the
+          // truncated file.
+          dataBytes = math.min(size, math.max(0L, data.length.toLong - (i + 8)))
+        }
         // Advance entirely in Long: a corrupt chunk declaring size near
         // 0xFFFFFFFF would, as an Int, wrap the step to ≤ 0 and hang the
         // executor thread forever (NonFatal can't catch a hang — one bad

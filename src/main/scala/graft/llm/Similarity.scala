@@ -77,8 +77,19 @@ object Similarity {
     // blocked twin) keeps the twin contract corpus-independent.
     val q = broadcast(cleanVectors(queries, idCol, vecCol, "query_id", "_qv"))
     val c = cleanVectors(corpus, idCol, vecCol, "neighbor_id", "_cv")
+    // Mixed dimensions fail LOUDLY, matching the e14 blocked twin: a
+    // zip_with over mismatched arrays pads with null and silently yields
+    // a null/odd cosine, so without this guard the twins would disagree
+    // on exactly the malformed corpora where agreement matters most.
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine",
+        when(size(col("_qv")) =!= size(col("_cv")),
+          raise_error(concat(
+            lit("corpus vector "), col("neighbor_id"),
+            lit(" has dim "), size(col("_cv")),
+            lit(", query "), col("query_id"),
+            lit(" has dim "), size(col("_qv")))).cast("double"))
+          .otherwise(cosine(col("_qv"), col("_cv"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val ranked = scored

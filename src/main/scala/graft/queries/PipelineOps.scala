@@ -2454,8 +2454,12 @@ object PipelineOps {
     //      open/close stay min/max over the packed (us, event_id,
     //      cents) struct, so the bar is deterministic under ANY
     //      micro-batch slicing and the streaming state per bar is one
-    //      struct + three longs (bounded, watermark-evicted). Drained
-    //      complete; shares w16's oracle verbatim. --------------------
+    //      struct + three longs. Drained COMPLETE here (all bars
+    //      retained; in complete mode the watermark does NOT evict, so
+    //      the withWatermark call is inert for this entry) — the
+    //      production posture where eviction actually bounds state is
+    //      append mode, exercised by t37b below; shares w16's oracle
+    //      verbatim. ------------------------------------------------
     "t37_stream_ohlc_bars" -> Q(Extras.ohlcOracleSql) { (s, dir) =>
       val ss = EventStream.statefulSession(s)
       val ev = EventStream.readEvents(ss, dir)

@@ -96,7 +96,10 @@ object FooterStats {
     * false. Every probe key appears in the output exactly once as long
     * as the column exists in the layout (a misspelled column matches no
     * chunks and yields an empty frame — caller beware, same as a
-    * misspelled column in [[pruneFiles]]).
+    * misspelled column in [[pruneFiles]]). Keys are hashed as INT64:
+    * a column whose parquet PHYSICAL type is not INT64 answers true for
+    * every key ("cannot rule out") rather than risking a false negative
+    * from a cross-type hash.
     *
     * Same distribution shape as [[zoneMap]]: driver-side file list,
     * footer/bloom reads fanned over `mapPartitions`.
@@ -120,8 +123,19 @@ object FooterStats {
             reader.getFooter.getBlocks.asScala.toList.flatMap { block =>
               block.getColumns.asScala
                 .find(_.getPath.toDotString == column).toList.flatMap { cc =>
+                  // Probe keys are hashed as Long, which only matches the
+                  // writer's hashing when the column's PHYSICAL type is
+                  // INT64. For any other physical type (INT32, BINARY, …)
+                  // the writer hashed different bytes, and findHash could
+                  // return false for a PRESENT value — a silent false
+                  // negative that breaks the "false ⇒ provably absent"
+                  // contract. Answer true ("cannot rule out") instead,
+                  // exactly like a chunk with no bloom at all.
+                  val isInt64 = cc.getPrimitiveType.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
                   val bloom =
-                    reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                    if (!isInt64) null
+                    else reader.getBloomFilterDataReader(block).readBloomFilter(cc)
                   if (bloom == null) keyArr.toList.map(k => (k, true))
                   else keyArr.toList.map(k => (k, bloom.findHash(bloom.hash(k))))
                 }

@@ -65,6 +65,15 @@ class LlmSpec extends SparkSpec {
       Similarity.bruteForceTopKBlocked(q, mixed, k = 5).collect()
     }
     assert(err.getMessage != null)
+    // r9 advice: the e1 Catalyst path must fail the SAME way — zip_with
+    // over mismatched arrays otherwise silently null-pads the dot and the
+    // twins diverge on exactly the malformed corpora that matter
+    val err1 = intercept[Exception] {
+      Similarity.bruteForceTopK(q, mixed, k = 5).collect()
+    }
+    assert(err1.getMessage != null &&
+      err1.toString.toLowerCase.contains("dim"),
+      s"e1 must raise a loud dimension error, got: $err1")
   }
 
   test("d16 finds an embedded benchmark quote with exact boundaries where doc-level ops miss") {

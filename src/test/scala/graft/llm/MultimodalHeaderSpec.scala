@@ -130,6 +130,32 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.sniffWav(withEmpty).exists(_.n_samples == 100L))
   }
 
+  test("WAV sniff clamps a lying data-chunk size to the bytes actually present") {
+    // r9 advice (Multimodal sniffWav): the walk keeps a data chunk whose
+    // DECLARED size overruns the payload (streamed writers legitimately
+    // do this), but n_samples must come from bytes that EXIST — a corrupt
+    // declared size like 0xFFFFF000 on a 500-sample payload previously
+    // yielded a header claiming ~2 billion samples.
+    val wav = Multimodal.syntheticToneWav(440.0, 500, 8000, 0.5)
+    def withDataSize(sz: Long): Array[Byte] = {
+      val out = wav.clone()
+      // canonical synthetic layout: data chunk header at 36, size at 40
+      assert(new String(out, 36, 4, "US-ASCII") == "data")
+      out(40) = (sz & 0xFF).toByte; out(41) = ((sz >> 8) & 0xFF).toByte
+      out(42) = ((sz >> 16) & 0xFF).toByte; out(43) = ((sz >> 24) & 0xFF).toByte
+      out
+    }
+    // corrupt size → clamp to the 1000 payload bytes → 500 samples
+    assert(Multimodal.sniffWav(withDataSize(0xFFFFF000L)).map(_.n_samples)
+      === Some(500L))
+    // streamed-writer overrun (declared = actual + 100) → same clamp
+    assert(Multimodal.sniffWav(withDataSize(1100L)).map(_.n_samples)
+      === Some(500L))
+    // truthful size is untouched
+    assert(Multimodal.sniffWav(withDataSize(1000L)).map(_.n_samples)
+      === Some(500L))
+  }
+
   test("MP4 sniff returns muxed duration/dims/tracks for v0, v1 and two-track layouts") {
     // ids chosen to hit: v0 single-track (1→but odd... use evens), v0
     // two-track (6), v1 largesize (10), v1+two-track (30)

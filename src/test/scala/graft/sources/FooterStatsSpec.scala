@@ -96,6 +96,27 @@ class FooterStatsSpec extends SparkSpec {
     assert(absent.exists(!got(_)), "no absent key pruned — bloom likely unread")
   }
 
+  test("bloom probe: a non-INT64 physical column answers cannot-rule-out, never false") {
+    // r9 advice (FooterStats.bloomProbe): probe keys hash as Long, which
+    // only matches what the WRITER hashed when the column's physical type
+    // is INT64. An IntegerType column lands as INT32 — its bloom hashed
+    // int values, so findHash(hash(k: Long)) could return false for a
+    // PRESENT value. The guard must degrade to "cannot rule out" instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf32_").toString
+    (0 until 1000).map(i => (i * 10, s"v$i")).toDF("k", "v") // Int → INT32
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val keys = (0 until 100).map(_ * 10L) ++ Seq(5L, 123457L)
+    val got = FooterStats.bloomProbe(spark, files, "k", keys)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === keys.size)
+    assert(got.values.forall(identity),
+      "INT32 column must answer true for EVERY key (cross-type hash would lie)")
+  }
+
   test("bloom probe: a layout written WITHOUT blooms answers cannot-rule-out") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bf0_").toString
     (0 until 100).map(i => (i.toLong, i)).toDF("k", "v")
