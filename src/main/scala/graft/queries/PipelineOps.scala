@@ -2481,6 +2481,60 @@ object PipelineOps {
         s"t37_ohlc_${streamSeq.incrementAndGet()}", mode = "complete")
     },
 
+    // ---- T37B (streaming): OHLC bars drained in APPEND mode — the
+    //      production posture t37 deliberately isn't: append emits each
+    //      bar exactly ONCE when the watermark closes its window, and
+    //      the watermark then EVICTS the bar's state, so the state store
+    //      holds only the open tail (bounded by delay × bar rate) no
+    //      matter how long the stream runs — the claim that was
+    //      miswritten on t37 in r9 holds HERE. Tail bars depend on
+    //      append-mode finalization, so both sides keep only bars whose
+    //      window END sits >= 2h behind max ts (the t25 cut: inside it
+    //      every bar is watermark-closed, so boundary strictness cannot
+    //      differ). Same packed-struct min/max kernel, so the bar values
+    //      are w16's verbatim on the surviving rows. -------------------
+    "t37b_stream_ohlc_append" -> Q(
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |mx AS (SELECT max(us) AS m FROM e),
+        |w AS (SELECT *, (us // 3600000000) AS h,
+        |        row_number() OVER (PARTITION BY event_type, us // 3600000000
+        |                           ORDER BY us, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY event_type, us // 3600000000
+        |                           ORDER BY us DESC, event_id DESC) AS rn_d
+        |      FROM e),
+        |b AS (SELECT event_type, CAST(h AS BIGINT) AS h,
+        |        CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+        |        CAST(max(cents) AS BIGINT) AS high,
+        |        CAST(min(cents) AS BIGINT) AS low,
+        |        CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+        |        CAST(count(*) AS BIGINT) AS n_ticks
+        |      FROM w GROUP BY 1, 2)
+        |SELECT event_type, h, open, high, low, close, n_ticks
+        |FROM b, mx WHERE (h + 1) * 3600000000 <= mx.m - 7200000000""".stripMargin) { (s, dir) =>
+      val ss = EventStream.statefulSession(s)
+      val ev = EventStream.readEvents(ss, dir)
+        .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .withWatermark("ts", "1 hour")
+      val bars = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(min(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("close"),
+          count(lit(1)).as("n_ticks"))
+        .select(col("event_type"),
+          expr("unix_micros(window.start) div 3600000000").as("h"),
+          col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+      val drained = EventStream.runToMemory(bars,
+        s"t37b_ohlc_${streamSeq.incrementAndGet()}", mode = "append")
+      val mxUs = t(s, dir, "events")
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      drained.filter((col("h") + 1) * 3600000000L <= mxUs - 7200000000L)
+    },
+
     // ---- T30 (streaming ops): late-data DROPPING, Spark 4 semantics
     //      pinned — the late-event filter runs against the PREVIOUS
     //      batch's watermark, so a one-row sentinel batch burns the lag
