@@ -375,6 +375,15 @@ object Dedup {
     * misattribute [[incrementalDedupPairs]] output. Ingest pipelines
     * with per-batch local ids must prefix them (e.g. `batchNo * 10^12 +
     * local_id` or a string prefix) before building/appending.
+    *
+    * LAYOUT: buckets partition by (ingest_batch, band_idx); the initial
+    * build lands under `ingest_batch=base`. The extra partition column is
+    * what makes batch appends ([[appendLshIndexBatch]]) idempotent under
+    * streaming checkpoint replay — a replayed batch dynamic-overwrites
+    * exactly its own partitions — and lets a replaying probe exclude its
+    * own crashed leftovers ([[incrementalDedupPairs]] `beforeBatch`).
+    * Probe reads project past it, so batch-unaware callers see the same
+    * bucket table as before.
     */
   def buildLshIndex(docs: DataFrame, path: String, n: Int, numHashes: Int,
                     bands: Int, idCol: String = "doc_id",
@@ -383,26 +392,36 @@ object Dedup {
     val rows = numHashes / bands
     bandedHashes(minhashSignatures(docs, n, numHashes, idCol, textCol),
         bands, rows, idCol)
-      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/bands")
+      .withColumn("ingest_batch", lit("base"))
+      .write.mode("overwrite").partitionBy("ingest_batch", "band_idx")
+      .parquet(s"$path/bands")
     val spark = docs.sparkSession
     import spark.implicits._
     Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").json(s"$path/meta")
   }
 
-  /** The O(delta) index append: band ONLY the new batch with the
-    * parameters read from the index meta and append into the same
-    * partitioned layout — after a batch clears its [[incrementalDedupPairs]]
-    * probe, its survivors join the standing index and the next batch
-    * sees them. (Parquet append into a band-partitioned layout touches
-    * only the delta's files; no rewrite of the standing buckets.)
-    * Appended ids share the standing index's namespace — see the ID
-    * CONTRACT on [[buildLshIndex]]: they must not collide with any id
-    * already indexed.
+  /** Batch-key for the i-th ingest micro-batch. Zero-padded so keys
+    * order lexicographically, and chosen so `"base"` (the initial build)
+    * and `"adhoc..."` ([[appendLshIndex]]) both sort BELOW every batch
+    * key — a probe filtering `ingest_batch < batchKey(i)` therefore sees
+    * the full standing index minus batches ≥ i (its own replay leftovers
+    * and anything later).
     */
-  def appendLshIndex(docs: DataFrame, path: String,
-                     idCol: String = "doc_id",
-                     textCol: String = "text"): Unit = {
+  def lshBatchKey(batchId: Long): String = f"batch$batchId%09d"
+
+  /** The O(delta) index append, REPLAY-IDEMPOTENT: band ONLY the new
+    * batch with the parameters read from the index meta and
+    * dynamic-partition-OVERWRITE its own `ingest_batch=key` partitions —
+    * a streaming foreachBatch that crashed after this write and replays
+    * the batch rewrites the identical partitions instead of doubling the
+    * buckets (the exactly-once discipline of t9/t18, applied to the LSH
+    * index). Appended ids share the standing index's namespace — see the
+    * ID CONTRACT on [[buildLshIndex]].
+    */
+  def appendLshIndexBatch(docs: DataFrame, path: String, batchKey: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val meta = spark.read.json(s"$path/meta").collect().head
     val n = meta.getAs[Long]("n").toInt
@@ -410,8 +429,25 @@ object Dedup {
     val bands = meta.getAs[Long]("bands").toInt
     bandedHashes(minhashSignatures(docs, n, numHashes, idCol, textCol),
         bands, numHashes / bands, idCol)
-      .write.mode("append").partitionBy("band_idx").parquet(s"$path/bands")
+      .withColumn("ingest_batch", lit(batchKey))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "band_idx")
+      .parquet(s"$path/bands")
   }
+
+  /** Non-keyed append for batch-side lifecycles without a replaying
+    * caller: each call lands under a fresh `adhoc_*` partition (so it
+    * composes with the keyed layout and still only touches the delta's
+    * files — no rewrite of standing buckets). NOT idempotent across
+    * retries; checkpointed ingest loops must use [[appendLshIndexBatch]]
+    * with the stream's batch id.
+    */
+  def appendLshIndex(docs: DataFrame, path: String,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit =
+    appendLshIndexBatch(docs, path,
+      s"adhoc_${java.util.UUID.randomUUID().toString.take(12)}", idCol, textCol)
 
   /** Probe half of d18: near-dup pairs between a DELTA batch and the
     * indexed corpus — delta docs band with the parameters read from the
@@ -424,11 +460,20 @@ object Dedup {
     * (the d12 discipline). Returns (id1 = delta doc, id2 = corpus doc,
     * jaccard ≥ threshold); candidate-miss probability is the d3
     * S-curve.
+    *
+    * `beforeBatch`: when set, only index partitions with `ingest_batch <
+    * beforeBatch` are probed (partition-pruned — the excluded buckets
+    * are never read). A checkpointed ingest loop replaying batch i after
+    * a crash passes [[lshBatchKey]](i) so the probe cannot see the
+    * crashed attempt's own half-appended buckets — without it, replayed
+    * documents would match THEMSELVES and batch-mates, flip to
+    * duplicates, and the replay would diverge from the clean run.
     */
   def incrementalDedupPairs(indexPath: String, delta: DataFrame,
                             corpus: DataFrame, threshold: Double,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text",
+                            beforeBatch: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
     val meta = spark.read.json(s"$indexPath/meta").collect().head
     val n = meta.getAs[Long]("n").toInt
@@ -440,7 +485,10 @@ object Dedup {
         col(textCol))
     val deltaT = tagged(delta, "c")
     val corpusT = tagged(corpus, "b")
-    val idx = spark.read.parquet(s"$indexPath/bands")
+    val idx = beforeBatch
+      .foldLeft(spark.read.parquet(s"$indexPath/bands")) { (df, k) =>
+        df.where(col("ingest_batch") < lit(k))
+      }
       .select(col("band_idx"), col("band_hash"),
         concat(lit("b"), col(idCol).cast("string")).as("_corpus_id"))
     val deltaBands = bandedHashes(
@@ -993,4 +1041,110 @@ object Dedup {
   private def condenseSpans(flagged: DataFrame, k: Int,
                             idCol: String): DataFrame =
     condenseSpans(flagged, k, Seq(idCol))
+
+  /** Merge a doc's cut list into disjoint maximal intervals (d19 front
+    * half). [[contaminationSpans]] emits spans per (train doc, bench
+    * doc): two bench docs quoting overlapping text yield overlapping —
+    * even mutually contained — spans for one train doc, and a cut list
+    * applied naively would double-cut the overlap. Classic interval
+    * merge, shuffle-native: a new island starts only when `span_start`
+    * clears the RUNNING MAX of every earlier `span_end` by more than 1
+    * (`lag` alone breaks on containment: [1,100] then [5,10] then
+    * [50,120] must merge into one), adjacent spans fuse so the gaps that
+    * survive are all ≥ 1 char. The window partitions by doc over the
+    * already-condensed span set — rows per doc track quotes found, not
+    * text size, so the sort is microscopic at any corpus scale.
+    */
+  def mergeSpans(spans: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("span_start", "span_end")
+    val runMax = max(col("span_end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .select(col(idCol), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"))
+      .withColumn("_brk",
+        when(col("span_start") <= runMax + 1, 0).otherwise(1))
+      .withColumn("_sid",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_sid"))
+      .agg(min("span_start").as("span_start"),
+        max("span_end").as("span_end"))
+      .select(idCol, "span_start", "span_end")
+  }
+
+  /** APPLY the cut lists (d19): remove every `[span_start, span_end]`
+    * (1-based, inclusive — [[contaminationSpans]]' coordinates) from its
+    * doc's text and stitch the remainder. The stitch is a native
+    * `aggregate` fold over the doc's own merged-span array — state
+    * (next-uncut-position, accumulator), one `substr` per kept segment —
+    * so the hot path is a per-row codegen'd expression: no UDF, no
+    * explode of text, no shuffle beyond the doc-keyed join of the (tiny)
+    * span lists onto the corpus. Docs with no spans pass through
+    * untouched via the left join. Returns (idCol, n_spans_cut,
+    * n_chars_cut, textCol-cleaned).
+    *
+    * Removal is ONE pass: stitching can in principle butt two clean
+    * fragments into a NEW flaggable k-gram, so pipelines wanting the
+    * fixpoint re-run flag→cut until clean ([[decontaminateText]]); the
+    * zero-residual property for quote-shaped contamination is pinned in
+    * LlmSpec.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val perDoc = mergeSpans(spans, idCol)
+      .groupBy(idCol)
+      .agg(
+        array_sort(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e")))).as("_spans"),
+        count(lit(1)).as("n_spans_cut"),
+        sum(col("span_end") - col("span_start") + 1).as("n_chars_cut"))
+    val text = col(textCol)
+    val stitched = aggregate(
+      col("_spans"),
+      struct(lit(1L).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + 1L).as("pos"),
+        concat(st.getField("acc"),
+          text.substr(st.getField("pos"),
+            sp.getField("s") - st.getField("pos"))).as("acc")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("pos"),
+          length(text).cast("long") - st.getField("pos") + 1L)))
+    docs.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"),
+        when(col("_spans").isNull, text).otherwise(stitched).as(textCol))
+  }
+
+  /** Flag → cut to the FIXPOINT: re-run [[contaminationSpans]] +
+    * [[removeSpans]] until a pass finds nothing (stitching two clean
+    * fragments can mint a new flaggable k-gram, so one pass is not a
+    * guarantee — the same reason j7's substring match iterates). Each
+    * round's frame is localCheckpoint'd: the loop would otherwise stack
+    * unbounded lineage, and the emptiness probe (a LIMIT-1 existence
+    * check, the only driver action) would recompute the whole chain per
+    * round. Rounds needed in practice: 1 for quote-shaped contamination,
+    * 2+ only for adversarial stitch collisions; `maxRounds` bounds the
+    * pathological case where cutting keeps minting new matches.
+    */
+  def decontaminateText(docs: DataFrame, bench: DataFrame, k: Int,
+                        maxRounds: Int = 4, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    var cur = docs.select(col(idCol), col(textCol))
+    var rounds = 0
+    var dirty = true
+    while (dirty && rounds < maxRounds) {
+      val spans = contaminationSpans(cur, bench, k, idCol, textCol)
+        .localCheckpoint()
+      dirty = !spans.isEmpty
+      if (dirty)
+        cur = removeSpans(cur, spans, idCol, textCol)
+          .select(col(idCol), col(textCol)).localCheckpoint()
+      rounds += 1
+    }
+    cur
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 import graft.Tables.t
 import graft.llm.{Components, Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
-import graft.streaming.{EventStream, IngestDedup, TransformWithStateOps, VectorIngest}
+import graft.streaming.{EventStream, IndexedIngestDedup, IngestDedup, TransformWithStateOps, VectorIngest}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
@@ -178,6 +178,57 @@ object PipelineOps {
       |       CAST(max(p) + 19 AS BIGINT) AS span_end,
       |       CAST(count(*) AS BIGINT) AS n_grams
       |FROM s GROUP BY doc_id, bench_id, sid""".stripMargin
+
+  /** d19's character-exact truth: replay d16's planted corpus, then cut.
+    * The oracle condenses the UNION of flagged positions per doc, while
+    * the engine merges d16's per-(doc,bench) spans — provably identical:
+    * both reduce to merging the per-position intervals [p, p+k-1] under
+    * the same touch-or-overlap rule (q ≤ p+k), and interval merge is
+    * order-independent, so pre-merging within each bench doc cannot
+    * change the maximal unions. The stitch is the same fold both sides:
+    * kept segments between merged spans, concatenated in order.
+    */
+  private val spanRemovalOracleSql: String =
+    """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, repeat('u', 40) || substr(text, 11, 60) || repeat('v', 40)
+      |  FROM bench WHERE doc_id < 1000),
+      |bg AS (SELECT DISTINCT substr(text, u.p, 20) AS gram
+      |       FROM bench, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+      |tg AS (SELECT doc_id, u.p AS p, substr(text, u.p, 20) AS gram
+      |       FROM train, unnest(generate_series(1, length(text) - 19)) AS u(p)),
+      |f AS (SELECT DISTINCT t.doc_id, t.p FROM tg t JOIN bg ON t.gram = bg.gram),
+      |b AS (SELECT doc_id, p,
+      |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 20
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM f),
+      |s AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |                                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM b),
+      |m AS (SELECT doc_id, min(p) AS ms, max(p) + 19 AS me FROM s GROUP BY doc_id, sid),
+      |seg AS (
+      |  SELECT doc_id, coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1 AS ks,
+      |         ms - 1 AS ke
+      |  FROM m
+      |  UNION ALL
+      |  SELECT doc_id, max(me) + 1 AS ks, NULL AS ke FROM m GROUP BY doc_id),
+      |st AS (SELECT g.doc_id,
+      |        string_agg(CASE WHEN g.ke IS NULL THEN substr(t.text, CAST(g.ks AS INT))
+      |                        ELSE substr(t.text, CAST(g.ks AS INT), CAST(g.ke - g.ks + 1 AS INT))
+      |                   END, '' ORDER BY g.ks) AS text
+      |       FROM seg g JOIN train t ON t.doc_id = g.doc_id GROUP BY g.doc_id),
+      |cut AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut,
+      |               CAST(sum(me - ms + 1) AS BIGINT) AS n_chars_cut
+      |        FROM m GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |       CAST(coalesce(c.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+      |       CAST(coalesce(c.n_chars_cut, 0) AS BIGINT) AS n_chars_cut,
+      |       coalesce(st.text, t.text) AS text
+      |FROM train t
+      |LEFT JOIN st ON st.doc_id = t.doc_id
+      |LEFT JOIN cut c ON c.doc_id = t.doc_id""".stripMargin
 
   /** Closed-form video-container truth — shared by m9 (batch sniff) and
     * t36 (sniff-at-ingest streaming twin): the muxers derive every field
@@ -642,6 +693,30 @@ object PipelineOps {
       val train = all.where(col("doc_id") % 50 =!= 0)
         .select("doc_id", "text").unionByName(planted)
       Dedup.contaminationSpans(train, bench, k = 20)
+    },
+
+    // ---- D19: APPLY the cut lists — d16 answers WHERE the benchmark
+    //      quotes sit; nothing so far removes them. Per-(doc,bench)
+    //      spans merge into disjoint maximal intervals (running-max
+    //      islands — lag alone breaks on contained spans), then a native
+    //      aggregate fold stitches each doc's kept segments: no UDF, no
+    //      text explode, the corpus shuffles only on the doc-keyed join
+    //      of the tiny span lists. Cleaned text is deterministic ⇒ full
+    //      character-exact oracle (union-condense ≡ per-bench-merge, see
+    //      spanRemovalOracleSql). The zero-residual fixpoint property —
+    //      re-flagging the cleaned corpus finds nothing — is pinned in
+    //      LlmSpec, with decontaminateText iterating the pathological
+    //      stitch-mints-a-new-gram case to convergence. ----------------
+    "d19_span_removal" -> Q(spanRemovalOracleSql) { (s, dir) =>
+      val all = docs(s, dir)
+      val bench = all.where(col("doc_id") % 50 === 0)
+      val planted = bench.where(col("doc_id") < 1000)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("u" * 40), substring(col("text"), 11, 60),
+            lit("v" * 40)).as("text"))
+      val train = all.where(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text").unionByName(planted)
+      Dedup.removeSpans(train, Dedup.contaminationSpans(train, bench, k = 20))
     },
 
     // ---- T35 (streaming): span decontamination AT INGEST — d16's flag
@@ -2738,6 +2813,58 @@ object PipelineOps {
         .distinct()
       Dedup.verifyJaccardPairs(docs(s, dir), drained, n = 3, threshold = 0.6)
         .select("id1", "id2")
+    },
+
+    // ---- T38: streaming ingest against the PERSISTED LSH index — the
+    //      production corpus-intake loop t12 and d18 each hold half of.
+    //      The delta arrives in three mtime-ordered micro-batches; each
+    //      batch probes the standing index (base corpus + every earlier
+    //      batch's SURVIVORS), publishes its near-dup pairs, and appends
+    //      only its survivors — so a batch-1 doc duplicating a batch-0
+    //      survivor IS caught, and one duplicating a batch-0 near-dup is
+    //      NOT (the dup never entered the index). Every side effect is
+    //      batch-keyed + overwrite ⇒ replay-idempotent (the exactly-once
+    //      restart case lives in IndexedIngestDedupSpec). The oracle
+    //      replays the batch semantics exactly: exact cross-pair Jaccard,
+    //      unrolled per batch, survivor sets chaining through. ----------
+    "t38_stream_indexed_dedup" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh a JOIN sh b ON a.s = b.s
+        |      WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT id1, id2, c * 1.0 / (n1.n + n2.n - c) AS jac
+        |      FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |      WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6),
+        |p0 AS (SELECT id1, id2, jac FROM j
+        |       WHERE (id1 // 10) % 3 = 0 AND id2 % 10 <> 0),
+        |s0 AS (SELECT doc_id FROM documents
+        |       WHERE doc_id % 10 = 0 AND (doc_id // 10) % 3 = 0
+        |         AND doc_id NOT IN (SELECT id1 FROM p0)),
+        |p1 AS (SELECT id1, id2, jac FROM j
+        |       WHERE (id1 // 10) % 3 = 1
+        |         AND (id2 % 10 <> 0 OR id2 IN (SELECT doc_id FROM s0))),
+        |s1 AS (SELECT doc_id FROM documents
+        |       WHERE doc_id % 10 = 0 AND (doc_id // 10) % 3 = 1
+        |         AND doc_id NOT IN (SELECT id1 FROM p1)),
+        |p2 AS (SELECT id1, id2, jac FROM j
+        |       WHERE (id1 // 10) % 3 = 2
+        |         AND (id2 % 10 <> 0 OR id2 IN (SELECT doc_id FROM s0)
+        |              OR id2 IN (SELECT doc_id FROM s1)))
+        |SELECT id1, id2, CAST(round(jac * 1000000.0) AS BIGINT) AS j_micro
+        |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+        |      UNION ALL SELECT * FROM p2)""".stripMargin) { (s, dir) =>
+      val all = docs(s, dir).select("doc_id", "text")
+      IndexedIngestDedup.runStaged(s,
+          corpus = all.where(col("doc_id") % 10 =!= 0),
+          delta = all.where(col("doc_id") % 10 === 0),
+          batchOf = expr("(doc_id div 10) % 3"), nBatches = 3,
+          threshold = 0.6)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard") * 1e6).cast("long").as("j_micro"))
     },
 
     // ---- T14: NATIVE streaming dedup — dropDuplicatesWithinWatermark
