@@ -76,11 +76,29 @@ object Similarity {
     // be everyone's #1 neighbor. Defining the drop here (and in the e14
     // blocked twin) keeps the twin contract corpus-independent.
     val q = broadcast(cleanVectors(queries, idCol, vecCol, "query_id", "_qv"))
-    val c = cleanVectors(corpus, idCol, vecCol, "neighbor_id", "_cv")
+    val c0 = cleanVectors(corpus, idCol, vecCol, "neighbor_id", "_cv")
+    // Corpus dims are validated INDEPENDENTLY of the pair join (r10
+    // advice): the pair guard below never sees a corpus row whose id
+    // equals every query id (the join excludes self-pairs), so a
+    // mismatched-dimension corpus vector re-using the lone query's id
+    // would pass silently here while e14's per-row require throws. One
+    // broadcast row carrying the first clean query's dim — the same
+    // reference e14 uses — checks every corpus row before any join.
+    val qdim = broadcast(q.select(size(col("_qv")).as("_qdim")).limit(1))
+    val c = c0.crossJoin(qdim)
+      .filter(when(size(col("_cv")) =!= col("_qdim"),
+        raise_error(concat(
+          lit("corpus vector "), col("neighbor_id"),
+          lit(" has dim "), size(col("_cv")),
+          lit(", queries have dim "), col("_qdim"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_qdim")
     // Mixed dimensions fail LOUDLY, matching the e14 blocked twin: a
     // zip_with over mismatched arrays pads with null and silently yields
     // a null/odd cosine, so without this guard the twins would disagree
     // on exactly the malformed corpora where agreement matters most.
+    // (kept alongside the corpus pre-check: it also catches queries that
+    // disagree among THEMSELVES against a matching corpus)
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(size(col("_qv")) =!= size(col("_cv")),
@@ -578,8 +596,9 @@ object Similarity {
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$path/centroids"),
       // _cl stays the partition-discovered type until after the probe
-      // filter (same pruning rationale as loadIvfPq)
-      spark.read.parquet(s"$path/lists"))
+      // filter (same pruning rationale as loadIvfPq); tombstoned ids
+      // are subtracted before any candidate can form
+      minusTombstones(spark.read.parquet(s"$path/lists"), spark, path, "cid"))
 
   def ivfIndexPath(dir: String, nlist: Int, iters: Int): String =
     indexPath(dir, s"ivf|$nlist|$iters")
@@ -672,20 +691,28 @@ object Similarity {
     val stamp = sourceStamp(spark, dir, grownCorpus)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (indexFresh(spark, path, stamp)) {
+    if (indexFresh(spark, path, stamp)
+        && !tombstoneCompactionDue(spark, path, maxDeltaFraction,
+          ivfCounts(spark, path))) {
+      // same guard as [[maintainIvfPq]]: freshness must not swallow a
+      // compaction-due tombstone share
       fs.delete(pendingDeltaFlag(spark, path), false)
       return loadIvf(spark, path)
     }
+    // churn share incl. tombstones — same rationale as [[maintainIvfPq]];
+    // the retrain is the physical compaction that drops deleted ids
     val deltaShare =
       if (pendingDelta(spark, path)) Double.PositiveInfinity
       else ivfCounts(spark, path)
         .map { case (nBase, nNow) =>
-          (nNow + delta.count() - nBase).toDouble / nBase
+          (nNow + delta.count() + tombstoneCount(spark, path) - nBase)
+            .toDouble / nBase
         }
         .getOrElse(Double.PositiveInfinity)
     if (deltaShare > maxDeltaFraction) {
+      val liveCorpus = minusTombstones(grownCorpus, spark, path, idCol)
       publishIndex(spark, path, stamp) { staging =>
-        saveIvf(buildIvf(grownCorpus, nlist, iters, idCol, vecCol), staging)
+        saveIvf(buildIvf(liveCorpus, nlist, iters, idCol, vecCol), staging)
       }
       loadIvf(spark, path)
     } else {
@@ -1223,9 +1250,12 @@ object Similarity {
       codebook = spark.read.parquet(s"$path/codebook"),
       // _cl left as the partition-discovered type: [[ivfpqQuery]] filters
       // on it FIRST (partition pruning needs the raw column), then
-      // normalizes to long
-      codes = spark.read.parquet(s"$path/codes"),
-      exact = c, m = meta.getAs[Int]("m"), sub = meta.getAs[Int]("sub"))
+      // normalizes to long. Tombstoned ids are subtracted HERE — before
+      // any candidate can form — on both the codes and the refine side.
+      codes = minusTombstones(spark.read.parquet(s"$path/codes"),
+        spark, path, "cid"),
+      exact = minusTombstones(c, spark, path, "cid"),
+      m = meta.getAs[Int]("m"), sub = meta.getAs[Int]("sub"))
   }
 
   /** Build-once / query-forever: serve the persisted index when a
@@ -1347,6 +1377,66 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Logical DELETE for a persisted vector index (IVF and IVF-PQ share
+    * the layout): append the ids to `$path/tombstones`. The index tables
+    * are untouched — a physical in-place delete would rewrite list
+    * partitions on every retraction, so retraction is a metadata append
+    * and the read path subtracts ([[loadIvf]]/[[loadIvfPq]] anti-join
+    * the tombstone set before any candidate can form). Idempotent under
+    * retry: duplicate appends collapse in the read-side distinct, and a
+    * crashed append commits no rows. Deleted ids stay dead until the
+    * next full retrain physically drops them ([[maintainIvfPq]] folds
+    * the tombstone share into its trigger, so heavy churn forces the
+    * compaction); re-using a deleted id for a NEW vector is outside the
+    * contract — ids are a permanent namespace, the same contract as the
+    * LSH index ([[Dedup.buildLshIndex]]).
+    */
+  def tombstoneIds(spark: org.apache.spark.sql.SparkSession, path: String,
+                   ids: DataFrame, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("cid")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** The distinct tombstoned ids at `path` as (cid long), or None when
+    * no delete was ever issued (the common path stays join-free). */
+  private def tombstonesAt(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .select(col("cid").cast("long").as("cid")).distinct())
+  }
+
+  def tombstoneCount(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Long =
+    tombstonesAt(spark, path).map(_.count()).getOrElse(0L)
+
+  /** Tombstone share alone crossed the churn threshold — the signal that
+    * lets a maintain call on an otherwise-FRESH index still reach its
+    * compacting retrain (deletes never move the source stamp). Counts
+    * come from the caller's index-kind reader so the denominator can't
+    * drift between the two maintain paths. */
+  private def tombstoneCompactionDue(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, maxDeltaFraction: Double,
+                                     counts: Option[(Long, Long)]): Boolean =
+    counts.exists { case (nBase, _) =>
+      tombstoneCount(spark, path).toDouble / nBase > maxDeltaFraction
+    }
+
+  /** Subtract the tombstone set from an index-side table keyed by
+    * `idCol`. Broadcast anti-join: the tombstone set is a retraction
+    * log, orders of magnitude under the corpus, and the probe-side
+    * partition filter still pushes through a left-anti join to the
+    * scan, so list pruning survives deletion. */
+  private def minusTombstones(df: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              path: String, idCol: String): DataFrame =
+    tombstonesAt(spark, path) match {
+      case None => df
+      case Some(tb) =>
+        df.join(broadcast(tb.select(col("cid").as(idCol))), Seq(idCol), "left_anti")
+    }
+
   /** The maintenance entry point a scheduled ingest calls: append the
     * delta while the accumulated delta share (INCLUDING the incoming
     * batch) stays under `maxDeltaFraction`; once it crosses, full-retrain
@@ -1372,23 +1462,38 @@ object Similarity {
     val stamp = sourceStamp(spark, dir, grownCorpus)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (indexComplete(spark, path) && indexFresh(spark, path, stamp)) {
+    if (indexComplete(spark, path) && indexFresh(spark, path, stamp)
+        && !tombstoneCompactionDue(spark, path, maxDeltaFraction,
+          ivfpqCounts(spark, path))) {
       // this exact merge already completed (a retry after a crash between
-      // stamp and marker-clear lands here — finish the cleanup)
+      // stamp and marker-clear lands here — finish the cleanup). Deletes
+      // don't move the source stamp, so the freshness short-circuit must
+      // NOT swallow a compaction-due index — tombstone share past the
+      // threshold falls through to the retrain below.
       fs.delete(pendingDeltaFlag(spark, path), false)
       return loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
     }
+    // Churn share, not just delta share: tombstoned vectors degrade the
+    // index too (dead rows scanned on every probe, served corpus drifting
+    // from the trained one), so deletes count toward the same trigger —
+    // heavy retraction forces the retrain, which doubles as the physical
+    // compaction (the rebuild below excludes tombstoned ids and replaces
+    // the directory, tombstone log included).
     val deltaShare =
       if (!indexComplete(spark, path) || pendingDelta(spark, path))
         Double.PositiveInfinity
       else ivfpqCounts(spark, path)
         .map { case (nBase, nNow) =>
-          (nNow + delta.count() - nBase).toDouble / nBase
+          (nNow + delta.count() + tombstoneCount(spark, path) - nBase)
+            .toDouble / nBase
         }
         .getOrElse(Double.PositiveInfinity)
     if (deltaShare > maxDeltaFraction) {
+      // the tombstone log is read LAZILY inside the staged build — the old
+      // directory (log included) survives until the post-build publish swap
+      val liveCorpus = minusTombstones(grownCorpus, spark, path, idCol)
       publishIndex(spark, path, stamp) { staging =>
-        saveIvfPq(buildIvfPq(grownCorpus, nlist, m, ksub, iters, idCol, vecCol),
+        saveIvfPq(buildIvfPq(liveCorpus, nlist, m, ksub, iters, idCol, vecCol),
           staging)
       }
       loadIvfPq(spark, path, grownCorpus, idCol, vecCol)

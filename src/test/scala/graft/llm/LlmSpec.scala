@@ -74,6 +74,20 @@ class LlmSpec extends SparkSpec {
     assert(err1.getMessage != null &&
       err1.toString.toLowerCase.contains("dim"),
       s"e1 must raise a loud dimension error, got: $err1")
+    // r10 advice: the SELF-ID edge — when the query set's only id also
+    // labels the mismatched corpus vector, the pair join (qid != cid)
+    // never evaluates the pair guard. The corpus pre-check must throw
+    // anyway, keeping e1 ≡ e14 on this narrowest malformed corpus.
+    import spark.implicits._
+    val qLone = Seq((900003L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val errSelf = intercept[Exception] {
+      Similarity.bruteForceTopK(qLone, mixed, k = 5).collect()
+    }
+    assert(errSelf.toString.toLowerCase.contains("dim"),
+      s"e1 must flag a mismatched corpus vector even behind the self-id edge: $errSelf")
+    intercept[org.apache.spark.SparkException] {
+      Similarity.bruteForceTopKBlocked(qLone, mixed, k = 5).collect()
+    }
   }
 
   test("d16 finds an embedded benchmark quote with exact boundaries where doc-level ops miss") {
@@ -117,6 +131,78 @@ class LlmSpec extends SparkSpec {
     val d12 = Dedup.fuzzyContamination(train, bench, n = 3,
       numHashes = 64, bands = 32, threshold = 0.6).count()
     assert(d12 === 0L, "doc-level fuzzy decontamination must miss a 2% quote")
+  }
+
+  test("d19 merge handles contained, overlapping and adjacent spans") {
+    import spark.implicits._
+    // [1,100] ⊃ [5,10]: lag(span_end) alone would break after [5,10]
+    // and wrongly restart at [50,120] — the running max must not.
+    // [11,20] after [1,10] is touch-adjacent (gap 0): must fuse.
+    val spans = Seq(
+      (1L, 1L, 100L), (1L, 5L, 10L), (1L, 50L, 120L), (1L, 150L, 160L),
+      (2L, 1L, 10L), (2L, 11L, 20L), (2L, 22L, 30L))
+      .toDF("doc_id", "span_start", "span_end")
+    val merged = Dedup.mergeSpans(spans)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === Set((1L, 1L, 120L), (1L, 150L, 160L),
+      (2L, 1L, 20L), (2L, 22L, 30L)), s"merged: $merged")
+  }
+
+  test("d19 cut reaches zero residual on quote-shaped contamination") {
+    import spark.implicits._
+    val quote = (1 to 40).map(i => s"benchword$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"alpha$i").mkString(" ")
+    val fillerB = (1 to 180).map(i => s"omega$i").mkString(" ")
+    val train = Seq(
+      (7L, s"$fillerA $quote $fillerB"),   // quote mid-doc
+      (8L, s"$quote $fillerB"),            // quote at position 1 (empty head segment)
+      (9L, s"$fillerA $quote"),            // quote at the end (empty tail segment)
+      (10L, fillerA)                       // clean — must pass through untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq((3L, s"benchmark preamble text here $quote and a closing sentence"))
+      .toDF("doc_id", "text")
+
+    val cleaned = Dedup.removeSpans(train,
+      Dedup.contaminationSpans(train, bench, k = 20))
+    val rows = cleaned.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // bookkeeping: exactly one span cut from each planted doc, none from 10
+    assert(rows(7L)._1 === 1L && rows(8L)._1 === 1L && rows(9L)._1 === 1L)
+    assert(rows(10L) === ((0L, 0L, fillerA)))
+    // the quote is gone, the filler words survive, length accounting holds
+    for (id <- Seq(7L, 8L, 9L)) {
+      val (_, nChars, text) = rows(id)
+      assert(!text.contains("benchword"), s"doc $id still contaminated: $text")
+      assert(nChars >= quote.length, s"doc $id cut only $nChars chars")
+    }
+    assert(rows(7L)._3.startsWith("alpha1 ") && rows(7L)._3.contains("omega180"))
+    // the fixpoint property: re-flagging the cleaned corpus finds NOTHING
+    assert(Dedup.contaminationSpans(
+      cleaned.select("doc_id", "text"), bench, k = 20).isEmpty,
+      "zero-residual: cleaned corpus must not flag again")
+  }
+
+  test("d19 fixpoint: a cut that mints a new benchmark gram converges, one pass does not") {
+    import spark.implicits._
+    // Removing the b2 quote butts the two halves of b1 together — the
+    // cleaned doc IS a benchmark gram that did not exist before the cut.
+    val b1 = "ABCDEFGHIJKLMNOPQRST"
+    val b2 = "0123456789qrstuvwxyz"
+    val bench = Seq((1L, b1), (2L, b2)).toDF("doc_id", "text")
+    val train = Seq((7L, "ABCDEFGHIJ" + b2 + "KLMNOPQRST")).toDF("doc_id", "text")
+
+    val onePass = Dedup.removeSpans(train,
+      Dedup.contaminationSpans(train, bench, k = 20))
+    assert(onePass.collect().head.getString(3) === b1,
+      "one pass must mint exactly the b1 gram (the adversarial stitch)")
+    assert(!Dedup.contaminationSpans(
+      onePass.select("doc_id", "text"), bench, k = 20).isEmpty,
+      "one pass must NOT be a fixpoint here")
+
+    val fixed = Dedup.decontaminateText(train, bench, k = 20)
+    assert(fixed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((7L, "")), "fixpoint must cut to empty")
+    assert(Dedup.contaminationSpans(fixed, bench, k = 20).isEmpty)
   }
 
   test("d18 index lifecycle: build, probe, O(delta) append — later batches see earlier ones") {
