@@ -704,11 +704,44 @@ object Multimodal {
         } else if (id == "data") {
           // A streamed writer's data chunk may legitimately declare more
           // bytes than it flushed, but n_samples must come from bytes
-          // that EXIST: clamp to the payload actually present after the
-          // chunk header, else a corrupt size like 0xFFFFF000 on a tiny
-          // payload would inflate n_samples instead of reflecting the
-          // truncated file.
-          dataBytes = math.min(size, math.max(0L, data.length.toLong - (i + 8)))
+          // that EXIST — and only from the CHUNK's bytes, not whatever
+          // trails it: a corrupt declared size on a file with chunks
+          // after `data` (LIST/INFO metadata) would otherwise count
+          // those trailing bytes as PCM. When the declaration overruns
+          // the file, the payload is bounded at the first even offset
+          // from which a plausible chunk chain (printable 4-char tags,
+          // declared sizes tiling exactly to EOF) begins — else at EOF.
+          // Heuristic, and only on the already-corrupt path: PCM that
+          // coincidentally tiles like a chunk chain under-counts, where
+          // the old clamp over-counted metadata as samples; a truthful
+          // declaration is never second-guessed.
+          def printableTag(j: Int): Boolean = (0 until 4).forall { o =>
+            val b = data(j + o) & 0xFF; b >= 0x20 && b <= 0x7E
+          }
+          def chunkChainTilesToEof(start: Long): Boolean = {
+            var j = start
+            while (j + 8 <= data.length) {
+              if (!printableTag(j.toInt)) return false
+              val sz = u32(j.toInt + 4)
+              val nxt = j + 8 + sz + (sz & 1L)
+              if (nxt > data.length) return false
+              j = nxt
+            }
+            j == data.length.toLong
+          }
+          val payloadStart = i + 8
+          val present = math.max(0L, data.length.toLong - payloadStart)
+          dataBytes =
+            if (size <= present) size
+            else {
+              var j = payloadStart
+              var boundary = -1L
+              while (boundary < 0 && j + 8 <= data.length) {
+                if (chunkChainTilesToEof(j)) boundary = j
+                j += 2
+              }
+              (if (boundary >= 0) boundary else data.length.toLong) - payloadStart
+            }
         }
         // Advance entirely in Long: a corrupt chunk declaring size near
         // 0xFFFFFFFF would, as an Int, wrap the step to ≤ 0 and hang the

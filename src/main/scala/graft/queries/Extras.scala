@@ -2435,6 +2435,35 @@ object Extras {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     },
 
+    // ---- J22: runtime bloom-filter join pushdown, plan-ASSERTED — the
+    //      selective dim filter (o_totalprice > 400k) builds a bloom the
+    //      optimizer pushes into the lineitem scan as
+    //      might_contain(xxhash64(l_orderkey)), so non-joining fact rows
+    //      drop BEFORE the shuffle. Spark declines this silently under
+    //      many conditions (10 GB app-side gate, broadcast demotion,
+    //      non-selective filter) — requireInjected makes the claim fail
+    //      loudly instead; BloomJoinSpec pins the decline conditions.
+    //      Result is hash-green vs the plain-join oracle: the bloom is
+    //      a pre-filter, never a semantics change. ----------------------
+    "j22_runtime_bloom_join" -> Q(
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ss = graft.operators.BloomJoin.bloomSession(s)
+      val fact = t(ss, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val dim = t(ss, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.BloomJoin.requireInjected(
+          graft.operators.BloomJoin.bloomFiltered(fact, dim, "l_orderkey"))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    },
+
     // ---- S13: snapshot diff (CDC change-set extraction) — old and new
     //      versions are simulated from orders: every 10th key deleted,
     //      every (10k+1)th inserted, every 7th status rewritten. Output is
@@ -2560,6 +2589,45 @@ object Extras {
     //      negatives is the load-bearing property (a pruned key must be
     //      PROVABLY absent); FooterStatsSpec pins it plus the
     //      no-bloom⇒cannot-rule-out and multi-row-group OR semantics. --
+    // ---- S27: the scan PLANNER the s14/s24/s25 index pieces compose
+    //      into — a range-clustered layout (8 files over o_orderkey,
+    //      blooms on o_custkey), a conjunctive predicate, and a plan
+    //      that consults zone maps + blooms from FOOTER reads alone,
+    //      then scans ONLY the surviving files. The entry hash-checks
+    //      the pruned scan against the straight SQL over the unpruned
+    //      table (pruning must be invisible to results) and self-asserts
+    //      files-read < total (the layout makes ≥ 1 pruned file a
+    //      guarantee, not a hope); ScanPlannerSpec pins the per-index
+    //      file sets, the completeness contract, and the metrics. ------
+    "s27_pruned_scan" -> Q(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 2000 AND 20000
+        |  AND (o_custkey BETWEEN 1 AND 50 OR o_custkey = 9999999)""".stripMargin) { (s, dir) =>
+      val scratch = scratchDir("graft_s27")
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .parquet(scratch)
+      val files = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted.toSeq
+      val keys = (1L to 50L) :+ 9999999L // the absent key exercises the prune-to-nothing path
+      val plan = graft.sources.ScanPlanner.plan(s, files,
+        range = Some(("o_orderkey", 2000.0, 20000.0)),
+        point = Some(("o_custkey", keys)))
+      require(plan.keptFiles.size < plan.totalFiles,
+        s"range-clustered layout must prune: kept ${plan.keptFiles.size}/${plan.totalFiles}")
+      graft.sources.ScanPlanner.scan(s, plan, files)
+        .filter(col("o_orderkey").between(2000L, 20000L) &&
+          (col("o_custkey").between(1L, 50L) || col("o_custkey") === 9999999L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+    },
+
     "s25_bloom_filter_probe" -> Q(
       """SELECT u.k AS probe_key,
         |       EXISTS(SELECT 1 FROM orders o WHERE o.o_orderkey = u.k) AS present

@@ -96,8 +96,10 @@ object FooterStats {
     * false. Every probe key appears in the output exactly once as long
     * as the column exists in the layout (a misspelled column matches no
     * chunks and yields an empty frame — caller beware, same as a
-    * misspelled column in [[pruneFiles]]). Keys are hashed as INT64:
-    * a column whose parquet PHYSICAL type is not INT64 answers true for
+    * misspelled column in [[pruneFiles]]). Keys hash by the column's
+    * PHYSICAL type: INT64 as Long, INT32 as Int (writer-identical; a
+    * key outside Int range is provably absent from an INT32 column, so
+    * false there is exact); any other physical type answers true for
     * every key ("cannot rule out") rather than risking a false negative
     * from a cross-type hash.
     *
@@ -105,7 +107,21 @@ object FooterStats {
     * footer/bloom reads fanned over `mapPartitions`.
     */
   def bloomProbe(spark: SparkSession, paths: Seq[String], column: String,
-                 keys: Seq[Long]): DataFrame = {
+                 keys: Seq[Long]): DataFrame =
+    bloomProbeByFile(spark, paths, column, keys)
+      .groupBy("probe_key")
+      .agg(max(col("might_contain")).as("might_contain"))
+
+  /** Per-FILE bloom probe — the planner's form of [[bloomProbe]]:
+    * (file, probe_key, might_contain) where `file` is the input path
+    * verbatim and might_contain ORs over the file's row groups. A file
+    * that does not carry the column at all emits NO rows — for an
+    * `IN`-list predicate that is a correct prune (a missing column reads
+    * as null and null never satisfies IN), distinct from the
+    * stats-unavailable case, which answers true per chunk.
+    */
+  def bloomProbeByFile(spark: SparkSession, paths: Seq[String],
+                       column: String, keys: Seq[Long]): DataFrame = {
     import spark.implicits._
     require(paths.nonEmpty, "bloomProbe needs at least one parquet path")
     require(keys.nonEmpty, "bloomProbe needs at least one probe key")
@@ -123,28 +139,36 @@ object FooterStats {
             reader.getFooter.getBlocks.asScala.toList.flatMap { block =>
               block.getColumns.asScala
                 .find(_.getPath.toDotString == column).toList.flatMap { cc =>
-                  // Probe keys are hashed as Long, which only matches the
-                  // writer's hashing when the column's PHYSICAL type is
-                  // INT64. For any other physical type (INT32, BINARY, …)
-                  // the writer hashed different bytes, and findHash could
-                  // return false for a PRESENT value — a silent false
-                  // negative that breaks the "false ⇒ provably absent"
-                  // contract. Answer true ("cannot rule out") instead,
-                  // exactly like a chunk with no bloom at all.
-                  val isInt64 = cc.getPrimitiveType.getPrimitiveTypeName ==
-                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+                  // The writer hashed the column's PHYSICAL representation,
+                  // so the probe must hash the same bytes: INT64 keys
+                  // as-is; INT32 keys as Int (the writer hashed 4-byte
+                  // values — identical xxhash input when the key fits,
+                  // and a key OUTSIDE Int range is provably absent from
+                  // an INT32 column, so false is exact, not a guess).
+                  // Any other physical type (BINARY, …) hashed different
+                  // bytes entirely — findHash could return false for a
+                  // PRESENT value, a silent false negative that breaks
+                  // the "false ⇒ provably absent" contract — so those
+                  // answer true ("cannot rule out"), exactly like a
+                  // chunk with no bloom at all.
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  val ptn = cc.getPrimitiveType.getPrimitiveTypeName
                   val bloom =
-                    if (!isInt64) null
+                    if (ptn != INT64 && ptn != INT32) null
                     else reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-                  if (bloom == null) keyArr.toList.map(k => (k, true))
-                  else keyArr.toList.map(k => (k, bloom.findHash(bloom.hash(k))))
+                  if (bloom == null) keyArr.toList.map(k => (p, k, true))
+                  else if (ptn == INT32) keyArr.toList.map { k =>
+                    val fits = k >= Int.MinValue.toLong && k <= Int.MaxValue.toLong
+                    (p, k, fits && bloom.findHash(bloom.hash(k.toInt)))
+                  }
+                  else keyArr.toList.map(k => (p, k, bloom.findHash(bloom.hash(k))))
                 }
             }.iterator // materialized above — the reader closes below
           } finally reader.close()
         }
       }
-      .toDF("probe_key", "_might")
-      .groupBy("probe_key")
+      .toDF("file", "probe_key", "_might")
+      .groupBy("file", "probe_key")
       .agg(max(col("_might")).as("might_contain"))
   }
 }

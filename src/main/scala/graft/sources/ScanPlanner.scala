@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The file list a predicate allows, plus what each index contributed —
+  * `keptFiles` preserves the caller's path order (deterministic plans).
+  */
+final case class ScanPlan(keptFiles: Seq[String], totalFiles: Int) {
+  def prunedFiles: Int = totalFiles - keptFiles.size
+}
+
+/** Footer-stats-driven scan planning (s27) — the composition the three
+  * index pieces exist for: given a conjunctive predicate
+  * `rangeCol ∈ [lo, hi] AND pointCol IN (keys)`, consult the zone map
+  * (s24 — range intersection per row group) and the bloom filters
+  * (s25 — point membership per row group) from FOOTER reads alone, emit
+  * the file list that can possibly contain matches, and scan only it.
+  * Laid out z-ordered / range-clustered (s14), the zone map turns a
+  * range predicate into near-perfect file pruning; blooms catch the
+  * unclustered point keys min/max can never exclude.
+  *
+  * Pruning is an OPTIMIZATION, never a filter: a file is dropped only
+  * when the indexes PROVE no row can match — a file with no harvestable
+  * stats for the range column survives (can't prove absence), a chunk
+  * with no bloom answers cannot-rule-out, and the caller re-applies the
+  * full predicate on the scan. The one intentional sharpening: a file
+  * that does not carry the point column AT ALL is dropped, because a
+  * missing column reads as null and null never satisfies IN.
+  *
+  * The plan is a driver-side manifest — one string per surviving file —
+  * which is exactly what a scan is: Spark's own FileSourceScanExec holds
+  * the selected file list on the driver. The index CONSULTATION is
+  * distributed (footer reads fan over the cluster in [[FooterStats]]);
+  * only the per-file verdicts come back.
+  */
+object ScanPlanner {
+
+  /** Files surviving `column ∈ [lo, hi]` by zone-map intersection; files
+    * with no harvested stats for the column survive unpruned. */
+  def planRange(spark: SparkSession, paths: Seq[String], column: String,
+                lo: Double, hi: Double): Seq[String] = {
+    requireUnambiguousNames(paths)
+    val zm = FooterStats.zoneMap(spark, paths)
+      .filter(col("column_name") === column)
+      .localCheckpoint() // consumed twice; footer reads shouldn't re-run
+    val withStats = zm.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val kept = FooterStats.pruneFiles(zm, column, lo, hi)
+      .collect().map(_.getString(0)).toSet
+    paths.filter { p =>
+      val n = name(p); !withStats.contains(n) || kept.contains(n)
+    }
+  }
+
+  /** Files surviving `column IN (keys)` by bloom probe: a file is kept
+    * iff ANY key might be present in ANY of its row groups. */
+  def planPoint(spark: SparkSession, paths: Seq[String], column: String,
+                keys: Seq[Long]): Seq[String] = {
+    val kept = FooterStats.bloomProbeByFile(spark, paths, column, keys)
+      .filter(col("might_contain"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    paths.filter(kept.contains)
+  }
+
+  /** Compose: the conjunction keeps the INTERSECTION of each index's
+    * survivors. Either predicate may be absent. */
+  def plan(spark: SparkSession, paths: Seq[String],
+           range: Option[(String, Double, Double)] = None,
+           point: Option[(String, Seq[Long])] = None): ScanPlan = {
+    require(paths.nonEmpty, "plan needs at least one parquet path")
+    val rangeKept = range.fold(paths.toSet) { case (c, lo, hi) =>
+      planRange(spark, paths, c, lo, hi).toSet
+    }
+    val pointKept = point.fold(paths.toSet) { case (c, keys) =>
+      planPoint(spark, paths, c, keys).toSet
+    }
+    ScanPlan(paths.filter(p => rangeKept.contains(p) && pointKept.contains(p)),
+      paths.size)
+  }
+
+  /** Read exactly the planned files (schema from the survivors; an empty
+    * plan reads the full schema off the first original path and keeps
+    * zero rows, so downstream projections still resolve). */
+  def scan(spark: SparkSession, plan: ScanPlan,
+           allPaths: Seq[String]): DataFrame =
+    if (plan.keptFiles.nonEmpty) spark.read.parquet(plan.keptFiles: _*)
+    else spark.read.parquet(allPaths.head).limit(0)
+
+  private def name(p: String): String =
+    new org.apache.hadoop.fs.Path(p).getName
+
+  /** Zone-map rows identify files by NAME ([[ZoneMapRow.file]]); the plan
+    * must hand back full paths, so names must be unambiguous within one
+    * planning call (they are for any Spark-written layout — part files
+    * carry a job UUID). */
+  private def requireUnambiguousNames(paths: Seq[String]): Unit =
+    require(paths.map(name).distinct.size == paths.size,
+      "duplicate file names across paths — zone-map identity is ambiguous")
+}

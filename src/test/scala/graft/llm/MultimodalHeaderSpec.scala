@@ -156,6 +156,30 @@ class MultimodalHeaderSpec extends SparkSpec {
       === Some(500L))
   }
 
+  test("WAV sniff clamps a lying data size to end-of-CHUNK, not end-of-file") {
+    // r10 advice: the r9 clamp bounded n_samples at EOF — a corrupt
+    // declared size on a file with TRAILING chunks after `data`
+    // (LIST/INFO metadata) counted those bytes as PCM. The bound must
+    // stop where a plausible trailing chunk chain begins.
+    val wav = Multimodal.syntheticToneWav(440.0, 500, 8000, 0.5)
+    assert(new String(wav, 36, 4, "US-ASCII") == "data")
+    val trailing = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](12, 0, 0, 0) ++ "INFOIART".getBytes("US-ASCII") ++
+      Array.fill[Byte](4)(7)
+    val out = wav ++ trailing
+    // corrupt the data declaration to overrun everything
+    out(40) = 0x00.toByte; out(41) = 0xF0.toByte
+    out(42) = 0xFF.toByte; out(43) = 0xFF.toByte
+    // 500 samples (1000 payload bytes), NOT 510 (payload + 20 LIST bytes)
+    assert(Multimodal.sniffWav(out).map(_.n_samples) === Some(500L),
+      "trailing metadata must not count as PCM under a corrupt declaration")
+    // a corrupt declaration with NO trailing chunks still clamps to EOF
+    val bare = wav.clone()
+    bare(40) = 0x00.toByte; bare(41) = 0xF0.toByte
+    bare(42) = 0xFF.toByte; bare(43) = 0xFF.toByte
+    assert(Multimodal.sniffWav(bare).map(_.n_samples) === Some(500L))
+  }
+
   test("MP4 sniff returns muxed duration/dims/tracks for v0, v1 and two-track layouts") {
     // ids chosen to hit: v0 single-track (1→but odd... use evens), v0
     // two-track (6), v1 largesize (10), v1+two-track (30)

@@ -96,12 +96,12 @@ class FooterStatsSpec extends SparkSpec {
     assert(absent.exists(!got(_)), "no absent key pruned — bloom likely unread")
   }
 
-  test("bloom probe: a non-INT64 physical column answers cannot-rule-out, never false") {
-    // r9 advice (FooterStats.bloomProbe): probe keys hash as Long, which
-    // only matches what the WRITER hashed when the column's physical type
-    // is INT64. An IntegerType column lands as INT32 — its bloom hashed
-    // int values, so findHash(hash(k: Long)) could return false for a
-    // PRESENT value. The guard must degrade to "cannot rule out" instead.
+  test("bloom probe: INT32 physical column probes exactly via the writer's Int hash") {
+    // r9 advice found the cross-type false-negative hazard; r10 guarded
+    // it by degrading INT32 to always-true; r10 advice asked for better:
+    // the writer of an INT32 column hashed 4-byte Int values, so hashing
+    // the probe key AS Int reproduces the writer's hash exactly — INT32
+    // layouts get real pruning, with the same no-false-negative contract.
     val dir = java.nio.file.Files.createTempDirectory("graft_bf32_").toString
     (0 until 1000).map(i => (i * 10, s"v$i")).toDF("k", "v") // Int → INT32
       .coalesce(1).write.mode("overwrite")
@@ -109,12 +109,37 @@ class FooterStatsSpec extends SparkSpec {
       .parquet(dir)
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
-    val keys = (0 until 100).map(_ * 10L) ++ Seq(5L, 123457L)
-    val got = FooterStats.bloomProbe(spark, files, "k", keys)
+    val present = (0 until 1000).map(_ * 10L)
+    val absent = (0 until 1000).map(_ * 10L + 5L)
+    val got = FooterStats.bloomProbe(spark, files, "k",
+      present ++ absent ++ Seq(5000000000L, -5000000000L))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(got.size === keys.size)
-    assert(got.values.forall(identity),
-      "INT32 column must answer true for EVERY key (cross-type hash would lie)")
+    assert(present.forall(got(_)),
+      "INT32 bloom false negative — the Int hash does not match the writer")
+    val fpr = absent.count(got(_)).toDouble / absent.size
+    assert(fpr < 0.5, s"absurd false-positive rate $fpr — INT32 bloom not probed")
+    assert(absent.exists(!got(_)), "no absent key pruned — INT32 bloom likely skipped")
+    // a key outside Int range cannot exist in an INT32 column: false is
+    // EXACT there, not a bloom answer at all
+    assert(!got(5000000000L) && !got(-5000000000L),
+      "out-of-Int-range keys are provably absent from an INT32 column")
+  }
+
+  test("bloom probe: a BINARY physical column answers cannot-rule-out, never false") {
+    // the remaining cross-type degrade path: a string column's bloom
+    // hashed Binary bytes — no Long probe can reproduce that, so every
+    // key must stay a scan candidate
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfbin_").toString
+    (0 until 100).map(i => (i.toString, i)).toDF("k", "v") // String → BINARY
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val got = FooterStats.bloomProbe(spark, files, "k", Seq(5L, 123457L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(5L -> true, 123457L -> true),
+      "BINARY column must answer true for every key (cross-type hash would lie)")
   }
 
   test("bloom probe: a layout written WITHOUT blooms answers cannot-rule-out") {

@@ -1,0 +1,104 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The s27 composition contract: each index prunes exactly the files it
+  * can PROVE empty for its predicate leg, the conjunction keeps the
+  * intersection, a pruned scan loses no qualifying row, and the planner
+  * degrades to keep-everything when an index has nothing to say.
+  */
+class ScanPlannerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 4 files: k clustered ([i*100, i*100+99]); b disjoint per file
+    * (i*1000000 + j) with blooms — so the range leg prunes on k and the
+    * point leg prunes on b, independently and verifiably.
+    */
+  private def layout(): Seq[String] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp_").toString
+    (0 until 4).foreach { i =>
+      (0 until 100).map(j => (i * 100L + j, i * 1000000L + j, s"v$i-$j"))
+        .toDF("k", "b", "v")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#b", "true")
+        .parquet(s"$dir/part$i")
+    }
+    (0 until 4).flatMap { i =>
+      new java.io.File(s"$dir/part$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+  }
+
+  test("range and point legs prune independently; the plan keeps the intersection") {
+    val files = layout()
+    // range k ∈ [150, 250] → files 1 and 2 can intersect
+    val rangeKept = ScanPlanner.planRange(spark, files, "k", 150, 250)
+    assert(rangeKept.toSet === Set(files(1), files(2)), s"range kept $rangeKept")
+    // point b = 2000005 → lives in file 2 only (blooms prove the rest out)
+    val pointKept = ScanPlanner.planPoint(spark, files, "b", Seq(2000005L))
+    assert(pointKept.contains(files(2)), "the key's home file must survive")
+    assert(!pointKept.contains(files(0)) && !pointKept.contains(files(3)),
+      s"disjoint-b files must bloom-prune: $pointKept")
+
+    val plan = ScanPlanner.plan(spark, files,
+      range = Some(("k", 150.0, 250.0)), point = Some(("b", Seq(2000005L))))
+    assert(plan.keptFiles === Seq(files(2)), s"intersection: ${plan.keptFiles}")
+    assert(plan.prunedFiles === 3)
+
+    // completeness: the pruned scan + predicate equals the full scan + predicate
+    val pred = col("k").between(150, 250) && col("b") === 2000005L
+    val pruned = ScanPlanner.scan(spark, plan, files).filter(pred)
+      .select("k", "b", "v").collect().map(_.toSeq).toSet
+    val full = spark.read.parquet(files: _*).filter(pred)
+      .select("k", "b", "v").collect().map(_.toSeq).toSet
+    assert(pruned === full)
+    assert(pruned.size === 1)
+  }
+
+  test("files-read: the planned scan reads fewer files than the table holds") {
+    val files = layout()
+    val plan = ScanPlanner.plan(spark, files, range = Some(("k", 0.0, 99.0)))
+    assert(plan.keptFiles === Seq(files(0)))
+    val scanned = ScanPlanner.scan(spark, plan, files)
+    scanned.collect()
+    assert(scanned.inputFiles.length === 1 && files.length === 4,
+      s"scan must read exactly the planned files: ${scanned.inputFiles.toSeq}")
+  }
+
+  test("a range column with no harvestable stats cannot prune (keep everything)") {
+    val files = layout()
+    // v is BINARY — the zone map keeps INT64/DOUBLE only, so the planner
+    // has no evidence and must keep every file
+    val kept = ScanPlanner.planRange(spark, files, "v", 0.0, 1.0)
+    assert(kept === files, "no stats ⇒ no pruning, never an empty plan")
+  }
+
+  test("an all-absent point key can plan to an empty scan that still resolves") {
+    val files = layout()
+    val plan = ScanPlanner.plan(spark, files, point = Some(("b", Seq(777777777L))))
+    // blooms may false-positive a file in, but most must prove out
+    assert(plan.keptFiles.size <= 1, s"absent key kept ${plan.keptFiles}")
+    val scanned = ScanPlanner.scan(spark, plan, files)
+      .filter(col("b") === 777777777L)
+    assert(scanned.isEmpty)
+    assert(scanned.columns.toSeq === Seq("k", "b", "v"),
+      "an empty plan must still resolve the schema")
+  }
+
+  test("a file not carrying the point column prunes (IN cannot match null)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp2_").toString
+    Seq((1L, 10L)).toDF("k", "b").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#b", "true").parquet(s"$dir/with")
+    Seq((2L, "x")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/without")
+    val files = Seq("with", "without").flatMap { d =>
+      new java.io.File(s"$dir/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+    val kept = ScanPlanner.planPoint(spark, files, "b", Seq(10L))
+    assert(kept === Seq(files(0)), s"kept $kept")
+  }
+}
