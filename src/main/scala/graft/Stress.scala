@@ -201,6 +201,64 @@ object Stress {
       println(s"[stress] OK bigstar: $alternations alternations vs $rounds " +
         s"min-label rounds on diameter ${chainLen - 1}, labels identical + closed-form")
     }
+    // ---- d18 index churn (r10 verdict #6) -----------------------------
+    // The standing-LSH-index claim under sustained churn: replicas−1
+    // append batches land one by one on ONE index built from the base
+    // corpus; each batch is probed against everything indexed so far
+    // (plus its own within-batch pairs — the probe is cross-set by
+    // design), and the ACCUMULATED pair set must equal a from-scratch
+    // d3 build on the final corpus, exactly. Equivalence is exact, not
+    // probabilistic: both paths share minhashSignatures + banding
+    // params, so their candidate sets are identical by construction and
+    // both exact-verify — any drift (a stale meta read, a banding
+    // mismatch on append, a bucket lost to a bad partition key) breaks
+    // row-for-row equality. Appends go through the batch-keyed path the
+    // t38 ingest loop uses, so the keyed layout is what churns.
+    stage("d18 index churn") {
+      val (nGrams, hashes, bandsN, tau) = (3, 64, 32, 0.6)
+      // NOT `normalized` (that is the replicated LSH corpus): churn wants
+      // a base index that the batches then grow
+      val baseNorm = base.select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("text")).localCheckpoint(true)
+      val idxPath = Scratch.dir("graft_stress_d18_")
+      Dedup.buildLshIndex(baseNorm, idxPath, nGrams, hashes, bandsN)
+      var standing = baseNorm
+      var accumulated: Option[org.apache.spark.sql.DataFrame] = None
+      for (k <- 1 until replicas) {
+        val batch = baseNorm.select((col("doc_id") + k * stride).as("doc_id"),
+            concat(col("text"), lit(s" churn$k")).as("text"))
+          .localCheckpoint(true)
+        val cross = Dedup.incrementalDedupPairs(idxPath, batch, standing, tau)
+          .select(least(col("id1"), col("id2")).as("id1"),
+            greatest(col("id1"), col("id2")).as("id2"))
+        val within = Dedup.minhashLshPairs(batch, nGrams, hashes, bandsN, tau)
+          .select("id1", "id2")
+        val round = cross.unionByName(within).localCheckpoint(true)
+        accumulated = Some(accumulated.fold(round)(_ unionByName round))
+        Dedup.appendLshIndexBatch(batch, idxPath, Dedup.lshBatchKey(k))
+        standing = standing.unionByName(batch).localCheckpoint(true)
+      }
+      val baseline = Dedup.minhashLshPairs(
+          standing, nGrams, hashes, bandsN, tau) // standing == final corpus
+        .select("id1", "id2").localCheckpoint(true)
+      val inc = accumulated.get
+        .unionByName(Dedup.minhashLshPairs(baseNorm, nGrams, hashes, bandsN, tau)
+          .select("id1", "id2")) // base-internal pairs: indexed before churn began
+        .localCheckpoint(true)
+      val nInc = inc.count()
+      val nBaseline = baseline.count()
+      println(s"[stress]   churned-index pairs: $nInc, rebuild pairs: $nBaseline")
+      require(inc.exceptAll(baseline).count() == 0 &&
+        baseline.exceptAll(inc).count() == 0,
+        s"churned index diverged from rebuild: $nInc vs $nBaseline pairs")
+      // teeth: every base doc should pair with most of its churn variants
+      require(nInc >= nBase * (replicas - 1) / 2,
+        s"suspiciously few pairs ($nInc) for $nBase docs x $replicas variants — " +
+          "the standing index is not finding cross-batch near-dups")
+      println(s"[stress] OK churn: ${replicas - 1} append batches, " +
+        s"probe set == from-scratch rebuild ($nInc pairs)")
+    }
     spark.stop()
   }
 }
