@@ -449,6 +449,74 @@ object Dedup {
     appendLshIndexBatch(docs, path,
       s"adhoc_${java.util.UUID.randomUUID().toString.take(12)}", idCol, textCol)
 
+  /** Logical DELETE from a standing LSH index (d20) — the takedown /
+    * right-to-erasure path a production dedup corpus needs: removing a
+    * document from the corpus must also remove it from the index, or
+    * future ingests keep "deduplicating" against content that no longer
+    * exists. A physical in-place delete would rewrite bucket partitions
+    * per retraction, so — the [[Similarity.tombstoneIds]] discipline —
+    * the delete is a metadata append to `$path/tombstones` and the
+    * probe subtracts it before any candidate forms. Idempotent under
+    * retry (duplicates collapse in the read-side distinct); deleted ids
+    * stay dead until [[compactLshIndex]] physically drops them; id
+    * re-use is outside the contract (the [[buildLshIndex]] namespace).
+    */
+  def tombstoneLshIds(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("tomb_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def lshTombstones(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .select(col("tomb_id").cast("long").as("tomb_id")).distinct())
+  }
+
+  def lshTombstoneCount(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Long =
+    lshTombstones(spark, path).map(_.count()).getOrElse(0L)
+
+  /** Physical compaction of a churned LSH index: rewrite the LIVE
+    * buckets (every `ingest_batch` partition minus the tombstoned ids)
+    * as a fresh `ingest_batch=base` layout, then drop the old buckets
+    * and the tombstone log. Two jobs it does at once, same as the
+    * e-family's retrain-as-compaction: retractions become physical, and
+    * the small per-batch partition files a long append history
+    * accumulates collapse back into one partition set. The swap is the
+    * [[Similarity]] publish discipline — staged write, then two
+    * metadata FS calls — so a crash mid-build leaves the served index
+    * untouched (only a crash BETWEEN delete and rename loses it; a
+    * coordinating caller should treat compaction like any other
+    * maintenance window). Signatures are NOT recomputed — the rewrite
+    * moves rows, so probe results are bit-identical before/after
+    * (asserted in LlmSpec). Callers must quiesce a checkpointed ingest
+    * loop over the same index first: batch keys restart meaning
+    * nothing after their buckets fold into `base`.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String = "doc_id"): Unit = {
+    val bands = spark.read.parquet(s"$path/bands")
+    val live = lshTombstones(spark, path).fold(bands) { tb =>
+      bands.join(broadcast(tb.select(col("tomb_id").as(idCol))),
+        Seq(idCol), "left_anti")
+    }
+    val staging = s"$path/bands_staging_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    live.drop("ingest_batch").withColumn("ingest_batch", lit("base"))
+      .write.mode("overwrite").partitionBy("ingest_batch", "band_idx")
+      .parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(s"$path/bands")))
+      throw new java.io.IOException(s"could not publish compacted index $staging")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   /** Probe half of d18: near-dup pairs between a DELTA batch and the
     * indexed corpus — delta docs band with the parameters read from the
     * index meta (a drifted re-band would silently miss every bucket),
@@ -485,9 +553,17 @@ object Dedup {
         col(textCol))
     val deltaT = tagged(delta, "c")
     val corpusT = tagged(corpus, "b")
-    val idx = beforeBatch
+    val idx0 = beforeBatch
       .foldLeft(spark.read.parquet(s"$indexPath/bands")) { (df, k) =>
         df.where(col("ingest_batch") < lit(k))
+      }
+    // tombstoned ids ([[tombstoneLshIds]]) subtract HERE — before the
+    // bucket join — so a deleted document can never form a candidate,
+    // whatever the caller's `corpus` frame still contains
+    val idx = lshTombstones(spark, indexPath)
+      .fold(idx0) { tb =>
+        idx0.join(broadcast(tb.select(col("tomb_id").as(idCol))),
+          Seq(idCol), "left_anti")
       }
       .select(col("band_idx"), col("band_hash"),
         concat(lit("b"), col(idCol).cast("string")).as("_corpus_id"))

@@ -614,6 +614,44 @@ object PipelineOps {
           round(col("jaccard") * 1e6).cast("long").as("j_micro"))
     },
 
+    // ---- D20: the LSH index DELETION lifecycle — d18 builds/probes/
+    //      appends, t38 streams against it, but nothing could ever
+    //      REMOVE a document (takedown, right-to-erasure) until now:
+    //      tombstone the ids (metadata append, probe subtracts before
+    //      any candidate forms), then COMPACT (rewrite live buckets as
+    //      a fresh base, drop the log — also the small-file collapse a
+    //      churned index needs). The entry deletes every 7th corpus doc,
+    //      compacts, and probes: pairs against deleted docs must be
+    //      GONE, everything else identical — the oracle is d18's exact
+    //      cross-set Jaccard with the deleted slice excluded. Probe
+    //      invariance across compaction is pinned in LlmSpec. ----------
+    "d20_lsh_delete_compact" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT t.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+        |      FROM sh t JOIN sh b ON t.s = b.s
+        |      WHERE t.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND b.doc_id % 7 <> 0
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST(round((c * 1.0 / (n1.n + n2.n - c)) * 1000000.0) AS BIGINT) AS j_micro
+        |FROM p JOIN n n1 ON n1.doc_id = id1 JOIN n n2 ON n2.doc_id = id2
+        |WHERE c * 1.0 / (n1.n + n2.n - c) >= 0.6""".stripMargin) { (s, dir) =>
+      val all = docs(s, dir)
+      val corpus = all.where(col("doc_id") % 10 =!= 0)
+      val delta = all.where(col("doc_id") % 10 === 0)
+      val idxPath = Extras.scratchDir("graft_d20_idx")
+      Dedup.buildLshIndex(corpus, idxPath, n = 3, numHashes = 64, bands = 32)
+      Dedup.tombstoneLshIds(s, idxPath,
+        corpus.where(col("doc_id") % 7 === 0).select("doc_id"))
+      Dedup.compactLshIndex(s, idxPath)
+      Dedup.incrementalDedupPairs(idxPath, delta,
+          corpus.where(col("doc_id") % 7 =!= 0), threshold = 0.6)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard") * 1e6).cast("long").as("j_micro"))
+    },
+
     // ---- D13: containment (asymmetric) near-dup pairs — c = |A∩B| /
     //      min(|A|,|B|): the measure that catches SUBSET duplicates
     //      Jaccard structurally misses (a snippet quoted inside a longer

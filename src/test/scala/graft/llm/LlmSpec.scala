@@ -235,6 +235,49 @@ class LlmSpec extends SparkSpec {
     assert(hits2 === Set((201L, 2L), (202L, 102L)), s"batch 2 vs standing: $hits2")
   }
 
+  test("d20 LSH delete + compact: tombstoned docs stop matching; compaction is probe-invariant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d20_idx_").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    Dedup.buildLshIndex(corpus, dir, n = 3, numHashes = 64, bands = 32)
+    Dedup.appendLshIndex(Seq(
+      (101L, "completely unrelated words that match nothing in the corpus")
+    ).toDF("doc_id", "text"), dir)
+    val standing = corpus.unionByName(Seq(
+      (101L, "completely unrelated words that match nothing in the corpus")
+    ).toDF("doc_id", "text"))
+    val probes = Seq(
+      (201L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // ~doc 1
+      (202L, "one two three four five six seven eight nine ten twelve"),   // ~doc 2
+      (203L, "completely unrelated words that match nothing in the corpus") // =101
+    ).toDF("doc_id", "text")
+    def probe(): Set[(Long, Long)] =
+      Dedup.incrementalDedupPairs(dir, probes, standing, threshold = 0.6)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(probe() === Set((201L, 1L), (202L, 2L), (203L, 101L)))
+
+    // delete doc 1: its near-dup must stop matching IMMEDIATELY (logical)
+    Dedup.tombstoneLshIds(spark, dir, Seq(1L).toDF("doc_id"))
+    assert(Dedup.lshTombstoneCount(spark, dir) === 1L)
+    val afterDelete = probe()
+    assert(afterDelete === Set((202L, 2L), (203L, 101L)),
+      s"deleted doc still matches: $afterDelete")
+
+    // compact: log consumed, batches folded into base, doc 1 physically
+    // gone, probe results bit-identical to the logical view
+    Dedup.compactLshIndex(spark, dir)
+    assert(Dedup.lshTombstoneCount(spark, dir) === 0L)
+    val bands = spark.read.parquet(s"$dir/bands")
+    assert(bands.select("ingest_batch").distinct().as[String].collect().toSeq
+      === Seq("base"), "compaction must fold every batch into base")
+    assert(bands.filter(col("doc_id") === 1L).isEmpty,
+      "compaction must physically drop tombstoned buckets")
+    assert(probe() === afterDelete, "compaction must be probe-invariant")
+  }
+
   test("d16's flag join is a broadcast (the corpus-never-shuffles claim, plan-asserted)") {
     import spark.implicits._
     val train = (1L to 50L)
