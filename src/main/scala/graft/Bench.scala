@@ -134,7 +134,13 @@ object Bench {
       "co-purchase graph (1.2M edges at sf0.1) via degree-oriented " +
       "adjacency intersection (per-run time in the queries map — the r3 " +
       "entry benched a %4 sample); g3b keeps the id-oriented twin on " +
-      "the sampled scope\""
+      "the sampled scope; r11: t38 (~15s) pays index build + 3 staged " +
+      "micro-batches x (probe + pairs/survivor writes + keyed append) + " +
+      "drain per invocation and d20 (~8s) pays build + tombstone + full " +
+      "compaction rewrite + probe - both are whole-LIFECYCLE entries " +
+      "whose steady state is the per-batch probe/append (d18's shape); " +
+      "d19's cut itself is 0.9s (span flagging dominates, stitch is " +
+      "per-row codegen)\""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"gc_ms":$gcJson,"load":$loadJson,"load_start":$loadStart,"failures":$failures,"notes":$notes,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a tail cap, which has truncated the

@@ -1165,17 +1165,28 @@ object Dedup {
     * fixpoint re-run flag→cut until clean ([[decontaminateText]]); the
     * zero-residual property for quote-shaped contamination is pinned in
     * LlmSpec.
+    *
+    * `broadcastSpans`: when the cut list is KNOWN bounded — d16
+    * decontamination spans are, because the bench side is a bounded
+    * eval suite — broadcasting it makes the corpus join map-side (no
+    * corpus shuffle at all; the d19 entry sets this). The default stays
+    * a shuffle join because the generic input is NOT bounded (d14
+    * within-corpus duplicate spans scale with the corpus); AQE still
+    * demotes the SMJ to a broadcast at runtime when the merged list
+    * turns out small.
     */
   def removeSpans(docs: DataFrame, spans: DataFrame,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val perDoc = mergeSpans(spans, idCol)
+                  textCol: String = "text",
+                  broadcastSpans: Boolean = false): DataFrame = {
+    val perDoc0 = mergeSpans(spans, idCol)
       .groupBy(idCol)
       .agg(
         array_sort(collect_list(struct(col("span_start").as("s"),
           col("span_end").as("e")))).as("_spans"),
         count(lit(1)).as("n_spans_cut"),
         sum(col("span_end") - col("span_start") + 1).as("n_chars_cut"))
+    val perDoc = if (broadcastSpans) broadcast(perDoc0) else perDoc0
     val text = col(textCol)
     val stitched = aggregate(
       col("_spans"),
@@ -1217,7 +1228,9 @@ object Dedup {
         .localCheckpoint()
       dirty = !spans.isEmpty
       if (dirty)
-        cur = removeSpans(cur, spans, idCol, textCol)
+        // bench-bounded cut lists (this loop is decontamination by
+        // definition) ⇒ broadcast keeps every round's corpus join map-side
+        cur = removeSpans(cur, spans, idCol, textCol, broadcastSpans = true)
           .select(col(idCol), col(textCol)).localCheckpoint()
       rounds += 1
     }

@@ -754,7 +754,8 @@ object PipelineOps {
             lit("v" * 40)).as("text"))
       val train = all.where(col("doc_id") % 50 =!= 0)
         .select("doc_id", "text").unionByName(planted)
-      Dedup.removeSpans(train, Dedup.contaminationSpans(train, bench, k = 20))
+      Dedup.removeSpans(train, Dedup.contaminationSpans(train, bench, k = 20),
+        broadcastSpans = true) // bench-bounded cut lists ⇒ map-side corpus join
     },
 
     // ---- T35 (streaming): span decontamination AT INGEST — d16's flag

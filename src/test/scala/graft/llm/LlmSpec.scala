@@ -180,6 +180,14 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.contaminationSpans(
       cleaned.select("doc_id", "text"), bench, k = 20).isEmpty,
       "zero-residual: cleaned corpus must not flag again")
+    // scale posture: with bench-bounded cut lists the corpus-side join
+    // must be map-side (broadcast), never a corpus shuffle
+    val bcast = Dedup.removeSpans(train,
+      Dedup.contaminationSpans(train, bench, k = 20), broadcastSpans = true)
+    bcast.collect()
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcastSpans must make the cut-list join map-side:\n${plan.take(1200)}")
   }
 
   test("d19 fixpoint: a cut that mints a new benchmark gram converges, one pass does not") {
