@@ -65,14 +65,19 @@ object ScanPlanner {
   }
 
   /** Compose: the conjunction keeps the INTERSECTION of each index's
-    * survivors. Either predicate may be absent. */
+    * survivors. Any leg may be absent; `ranges` takes several range
+    * predicates at once — on a z-ordered layout ([[graft.ops.ZOrder]])
+    * each interleaved dimension's zone maps are tight simultaneously,
+    * so multi-dimension conjunctions prune multiplicatively where a 1-D
+    * sort prunes on its sort key alone (asserted in ScanPlannerSpec). */
   def plan(spark: SparkSession, paths: Seq[String],
            range: Option[(String, Double, Double)] = None,
-           point: Option[(String, Seq[Long])] = None): ScanPlan = {
+           point: Option[(String, Seq[Long])] = None,
+           ranges: Seq[(String, Double, Double)] = Nil): ScanPlan = {
     require(paths.nonEmpty, "plan needs at least one parquet path")
-    val rangeKept = range.fold(paths.toSet) { case (c, lo, hi) =>
+    val rangeKept = (range.toSeq ++ ranges).map { case (c, lo, hi) =>
       planRange(spark, paths, c, lo, hi).toSet
-    }
+    }.foldLeft(paths.toSet)(_ intersect _)
     val pointKept = point.fold(paths.toSet) { case (c, keys) =>
       planPoint(spark, paths, c, keys).toSet
     }

@@ -87,6 +87,47 @@ class ScanPlannerSpec extends SparkSpec {
       "an empty plan must still resolve the schema")
   }
 
+  test("z-ordered layout prunes multi-dimension ranges where a 1-D sort cannot (the s14 composition)") {
+    // 64×64 uniform grid over (a, b); 16 files each way. The z-ordered
+    // layout gives every file a tight [min,max] in BOTH dimensions
+    // (aligned 16×16 blocks); the a-sorted layout clusters a perfectly
+    // and scatters b across every file. Predicate: b ∈ [8, 15], a free.
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"),
+        col("id").as("v"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_sp_z_").toString
+    graft.ops.ZOrder.layout(grid, Seq(col("a"), col("b")), bits = 6,
+      numPartitions = 16).drop("_z")
+      .write.mode("overwrite").parquet(zdir)
+    val sdir = java.nio.file.Files.createTempDirectory("graft_sp_s_").toString
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(sdir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val (zf, sf) = (files(zdir), files(sdir))
+    assert(zf.size === 16 && sf.size === 16)
+
+    val zPlan = ScanPlanner.plan(spark, zf, ranges = Seq(("b", 8.0, 15.0)))
+    val sPlan = ScanPlanner.plan(spark, sf, ranges = Seq(("b", 8.0, 15.0)))
+    // z-order: only the b-block row survives; 1-D a-sort: b is scattered,
+    // nothing prunes
+    assert(zPlan.keptFiles.size === 4, s"z kept ${zPlan.keptFiles.size}")
+    assert(sPlan.keptFiles.size === 16, s"a-sorted kept ${sPlan.keptFiles.size}")
+
+    // BOTH dims constrained: multiplicative pruning on z (one block)
+    val zBoth = ScanPlanner.plan(spark, zf,
+      ranges = Seq(("a", 8.0, 15.0), ("b", 8.0, 15.0)))
+    assert(zBoth.keptFiles.size === 1, s"z both-dims kept ${zBoth.keptFiles.size}")
+    // completeness on the tightest plan
+    val pred = col("a").between(8, 15) && col("b").between(8, 15)
+    val got = ScanPlanner.scan(spark, zBoth, zf).filter(pred)
+      .agg(count(lit(1)), sum("v")).collect().head
+    val want = spark.read.parquet(zf: _*).filter(pred)
+      .agg(count(lit(1)), sum("v")).collect().head
+    assert(got === want)
+    assert(got.getLong(0) === 64L)
+  }
+
   test("a file not carrying the point column prunes (IN cannot match null)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sp2_").toString
     Seq((1L, 10L)).toDF("k", "b").coalesce(1)

@@ -98,5 +98,28 @@ class IndexedIngestDedupSpec extends SparkSpec {
     assert(b0Bands.count() === 32L,
       "replay must dynamic-overwrite, not double, the batch's buckets")
     assert(b0Bands.select("doc_id").distinct().as[Long].collect().toSeq === Seq(102L))
+
+    // ---- mid-ingest DELETION (d20 composed with the t38 loop) --------
+    // Tombstone survivor 102 between drains: the next batch's probe must
+    // not see it (its exact dup re-enters as a fresh survivor instead of
+    // flagging), while the rest of the standing index keeps matching.
+    // 102's text lingering in the survivor store is harmless — the probe
+    // subtracts at the BANDS, so no candidate can form to reach it.
+    Dedup.tombstoneLshIds(spark, s"$root/idx", Seq(102L).toDF("doc_id"))
+    stageFile("b2.parquet", Seq(
+      (301L, "completely unrelated words that match nothing in the corpus"), // = deleted 102
+      (302L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")))  // ~ corpus 1
+    drain()
+    // only batch 2's OWN pairs — batch 1 legitimately published
+    // (201, 102) before the deletion and history is immutable
+    val pairs2 = IndexedIngestDedup.allPairs(spark, s"$root/pairs")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet -- pairs.toSet
+    assert(!pairs2.exists(_._2 == 102L),
+      s"deleted doc 102 must not match mid-ingest: $pairs2")
+    assert(pairs2 === Set((302L, 1L)), s"undeleted corpus must keep matching: $pairs2")
+    // 301 (the dup of the DELETED doc) survived and is now indexed itself
+    val surv2 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/surv").select("doc_id").as[Long].collect().toSeq
+    assert(surv2.sorted === Seq(102L, 203L, 301L), s"survivors: $surv2")
   }
 }
