@@ -503,6 +503,13 @@ object Dedup {
       bands.join(broadcast(tb.select(col("tomb_id").as(idCol))),
         Seq(idCol), "left_anti")
     }
+    // an all-tombstoned index would compact to a partitionBy write with
+    // ZERO part files — an unreadable bands dir that breaks every later
+    // probe. Deleting the whole corpus is a rebuild-from-nothing event,
+    // not a compaction; refuse loudly.
+    require(!live.isEmpty,
+      s"refusing to compact $path to an empty index — every indexed id is " +
+        "tombstoned; rebuild with buildLshIndex instead")
     val staging = s"$path/bands_staging_" +
       java.util.UUID.randomUUID().toString.take(8)
     live.drop("ingest_batch").withColumn("ingest_batch", lit("base"))
@@ -1234,6 +1241,11 @@ object Dedup {
           .select(col(idCol), col(textCol)).localCheckpoint()
       rounds += 1
     }
+    // a silent partial decontamination is a contamination LEAK — if the
+    // pathological mint-new-grams case outruns the bound, fail loudly
+    // rather than hand back a corpus the caller believes is clean
+    require(!dirty || contaminationFlags(cur, bench, k, idCol, textCol).isEmpty,
+      s"decontaminateText did not reach the fixpoint in $maxRounds rounds")
     cur
   }
 }

@@ -156,11 +156,15 @@ object FooterStats {
                   val bloom =
                     if (ptn != INT64 && ptn != INT32) null
                     else reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-                  if (bloom == null) keyArr.toList.map(k => (p, k, true))
-                  else if (ptn == INT32) keyArr.toList.map { k =>
+                  // out-of-Int-range keys are provably absent from an
+                  // INT32 column whether or not a bloom exists — the
+                  // type check needs no bloom at all
+                  if (ptn == INT32) keyArr.toList.map { k =>
                     val fits = k >= Int.MinValue.toLong && k <= Int.MaxValue.toLong
-                    (p, k, fits && bloom.findHash(bloom.hash(k.toInt)))
+                    (p, k, fits &&
+                      (bloom == null || bloom.findHash(bloom.hash(k.toInt))))
                   }
+                  else if (bloom == null) keyArr.toList.map(k => (p, k, true))
                   else keyArr.toList.map(k => (p, k, bloom.findHash(bloom.hash(k))))
                 }
             }.iterator // materialized above — the reader closes below

@@ -86,12 +86,15 @@ object ScanPlanner {
   }
 
   /** Read exactly the planned files (schema from the survivors; an empty
-    * plan reads the full schema off the first original path and keeps
-    * zero rows, so downstream projections still resolve). */
+    * plan resolves the MERGED schema across all original paths with zero
+    * rows kept, so downstream projections still resolve even under
+    * schema evolution — a first-file-only schema could miss columns
+    * later files added). */
   def scan(spark: SparkSession, plan: ScanPlan,
            allPaths: Seq[String]): DataFrame =
     if (plan.keptFiles.nonEmpty) spark.read.parquet(plan.keptFiles: _*)
-    else spark.read.parquet(allPaths.head).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(allPaths: _*).limit(0)
 
   private def name(p: String): String =
     new org.apache.hadoop.fs.Path(p).getName
