@@ -214,7 +214,9 @@ object Stress {
     // mismatch on append, a bucket lost to a bad partition key) breaks
     // row-for-row equality. Appends go through the batch-keyed path the
     // t38 ingest loop uses, so the keyed layout is what churns.
-    stage("d18 index churn") {
+    // needs at least one append batch to mean anything; replicas = 1 is
+    // a legal harness input and must not crash the run on a None.get
+    if (replicas >= 2) stage("d18 index churn") {
       val (nGrams, hashes, bandsN, tau) = (3, 64, 32, 0.6)
       // NOT `normalized` (that is the replicated LSH corpus): churn wants
       // a base index that the batches then grow

@@ -463,21 +463,11 @@ object Dedup {
     */
   def tombstoneLshIds(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol).cast("long").as("tomb_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-
-  private def lshTombstones(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$path/tombstones")
-      .select(col("tomb_id").cast("long").as("tomb_id")).distinct())
-  }
+    TombstoneLog.append(s"$path/tombstones", ids, idCol)
 
   def lshTombstoneCount(spark: org.apache.spark.sql.SparkSession,
                         path: String): Long =
-    lshTombstones(spark, path).map(_.count()).getOrElse(0L)
+    TombstoneLog.count(spark, s"$path/tombstones")
 
   /** Physical compaction of a churned LSH index: rewrite the LIVE
     * buckets (every `ingest_batch` partition minus the tombstoned ids)
@@ -499,10 +489,7 @@ object Dedup {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       idCol: String = "doc_id"): Unit = {
     val bands = spark.read.parquet(s"$path/bands")
-    val live = lshTombstones(spark, path).fold(bands) { tb =>
-      bands.join(broadcast(tb.select(col("tomb_id").as(idCol))),
-        Seq(idCol), "left_anti")
-    }
+    val live = TombstoneLog.subtract(bands, spark, s"$path/tombstones", idCol)
     // an all-tombstoned index would compact to a partitionBy write with
     // ZERO part files — an unreadable bands dir that breaks every later
     // probe. Deleting the whole corpus is a rebuild-from-nothing event,
@@ -567,11 +554,7 @@ object Dedup {
     // tombstoned ids ([[tombstoneLshIds]]) subtract HERE — before the
     // bucket join — so a deleted document can never form a candidate,
     // whatever the caller's `corpus` frame still contains
-    val idx = lshTombstones(spark, indexPath)
-      .fold(idx0) { tb =>
-        idx0.join(broadcast(tb.select(col("tomb_id").as(idCol))),
-          Seq(idCol), "left_anti")
-      }
+    val idx = TombstoneLog.subtract(idx0, spark, s"$indexPath/tombstones", idCol)
       .select(col("band_idx"), col("band_hash"),
         concat(lit("b"), col(idCol).cast("string")).as("_corpus_id"))
     val deltaBands = bandedHashes(

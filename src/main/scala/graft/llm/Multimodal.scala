@@ -718,9 +718,19 @@ object Multimodal {
           def printableTag(j: Int): Boolean = (0 until 4).forall { o =>
             val b = data(j + o) & 0xFF; b >= 0x20 && b <= 0x7E
           }
+          // TOTAL step budget across every candidate walk: the scan is
+          // offsets × chain-steps, and a crafted payload of long
+          // almost-tiling chains would otherwise be O(n²) inside an
+          // executor task — the same hazard class as the r8 Long-advance
+          // hang. On exhaustion fall back to the EOF clamp (conservative
+          // overcount, never a hang; this branch only runs on files
+          // whose declaration is already corrupt).
+          var scanBudget = 1L << 20
           def chunkChainTilesToEof(start: Long): Boolean = {
             var j = start
             while (j + 8 <= data.length) {
+              scanBudget -= 1
+              if (scanBudget <= 0) return false
               if (!printableTag(j.toInt)) return false
               val sz = u32(j.toInt + 4)
               val nxt = j + 8 + sz + (sz & 1L)
@@ -736,7 +746,7 @@ object Multimodal {
             else {
               var j = payloadStart
               var boundary = -1L
-              while (boundary < 0 && j + 8 <= data.length) {
+              while (boundary < 0 && j + 8 <= data.length && scanBudget > 0) {
                 if (chunkChainTilesToEof(j)) boundary = j
                 j += 2
               }

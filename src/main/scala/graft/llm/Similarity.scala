@@ -1393,49 +1393,37 @@ object Similarity {
     */
   def tombstoneIds(spark: org.apache.spark.sql.SparkSession, path: String,
                    ids: DataFrame, idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol).cast("long").as("cid")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-
-  /** The distinct tombstoned ids at `path` as (cid long), or None when
-    * no delete was ever issued (the common path stays join-free). */
-  private def tombstonesAt(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$path/tombstones")
-      .select(col("cid").cast("long").as("cid")).distinct())
-  }
+    TombstoneLog.append(s"$path/tombstones", ids, idCol)
 
   def tombstoneCount(spark: org.apache.spark.sql.SparkSession,
                      path: String): Long =
-    tombstonesAt(spark, path).map(_.count()).getOrElse(0L)
+    TombstoneLog.count(spark, s"$path/tombstones")
 
   /** Tombstone share alone crossed the churn threshold — the signal that
     * lets a maintain call on an otherwise-FRESH index still reach its
     * compacting retrain (deletes never move the source stamp). Counts
-    * come from the caller's index-kind reader so the denominator can't
-    * drift between the two maintain paths. */
+    * come by-name from the caller's index-kind reader so (a) the
+    * denominator can't drift between the two maintain paths and (b) the
+    * steady-state freshness short-circuit with NO log on disk stays
+    * job-free — tombstoneCount answers 0 off one fs.exists, and the
+    * lists/codes count job never runs. */
   private def tombstoneCompactionDue(spark: org.apache.spark.sql.SparkSession,
                                      path: String, maxDeltaFraction: Double,
-                                     counts: Option[(Long, Long)]): Boolean =
-    counts.exists { case (nBase, _) =>
-      tombstoneCount(spark, path).toDouble / nBase > maxDeltaFraction
+                                     counts: => Option[(Long, Long)]): Boolean = {
+    val nTombs = tombstoneCount(spark, path)
+    nTombs > 0 && counts.exists { case (nBase, _) =>
+      nTombs.toDouble / nBase > maxDeltaFraction
     }
+  }
 
   /** Subtract the tombstone set from an index-side table keyed by
-    * `idCol`. Broadcast anti-join: the tombstone set is a retraction
-    * log, orders of magnitude under the corpus, and the probe-side
-    * partition filter still pushes through a left-anti join to the
-    * scan, so list pruning survives deletion. */
+    * `idCol` ([[TombstoneLog.subtract]] — broadcast anti-join; the
+    * probe-side partition filter still pushes through a left-anti join
+    * to the scan, so list pruning survives deletion). */
   private def minusTombstones(df: DataFrame,
                               spark: org.apache.spark.sql.SparkSession,
                               path: String, idCol: String): DataFrame =
-    tombstonesAt(spark, path) match {
-      case None => df
-      case Some(tb) =>
-        df.join(broadcast(tb.select(col("cid").as(idCol))), Seq(idCol), "left_anti")
-    }
+    TombstoneLog.subtract(df, spark, s"$path/tombstones", idCol)
 
   /** The maintenance entry point a scheduled ingest calls: append the
     * delta while the accumulated delta share (INCLUDING the incoming

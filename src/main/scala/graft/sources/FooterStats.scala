@@ -70,6 +70,33 @@ object FooterStats {
       }.toDF()
   }
 
+  /** (file, n_row_groups) per input path, keyed by file NAME like
+    * [[zoneMap]] rows. The denominator [[ScanPlanner]] needs for a
+    * LOSSLESS range verdict: [[zoneMap]] emits a row only where a row
+    * group actually carries stats, so "no intersecting stats row" alone
+    * cannot distinguish "every row group provably misses" from "some
+    * row group has no stats and can't be ruled out" — a foreign-written
+    * file with stats on only part of its groups would be falsely
+    * pruned. Same distributed footer-read shape as [[zoneMap]].
+    */
+  def fileRowGroupCounts(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(paths.nonEmpty, "fileRowGroupCounts needs at least one parquet path")
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, 64))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { p =>
+          val hPath = new org.apache.hadoop.fs.Path(p)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(hPath, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (hPath.getName, reader.getFooter.getBlocks.size().toLong)
+          finally reader.close()
+        }
+      }.toDF("file", "n_row_groups")
+  }
+
   /** The zone map's consumer: which files can contain rows with
     * `column ∈ [lo, hi]`? A file survives iff ANY of its row groups'
     * [min, max] intersects the query range — the manifest a scan

@@ -36,21 +36,31 @@ final case class ScanPlan(keptFiles: Seq[String], totalFiles: Int) {
   */
 object ScanPlanner {
 
-  /** Files surviving `column ∈ [lo, hi]` by zone-map intersection; files
-    * with no harvested stats for the column survive unpruned. */
+  /** Files surviving `column ∈ [lo, hi]` by zone-map intersection. A
+    * file prunes only when the verdict is a PROOF: every one of its row
+    * groups carries stats for the column (the n_row_groups denominator)
+    * and none intersects — a group with no harvestable stats can't be
+    * ruled out, so its file survives. */
   def planRange(spark: SparkSession, paths: Seq[String], column: String,
                 lo: Double, hi: Double): Seq[String] = {
     requireUnambiguousNames(paths)
-    val zm = FooterStats.zoneMap(spark, paths)
-      .filter(col("column_name") === column)
-      .localCheckpoint() // consumed twice; footer reads shouldn't re-run
-    val withStats = zm.select("file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val kept = FooterStats.pruneFiles(zm, column, lo, hi)
-      .collect().map(_.getString(0)).toSet
-    paths.filter { p =>
-      val n = name(p); !withStats.contains(n) || kept.contains(n)
-    }
+    rangeKeptFrom(FooterStats.zoneMap(spark, paths),
+      FooterStats.fileRowGroupCounts(spark, paths), paths, column, lo, hi)
+  }
+
+  private def rangeKeptFrom(zm: DataFrame, groups: DataFrame,
+                            paths: Seq[String], column: String,
+                            lo: Double, hi: Double): Seq[String] = {
+    val stats = zm.filter(col("column_name") === column)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_stats"),
+        count(when(col("max_val") >= lo && col("min_val") <= hi, 1)).as("n_hit"))
+    val verdicts = groups.join(stats, Seq("file"), "left")
+      .select(col("file"),
+        (coalesce(col("n_stats"), lit(0L)) < col("n_row_groups") ||
+          coalesce(col("n_hit"), lit(0L)) > 0).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    paths.filter(p => verdicts.getOrElse(name(p), true))
   }
 
   /** Files surviving `column IN (keys)` by bloom probe: a file is kept
@@ -75,14 +85,28 @@ object ScanPlanner {
            point: Option[(String, Seq[Long])] = None,
            ranges: Seq[(String, Double, Double)] = Nil): ScanPlan = {
     require(paths.nonEmpty, "plan needs at least one parquet path")
-    val rangeKept = (range.toSeq ++ ranges).map { case (c, lo, hi) =>
-      planRange(spark, paths, c, lo, hi).toSet
-    }.foldLeft(paths.toSet)(_ intersect _)
-    val pointKept = point.fold(paths.toSet) { case (c, keys) =>
-      planPoint(spark, paths, c, keys).toSet
+    // ONE footer sweep feeds every range leg (zone map + group counts,
+    // localCheckpoint'd so legs don't re-read a million footers), and
+    // the bloom probe runs only over the files the ranges already kept
+    // — per-plan index I/O is two footer passes + blooms on survivors,
+    // independent of how many predicates compose.
+    val allRanges = range.toSeq ++ ranges
+    val rangeKept =
+      if (allRanges.isEmpty) paths
+      else {
+        requireUnambiguousNames(paths)
+        val zm = FooterStats.zoneMap(spark, paths).localCheckpoint()
+        val groups = FooterStats.fileRowGroupCounts(spark, paths)
+          .localCheckpoint()
+        allRanges.foldLeft(paths) { case (kept, (c, lo, hi)) =>
+          if (kept.isEmpty) kept else rangeKeptFrom(zm, groups, kept, c, lo, hi)
+        }
+      }
+    val kept = point.fold(rangeKept) { case (c, keys) =>
+      if (rangeKept.isEmpty) rangeKept
+      else planPoint(spark, rangeKept, c, keys)
     }
-    ScanPlan(paths.filter(p => rangeKept.contains(p) && pointKept.contains(p)),
-      paths.size)
+    ScanPlan(kept, paths.size)
   }
 
   /** Read exactly the planned files (schema from the survivors; an empty

@@ -86,6 +86,24 @@ object EventStream {
     * sleeps (the Thread.sleep(1100) workaround this replaces cost a
     * second per boundary).
     */
+  /** Stage a frame as ONE parquet file at `stage/name` (coalesce to a
+    * single part in a scratch dir, copy it in, drop the scratch) — the
+    * micro-batch staging primitive behind every maxFilesPerTrigger=1
+    * replay test and the t38 ingest entry. One definition: the pattern
+    * was drifting across three hand-rolled copies, and its mtime
+    * discipline ([[stampMtimeOrder]] runs AFTER all copies) only works
+    * if every writer stages the same way.
+    */
+  def stageOneFile(df: DataFrame, stage: String, name: String): Unit = {
+    val tmp = graft.Scratch.dir("graft_stage1_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(stage, name))
+    graft.Scratch.drop(tmp) // fully consumed by the copy above
+  }
+
   def stampMtimeOrder(dirs: Seq[String]): Unit = {
     val t0 = System.currentTimeMillis() - dirs.size * 2000L
     dirs.zipWithIndex.foreach { case (d, i) =>
@@ -148,15 +166,8 @@ object EventStream {
       15L * 86400L * 1000000L
     val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
     val stage = graft.Scratch.dir("graft_t30_")
-    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = graft.Scratch.dir("graft_t30_w_")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(stage, name))
-      graft.Scratch.drop(tmp) // fully consumed by the copy above
-    }
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stageOneFile(df, stage, name)
     val us = unix_micros(col("ts"))
     writeOne(ev.filter(us >= cutUs && us < maxUs), "0_bulk.parquet")
     writeOne(ev.filter(us === maxUs), "1_sentinel.parquet")

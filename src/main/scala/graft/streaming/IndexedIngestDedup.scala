@@ -131,16 +131,9 @@ object IndexedIngestDedup {
     val root = graft.Scratch.dir("graft_t38_")
     val stage = s"$root/stage"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
-    for (i <- 0 until nBatches) {
-      val tmp = graft.Scratch.dir("graft_t38_w_")
-      delta.where(batchOf === i).select(idCol, textCol)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(stage, s"b$i.parquet"))
-      graft.Scratch.drop(tmp)
-    }
+    for (i <- 0 until nBatches)
+      EventStream.stageOneFile(
+        delta.where(batchOf === i).select(idCol, textCol), stage, s"b$i.parquet")
     EventStream.stampMtimeOrder((0 until nBatches).map(i => s"$stage/b$i.parquet"))
     Dedup.buildLshIndex(corpus.select(idCol, textCol), s"$root/idx",
       n = 3, numHashes = 64, bands = 32, idCol, textCol)

@@ -286,6 +286,37 @@ class LlmSpec extends SparkSpec {
     assert(probe() === afterDelete, "compaction must be probe-invariant")
   }
 
+  test("d20 tombstones honor the string-id contract (no silent long-cast no-op)") {
+    import spark.implicits._
+    // buildLshIndex's ID CONTRACT sanctions string-prefixed ids; a
+    // long-cast tombstone log would null them, the anti-join would match
+    // nothing, and the delete would silently no-op while counting as
+    // applied — the exact failure the string-normalized log prevents.
+    val dir = java.nio.file.Files.createTempDirectory("graft_d20_str_").toString
+    val corpus = Seq(
+      ("b1_1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("b1_2", "one two three four five six seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    Dedup.buildLshIndex(corpus, dir, n = 3, numHashes = 64, bands = 32)
+    val probes = Seq(
+      ("c9_1", "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      ("c9_2", "one two three four five six seven eight nine ten twelve")
+    ).toDF("doc_id", "text")
+    def hits(): Set[(String, String)] =
+      Dedup.incrementalDedupPairs(dir, probes, corpus, threshold = 0.6)
+        .select("id1", "id2").as[(String, String)].collect().toSet
+    assert(hits() === Set(("c9_1", "b1_1"), ("c9_2", "b1_2")))
+    Dedup.tombstoneLshIds(spark, dir, Seq("b1_1").toDF("doc_id"))
+    assert(Dedup.lshTombstoneCount(spark, dir) === 1L)
+    assert(hits() === Set(("c9_2", "b1_2")),
+      "string-id tombstone must actually delete, not null out in a long cast")
+    Dedup.compactLshIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") === "b1_1").isEmpty,
+      "compaction must physically drop the string-id buckets")
+    assert(hits() === Set(("c9_2", "b1_2")))
+  }
+
   test("d16's flag join is a broadcast (the corpus-never-shuffles claim, plan-asserted)") {
     import spark.implicits._
     val train = (1L to 50L)

@@ -128,6 +128,38 @@ class ScanPlannerSpec extends SparkSpec {
     assert(got.getLong(0) === 64L)
   }
 
+  test("a file whose footer carries NO stats for the column survives (lossless denominator)") {
+    // the zone map emits rows only where stats EXIST, so "no intersecting
+    // row" alone cannot prove a file out — the n_row_groups denominator
+    // must keep any file with stats-less groups. Stats-suppressed writes
+    // need writer support; self-skip if this parquet version ignores it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp_ns_").toString
+    (0 until 100).map(i => (i.toLong, i)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.column.statistics.enabled#k", "false")
+      .parquet(s"$dir/nostats")
+    (100 until 200).map(i => (i.toLong, i)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    val files = Seq("nostats", "stats").flatMap { d =>
+      new java.io.File(s"$dir/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    }
+    val zm = FooterStats.zoneMap(spark, files)
+    val noStatsName = new org.apache.hadoop.fs.Path(files(0)).getName
+    assume(zm.filter(col("column_name") === "k" && col("file") === noStatsName)
+      .isEmpty, "writer ignored the statistics-suppression option")
+    // predicate k ∈ [150, 199]: provably outside the no-stats file's data,
+    // but nothing in its FOOTER proves that — it must survive; the
+    // stats-carrying file intersects and survives too
+    val kept = ScanPlanner.planRange(spark, files, "k", 150, 199)
+    assert(kept === files,
+      s"a stats-less file must never prune (cannot prove absence): $kept")
+    // and the inverse range prunes ONLY the provable file
+    val kept2 = ScanPlanner.planRange(spark, files, "k", 500, 600)
+    assert(kept2 === Seq(files(0)),
+      s"only the stats-carrying file is provably out: $kept2")
+  }
+
   test("a file not carrying the point column prunes (IN cannot match null)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sp2_").toString
     Seq((1L, 10L)).toDF("k", "b").coalesce(1)

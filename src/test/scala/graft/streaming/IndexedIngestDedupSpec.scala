@@ -32,14 +32,8 @@ class IndexedIngestDedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     Dedup.buildLshIndex(corpus, s"$root/idx", n = 3, numHashes = 64, bands = 32)
 
-    def stageFile(name: String, rows: Seq[(Long, String)]): Unit = {
-      val tmp = graft.Scratch.dir("t38_spec_w_")
-      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath, Paths.get(stage, name))
-      graft.Scratch.drop(tmp)
-    }
+    def stageFile(name: String, rows: Seq[(Long, String)]): Unit =
+      EventStream.stageOneFile(rows.toDF("doc_id", "text"), stage, name)
 
     def drain(): Unit = {
       val schema = spark.read.parquet(stage).schema

@@ -32,12 +32,7 @@ class LateDataSpec extends SparkSpec {
     val ss = EventStream.statefulSession(spark)
     val stage = java.nio.file.Files.createTempDirectory("graft_lds_").toString
     epochs.zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lds_w_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(stage, s"$i.parquet"))
+      EventStream.stageOneFile(df, stage, s"$i.parquet")
     }
     EventStream.stampMtimeOrder(
       epochs.indices.map(i => s"$stage/$i.parquet"))
