@@ -1617,6 +1617,42 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_codes"))
     },
 
+    // ---- T39 (streaming): right-to-erasure DELETE feed — the
+    //      lifecycle cell t18 (streaming ingest) and the batch
+    //      tombstone paths leave open: retraction requests ARRIVE as a
+    //      stream, each micro-batch appends to the persisted index's
+    //      tombstone log, and every later probe subtracts them before a
+    //      candidate can form. Replay safety is value-idempotence (the
+    //      log is a SET — duplicate appends collapse at read), the
+    //      complementary discipline to t38's batch-keyed overwrites;
+    //      both pinned in specs. Rows-only (IVF-PQ probe ranks are
+    //      approximate); deleted-never-surface + live-corpus recall
+    //      floor + crash-replay in IvfTombstoneSpec. Output: the served
+    //      index's top-5 per probe query, deleted ids absent. ----------
+    "t39_stream_vector_delete" -> Q.rowsOnly { (s, dir) =>
+      val work = graft.Scratch.dir("graft_t39_")
+      val emb = t(s, dir, "embeddings")
+      val path = s"$work/idx"
+      Similarity.saveIvfPq(
+        Similarity.buildIvfPq(emb, nlist = 16, m = 8, ksub = 16), path)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+      EventStream.stageOneFile(
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 250)
+          .select("vec_id"), s"$work/in", "d0.parquet")
+      EventStream.stageOneFile(
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") >= 250)
+          .select("vec_id"), s"$work/in", "d1.parquet")
+      EventStream.stampMtimeOrder(
+        Seq(s"$work/in/d0.parquet", s"$work/in/d1.parquet"))
+      val requests = s.readStream
+        .schema(s.read.parquet(s"$work/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      VectorIngest.deleteStream(requests, path, s"$work/chk")
+      Similarity.ivfpqQuery(
+        Similarity.loadIvfPq(s, path, emb),
+        emb.filter(col("vec_id") % 25 === 0), k = 5, nprobe = 8)
+    },
+
     // ---- X14: composite quality GATE — per-rule booleans + conjunction
     //      (word band, TTR floor, dup-2-gram ceiling), so a pipeline can
     //      filter AND audit which rule fired. Pure scalar scan-path

@@ -95,4 +95,37 @@ object VectorIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming DELETE feed (t39) — the erasure half of the lifecycle:
+    * each micro-batch of retraction requests appends to the persisted
+    * index's tombstone log ([[Similarity.tombstoneIds]]); every probe
+    * through [[Similarity.loadIvfPq]] from that moment on subtracts the
+    * ids before a candidate can form, and the next maintenance call
+    * counts them toward the compacting-retrain trigger.
+    *
+    * Exactly-once here needs NO batch keying — the OTHER idempotency
+    * discipline from [[IndexedIngestDedup]]'s keyed overwrites: the log
+    * is idempotent BY VALUE (reads collapse duplicates in a distinct),
+    * so a crash-replayed batch that re-appends the same ids changes
+    * nothing observable. The two patterns are the two ways foreachBatch
+    * side effects survive replay: value-idempotent appends when the
+    * payload is a SET, batch-keyed overwrites when it is not
+    * (IvfTombstoneSpec pins the replay case).
+    */
+  def deleteStream(requests: DataFrame, indexPath: String,
+                   checkpoint: String, idCol: String = "vec_id"): Unit = {
+    val q = requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty)
+          Similarity.tombstoneIds(batch.sparkSession, indexPath,
+            batch.toDF(), idCol)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

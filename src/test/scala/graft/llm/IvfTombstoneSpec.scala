@@ -92,6 +92,49 @@ class IvfTombstoneSpec extends SparkSpec {
       "tombstoned id must not reach the served codes")
   }
 
+  test("t39 delete stream: value-idempotent under crash replay, deletions served") {
+    import graft.streaming.{EventStream, VectorIngest}
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_t39_spec_").toString
+    val path = s"$work/idx"
+    Similarity.saveIvfPq(Similarity.buildIvfPq(emb, nlist = 16, m = 8, ksub = 16), path)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+
+    // the ids the index currently serves as top-1 — guaranteed candidates
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val doomed = Similarity.ivfpqQuery(
+        Similarity.loadIvfPq(spark, path, emb), queries, k = 5, nprobe = 8)
+      .filter(col("rank") === 1)
+      .select(col("neighbor_id").as("vec_id")).distinct()
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    EventStream.stageOneFile(doomed, s"$work/in", "d0.parquet")
+
+    def drain(): Unit = {
+      val requests = spark.readStream
+        .schema(spark.read.parquet(s"$work/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+      VectorIngest.deleteStream(requests, path, s"$work/chk")
+    }
+    drain()
+    assert(Similarity.tombstoneCount(spark, path) === doomedIds.size.toLong)
+
+    // crash window: the append landed, the commit marker did not —
+    // Spark replays batch 0. Value-idempotence must absorb the replay:
+    // same distinct count, no batch keying anywhere.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$work/chk/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$work/chk/commits/.0.crc"))
+    drain()
+    assert(Similarity.tombstoneCount(spark, path) === doomedIds.size.toLong,
+      "a replayed delete batch must collapse in the value-idempotent log")
+
+    val served = Similarity.ivfpqQuery(
+        Similarity.loadIvfPq(spark, path, emb), queries, k = 5, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(doomedIds).isEmpty,
+      s"streamed deletions surfaced: ${served.intersect(doomedIds)}")
+  }
+
   test("IVF twin: tombstoned ids never surface from ivfQuery") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tomb_ivf_").toString
     val path = s"$tmp/idx"
