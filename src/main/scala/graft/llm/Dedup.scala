@@ -560,8 +560,30 @@ object Dedup {
     val deltaBands = bandedHashes(
       minhashSignatures(deltaT, n, numHashes, idCol, textCol),
       bands, rows, idCol)
-    val cands = deltaBands.join(idx, Seq("band_idx", "band_hash"))
-      .select(col(idCol).as("id1"), col("_corpus_id").as("id2"))
+    // Hot-bucket cap (the [[bucketPairs]] discipline, probe shape): delta
+    // docs group to per-bucket id lists cut into HotListChunk-wide
+    // blocks, so a boilerplate bucket holding B corpus rows emits
+    // ⌈d/chunk⌉·B bounded-array rows from the join instead of d·B id
+    // pairs, and the d·B expansion runs AFTER a round-robin repartition
+    // (without it, distinct's map-side partial agg would run the explode
+    // on the join task itself). Chunking the DELTA side — not the index —
+    // keeps the index scan shuffle-free: the chunked probe frame is
+    // smaller than the raw band rows, so AQE's broadcast of the probe
+    // side stays available and the partition-pruned bands scan never
+    // exchanges.
+    val dIds = col("_dids")
+    val deltaChunks = deltaBands.groupBy("band_idx", "band_hash")
+      .agg(collect_list(col(idCol)).as("_dids"))
+      .select(col("band_idx"), col("band_hash"),
+        explode(transform(
+          sequence(lit(0),
+            ceil(size(dIds) / lit(HotListChunk.toDouble)).cast("int") - 1),
+          c => slice(dIds, c * HotListChunk + 1, lit(HotListChunk)))).as("_dchunk"))
+    val shufflePar = spark.sessionState.conf.numShufflePartitions
+    val cands = deltaChunks.join(idx, Seq("band_idx", "band_hash"))
+      .select(col("_dchunk"), col("_corpus_id"))
+      .repartition(shufflePar)
+      .select(explode(col("_dchunk")).as("id1"), col("_corpus_id").as("id2"))
       .distinct()
       .localCheckpoint(false)
     verifyJaccardPairs(deltaT.unionByName(corpusT), cands, n, threshold,
@@ -596,38 +618,58 @@ object Dedup {
           array_min(transform(col("_hs"), h => rehash(h, i)))): _*).as("signature"))
 
   /** MinHash-LSH candidate pairs: band the signature, hash each band,
-    * self-join on (band index, band hash), then verify candidates with
-    * true Jaccard. `bands × rows = numHashes`; the S-curve threshold is
-    * ≈ (1/bands)^(1/rows).
+    * expand all same-bucket (band index, band hash) id pairs, then verify
+    * candidates with true Jaccard. `bands × rows = numHashes`; the
+    * S-curve threshold is ≈ (1/bands)^(1/rows).
+    *
+    * Bucket expansion goes through [[bucketPairs]] — the same
+    * posting-list + [[postingPairs]] chunk discipline as the exact-dedup
+    * paths — NOT a banded self-join. The candidate set is identical
+    * (every ordered id pair sharing a bucket, in either shape), but a
+    * self-join puts one (band_idx, band_hash) key on one task: a bucket
+    * of B near-identical documents — exactly what a boilerplate-heavy
+    * crawl corpus produces (templated pages, license headers) — would
+    * expand B²/2 candidate rows inside a single straggler. The chunked
+    * path caps per-task expansion at HotListChunk² and spreads a hot
+    * bucket's block pairs round-robin across the cluster. It is also one
+    * shuffle (groupBy) instead of the self-join's two.
     */
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       threshold: Double, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Lazy localCheckpoint: the banded self-join below scans the
-    // signature table on BOTH sides, which would otherwise run the whole
-    // shingle→rehash→min pipeline twice. Signatures are numHashes longs
-    // per doc — tiny next to the corpus — so materializing them is the
-    // scale-correct trade (checkpointing the shingled corpus itself would
-    // not be; its recompute-over-materialize choice is deliberate).
-    // eager = false: materialization happens on the caller's first action,
-    // so building the plan (graft.Explain, tests constructing queries)
-    // runs no jobs.
+    // Lazy localCheckpoint: signatures are numHashes longs per doc — tiny
+    // next to the corpus — so materializing them is the scale-correct
+    // trade (checkpointing the shingled corpus itself would not be; its
+    // recompute-over-materialize choice is deliberate). eager = false:
+    // materialization happens on the caller's first action, so building
+    // the plan (graft.Explain, tests constructing queries) runs no jobs.
     val sig = minhashSignatures(docs, n, numHashes, idCol, textCol)
       .localCheckpoint(false)
     val banded = bandedHashes(sig, bands, rows, idCol)
     // checkpointed too (id pairs — tiny): cands feeds BOTH the candidate
     // id set below and the final common-shingle join; without the cut the
-    // banded self-join + distinct would execute once per consumer
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    // bucket grouping + distinct would execute once per consumer
+    val cands = bucketPairs(banded, idCol)
       .distinct()
       .localCheckpoint(false)
     verifyJaccardPairs(docs, cands, n, threshold, idCol, textCol)
+  }
+
+  /** All ordered (id1 < id2) pairs of ids sharing an LSH bucket, via
+    * per-bucket posting lists routed through [[postingPairs]]: buckets
+    * wider than [[HotListChunk]] expand through the shuffled block-pair
+    * path, so one hot bucket cannot pin a straggler task. A pair sharing
+    * several buckets is emitted once per bucket — callers dedup with
+    * `.distinct()` exactly as the self-join shape required.
+    */
+  private[graft] def bucketPairs(banded: DataFrame,
+                                 idCol: String = "doc_id"): DataFrame = {
+    val postings = banded.groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+    postingPairs(postings.select("_ids"))
   }
 
   /** (id, band_idx, band_hash) rows: hash each `rows`-wide signature band

@@ -1041,4 +1041,76 @@ class LlmSpec extends SparkSpec {
     assert(chunked.distinct.size === chunked.size, "no pair emitted twice")
     assert(chunked.forall { case (a, b) => a < b })
   }
+
+  test("LSH bucket expansion matches the self-join shape pair-for-pair") {
+    import spark.implicits._
+    // mixed corpus: two duplicate families + unique docs. bucketPairs
+    // (posting lists → postingPairs) must produce EXACTLY the candidate
+    // set the former banded self-join produced — the hot-bucket guard is
+    // a task-shape change, never a semantic one.
+    val rows = (0 until 40).map { i =>
+      val text =
+        if (i < 15) "the quick brown fox jumps over the lazy dog again"
+        else if (i < 25) "pack my box with five dozen liquor jugs tonight"
+        else (0 until 10).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, text)
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(corpus, n = 3, numHashes = 64)
+    val banded = Dedup.bandedHashes(sig, bands = 16, rows = 4)
+    val viaPostings = Dedup.bucketPairs(banded).distinct()
+      .as[(Long, Long)].collect().toSet
+    val viaJoin = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(viaJoin.nonEmpty, "duplicate families must collide in buckets")
+    assert(viaPostings === viaJoin,
+      "posting-list bucket expansion diverged from the self-join shape")
+  }
+
+  test("planted hot bucket: 600 template copies expand through the chunked path, exact pairs") {
+    import spark.implicits._
+    // A boilerplate-heavy corpus — 600 byte-identical copies of one
+    // template — collides ALL copies into the same bucket in EVERY band:
+    // the worst hot-bucket shape. Every bucket's posting list (600 ids)
+    // exceeds HotListChunk=512, so every expansion takes the shuffled
+    // block-pair path; the operator must still emit exactly C(600,2)
+    // pairs at jaccard 1.0 and nothing else.
+    val template = "terms of service apply to all pages on this site always"
+    val corpus = ((0 until 600).map(i => (i.toLong, template)) ++
+      (600 until 605).map(i =>
+        (i.toLong, (0 until 10).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(corpus, n = 3, numHashes = 32,
+      bands = 8, threshold = 0.9)
+    val n = pairs.count()
+    assert(n === 600L * 599 / 2, s"expected C(600,2) template pairs, got $n")
+    assert(pairs.filter(col("jaccard") < 1.0).count() === 0)
+    assert(pairs.filter(col("id1") >= 600 || col("id2") >= 600).count() === 0,
+      "unique docs must not pair")
+  }
+
+  test("hot-bucket probe: >512 delta docs against a standing index, exact cross pairs") {
+    import spark.implicits._
+    // Probe-side chunk guard: a delta whose bucket list exceeds
+    // HotListChunk splits into blocks before the index join; candidates
+    // must still be EXACTLY delta × indexed-family. 530 identical delta
+    // docs (2 chunks) probing 40 indexed copies of the same template →
+    // 530·40 pairs, all jaccard 1.0.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotprobe_").toString
+    val template = "all your base are belong to us now and forever more"
+    val corpus = ((0 until 40).map(i => (i.toLong, template)) ++
+      Seq((98L, "completely unrelated words that match nothing in the corpus")))
+      .toDF("doc_id", "text")
+    Dedup.buildLshIndex(corpus, dir, n = 3, numHashes = 32, bands = 8)
+    val delta = (1000 until 1530).map(i => (i.toLong, template))
+      .toDF("doc_id", "text")
+    val hits = Dedup.incrementalDedupPairs(dir, delta, corpus, threshold = 0.9)
+    assert(hits.count() === 530L * 40)
+    assert(hits.filter(col("jaccard") < 1.0).count() === 0)
+    assert(hits.filter(col("id2") === 98).count() === 0, "unrelated doc must not pair")
+  }
 }
