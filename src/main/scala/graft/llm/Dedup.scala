@@ -476,10 +476,12 @@ object Dedup {
     * e-family's retrain-as-compaction: retractions become physical, and
     * the small per-batch partition files a long append history
     * accumulates collapse back into one partition set. The swap is the
-    * [[Similarity]] publish discipline — staged write, then two
+    * [[Similarity]] publish discipline — staged write, then rename-aside
     * metadata FS calls — so a crash mid-build leaves the served index
-    * untouched (only a crash BETWEEN delete and rename loses it; a
-    * coordinating caller should treat compaction like any other
+    * untouched, and no crash point DELETES data that is not already
+    * replaced: the worst window (between the two renames) leaves the
+    * complete old index under `bands_old_*` for a one-rename recovery (a
+    * coordinating caller should still treat compaction like any other
     * maintenance window). Signatures are NOT recomputed — the rewrite
     * moves rows, so probe results are bit-identical before/after
     * (asserted in LlmSpec). Callers must quiesce a checkpointed ingest
@@ -504,10 +506,25 @@ object Dedup {
       .parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(s"$path/bands")))
+    // Rename-aside publish: the served bands are never DELETED before the
+    // replacement is in place. A crash between the two renames leaves the
+    // complete old index recoverable under bands_old_* (the former
+    // delete-then-rename lost it outright, and a failed rename left the
+    // index permanently gone with staging as an orphan); a failed second
+    // rename restores the old directory in place and throws.
+    val bands0 = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val old = new org.apache.hadoop.fs.Path(
+      s"$path/bands_old_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!fs.rename(bands0, old))
+      throw new java.io.IOException(s"could not move aside $bands0 -> $old")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), bands0)) {
+      fs.rename(old, bands0) // restore the served index
       throw new java.io.IOException(s"could not publish compacted index $staging")
+    }
+    fs.delete(old, true)
+    // the compaction consumed the log (live rows exclude every logged
+    // id); a crash before this delete re-subtracts a stale log against
+    // the compacted bands — a no-op anti-join, never a lost retraction
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 

@@ -693,7 +693,7 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (indexFresh(spark, path, stamp)
         && !tombstoneCompactionDue(spark, path, maxDeltaFraction,
-          ivfCounts(spark, path))) {
+          ivfCounts(spark, path), "lists")) {
       // same guard as [[maintainIvfPq]]: freshness must not swallow a
       // compaction-due tombstone share
       fs.delete(pendingDeltaFlag(spark, path), false)
@@ -705,8 +705,8 @@ object Similarity {
       if (pendingDelta(spark, path)) Double.PositiveInfinity
       else ivfCounts(spark, path)
         .map { case (nBase, nNow) =>
-          (nNow + delta.count() + tombstoneCount(spark, path) - nBase)
-            .toDouble / nBase
+          (nNow + delta.count() + tombstoneCountIndexed(spark, path, "lists")
+            - nBase).toDouble / nBase
         }
         .getOrElse(Double.PositiveInfinity)
     if (deltaShare > maxDeltaFraction) {
@@ -714,6 +714,11 @@ object Similarity {
       publishIndex(spark, path, stamp) { staging =>
         saveIvf(buildIvf(liveCorpus, nlist, iters, idCol, vecCol), staging)
       }
+      // the retrain CONSUMED the log (liveCorpus excluded every logged
+      // id); clear it only after the publish rename succeeded — a crash
+      // before this line leaves a stale log whose re-subtraction is a
+      // no-op (set-idempotent), never a lost retraction
+      TombstoneLog.drop(spark, tombstonePath(path))
       loadIvf(spark, path)
     } else {
       fs.create(pendingDeltaFlag(spark, path), true).close()
@@ -1133,13 +1138,20 @@ object Similarity {
   }
 
   /** Build into a staging directory next to `path`, stamp it, then
-    * publish with delete + rename — both metadata operations, so the
-    * window where a CONCURRENT reader (another JVM sharing the index
-    * root) could observe a half-written index shrinks from the whole
-    * train+write time to two FS calls. (True multi-writer coordination
-    * would need a lock service; a per-run GRAFT_INDEX_DIR sidesteps the
-    * question entirely.) A build killed mid-way leaves only an orphaned
-    * staging dir — the published path is never partially overwritten.
+    * publish by RENAME-ASIDE — path → path.old, staging → path, delete
+    * path.old — all metadata operations, so the window where a
+    * CONCURRENT reader (another JVM sharing the index root) could
+    * observe a half-written index shrinks from the whole train+write
+    * time to two FS calls. (True multi-writer coordination would need a
+    * lock service; a per-run GRAFT_INDEX_DIR sidesteps the question
+    * entirely.) Crash safety: a build killed mid-way leaves only an
+    * orphaned staging dir; the served index is never DELETED before its
+    * replacement exists — a crash between the two renames leaves the
+    * complete old index recoverable under `path.old-*` (a delete-first
+    * publish destroyed it outright), and a failed second rename restores
+    * the old directory in place. The tombstone log lives OUTSIDE the
+    * swapped directory ([[tombstonePath]]) precisely so no publish
+    * crash window can destroy the right-to-erasure record.
     */
   private def publishIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, stamp: String)
@@ -1149,10 +1161,17 @@ object Similarity {
     stampIndex(spark, staging, stamp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(path)))
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(
+      s"$path.old-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, old))
+      throw new java.io.IOException(s"could not move aside $path -> $old")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live)) {
+      if (hadLive) fs.rename(old, live) // restore the served index
       throw new java.io.IOException(s"could not publish index $staging -> $path")
+    }
+    if (hadLive) fs.delete(old, true)
   }
 
   /** The stored stamp matches the current source — written LAST by
@@ -1377,8 +1396,22 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The retraction log lives BESIDE the index directory, not inside it:
+    * [[publishIndex]] swaps `path` whole during a compacting retrain, and
+    * a log inside the swapped directory would ride through every crash
+    * window of the swap — losing the only record of pending retractions
+    * is strictly worse than losing the index (a rebuild would silently
+    * resurrect deleted vectors on the right-to-erasure path). Outside
+    * the swap, the log survives any publish outcome and is cleared
+    * explicitly AFTER a successful rename; a crash between the two
+    * leaves a stale log whose subtraction against the already-compacted
+    * index is a no-op anti-join (set-idempotent, same argument as the
+    * t39 replay discipline).
+    */
+  private def tombstonePath(path: String): String = s"$path.tombstones"
+
   /** Logical DELETE for a persisted vector index (IVF and IVF-PQ share
-    * the layout): append the ids to `$path/tombstones`. The index tables
+    * the layout): append the ids to the sidecar log. The index tables
     * are untouched — a physical in-place delete would rewrite list
     * partitions on every retraction, so retraction is a metadata append
     * and the read path subtracts ([[loadIvf]]/[[loadIvfPq]] anti-join
@@ -1393,24 +1426,48 @@ object Similarity {
     */
   def tombstoneIds(spark: org.apache.spark.sql.SparkSession, path: String,
                    ids: DataFrame, idCol: String = "vec_id"): Unit =
-    TombstoneLog.append(s"$path/tombstones", ids, idCol)
+    TombstoneLog.append(tombstonePath(path), ids, idCol)
 
   def tombstoneCount(spark: org.apache.spark.sql.SparkSession,
                      path: String): Long =
-    TombstoneLog.count(spark, s"$path/tombstones")
+    TombstoneLog.count(spark, tombstonePath(path))
+
+  /** Logged retractions that actually INTERSECT the index — the count
+    * the churn/compaction triggers use. The raw log length over-counts:
+    * retraction requests for ids never indexed (or re-requested after a
+    * compaction already dropped them) would inflate nTombs and force
+    * spurious full retrains on a healthy index, so the trigger counts
+    * only `tomb_id ∈ index ids` (semi-join against the id column of the
+    * caller's payload table — one columnar scan of that column, paid
+    * only when a log exists; the no-log common path stays job-free).
+    * [[tombstoneCount]] stays the raw log length: specs assert append
+    * idempotence with it, and callers asking "how many deletes were
+    * requested" want the log, not the overlap. */
+  private def tombstoneCountIndexed(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, idsSubdir: String): Long =
+    TombstoneLog.read(spark, tombstonePath(path)) match {
+      case None => 0L
+      case Some(tb) =>
+        val indexed = spark.read.parquet(s"$path/$idsSubdir")
+          .select(col("cid").cast("string").as("tomb_id")).distinct()
+        tb.join(indexed, Seq("tomb_id"), "left_semi").count()
+    }
 
   /** Tombstone share alone crossed the churn threshold — the signal that
     * lets a maintain call on an otherwise-FRESH index still reach its
     * compacting retrain (deletes never move the source stamp). Counts
     * come by-name from the caller's index-kind reader so (a) the
     * denominator can't drift between the two maintain paths and (b) the
-    * steady-state freshness short-circuit with NO log on disk stays
-    * job-free — tombstoneCount answers 0 off one fs.exists, and the
-    * lists/codes count job never runs. */
+    * steady-state short-circuit with NO log on disk stays job-free —
+    * [[tombstoneCountIndexed]] answers 0 off one fs.exists, and the
+    * lists/codes jobs never run. `idsSubdir` names the caller's
+    * corpus-sized payload table (IVF `lists`, IVF-PQ `codes`) so only
+    * retractions that hit THIS index count toward its trigger. */
   private def tombstoneCompactionDue(spark: org.apache.spark.sql.SparkSession,
                                      path: String, maxDeltaFraction: Double,
-                                     counts: => Option[(Long, Long)]): Boolean = {
-    val nTombs = tombstoneCount(spark, path)
+                                     counts: => Option[(Long, Long)],
+                                     idsSubdir: String): Boolean = {
+    val nTombs = tombstoneCountIndexed(spark, path, idsSubdir)
     nTombs > 0 && counts.exists { case (nBase, _) =>
       nTombs.toDouble / nBase > maxDeltaFraction
     }
@@ -1423,7 +1480,7 @@ object Similarity {
   private def minusTombstones(df: DataFrame,
                               spark: org.apache.spark.sql.SparkSession,
                               path: String, idCol: String): DataFrame =
-    TombstoneLog.subtract(df, spark, s"$path/tombstones", idCol)
+    TombstoneLog.subtract(df, spark, tombstonePath(path), idCol)
 
   /** The maintenance entry point a scheduled ingest calls: append the
     * delta while the accumulated delta share (INCLUDING the incoming
@@ -1452,7 +1509,7 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (indexComplete(spark, path) && indexFresh(spark, path, stamp)
         && !tombstoneCompactionDue(spark, path, maxDeltaFraction,
-          ivfpqCounts(spark, path))) {
+          ivfpqCounts(spark, path), "codes")) {
       // this exact merge already completed (a retry after a crash between
       // stamp and marker-clear lands here — finish the cleanup). Deletes
       // don't move the source stamp, so the freshness short-circuit must
@@ -1472,18 +1529,21 @@ object Similarity {
         Double.PositiveInfinity
       else ivfpqCounts(spark, path)
         .map { case (nBase, nNow) =>
-          (nNow + delta.count() + tombstoneCount(spark, path) - nBase)
-            .toDouble / nBase
+          (nNow + delta.count() + tombstoneCountIndexed(spark, path, "codes")
+            - nBase).toDouble / nBase
         }
         .getOrElse(Double.PositiveInfinity)
     if (deltaShare > maxDeltaFraction) {
-      // the tombstone log is read LAZILY inside the staged build — the old
-      // directory (log included) survives until the post-build publish swap
+      // the tombstone log is a SIDECAR ([[tombstonePath]]) the publish
+      // swap never touches; it is read lazily inside the staged build
       val liveCorpus = minusTombstones(grownCorpus, spark, path, idCol)
       publishIndex(spark, path, stamp) { staging =>
         saveIvfPq(buildIvfPq(liveCorpus, nlist, m, ksub, iters, idCol, vecCol),
           staging)
       }
+      // consumed by the rebuild — cleared only after the rename succeeded
+      // (a stale log re-subtracts as a no-op; see maintainIvf)
+      TombstoneLog.drop(spark, tombstonePath(path))
       loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
     } else {
       // marker BEFORE the append, stamp after, clear last — every crash

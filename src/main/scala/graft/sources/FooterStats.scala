@@ -179,14 +179,40 @@ object FooterStats {
                   // answer true ("cannot rule out"), exactly like a
                   // chunk with no bloom at all.
                   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  import org.apache.parquet.schema.LogicalTypeAnnotation
                   val ptn = cc.getPrimitiveType.getPrimitiveTypeName
+                  // The INT32 exact path interprets the key as a SIGNED
+                  // 32-bit value (the fits-range shortcut and the
+                  // k.toInt hash). That is only sound when the logical
+                  // annotation says the stored values ARE signed ints
+                  // (absent/int(≤32, signed)/date — Spark's own INT32
+                  // shapes). A foreign-written UINT32 column stores
+                  // values up to 2³²−1 whose int bit patterns are
+                  // negative: a PRESENT 3e9 would be declared "provably
+                  // absent" by the range shortcut — a false negative
+                  // that breaks the contract and wrongly prunes files.
+                  // UINT32 / decimal / time annotations answer true per
+                  // key (cannot rule out), like any other foreign type.
+                  // INT64 needs no such gate: its probe hashes the key's
+                  // raw 8-byte pattern with no range shortcut, so
+                  // `false` always means "this bit pattern is absent" —
+                  // exact whatever the annotation labels those bits.
+                  val int32Signed =
+                    cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                      case null => true
+                      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                        i.isSigned
+                      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                        true
+                      case _ => false
+                    }
                   val bloom =
-                    if (ptn != INT64 && ptn != INT32) null
+                    if (ptn != INT64 && !(ptn == INT32 && int32Signed)) null
                     else reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-                  // out-of-Int-range keys are provably absent from an
-                  // INT32 column whether or not a bloom exists — the
-                  // type check needs no bloom at all
-                  if (ptn == INT32) keyArr.toList.map { k =>
+                  // out-of-Int-range keys are provably absent from a
+                  // signed INT32 column whether or not a bloom exists —
+                  // the type check needs no bloom at all
+                  if (ptn == INT32 && int32Signed) keyArr.toList.map { k =>
                     val fits = k >= Int.MinValue.toLong && k <= Int.MaxValue.toLong
                     (p, k, fits &&
                       (bloom == null || bloom.findHash(bloom.hash(k.toInt))))

@@ -142,6 +142,39 @@ class FooterStatsSpec extends SparkSpec {
       "BINARY column must answer true for every key (cross-type hash would lie)")
   }
 
+  test("bloom probe: a foreign UINT32 column answers cannot-rule-out, never false") {
+    // r11 advice: the INT32 exact path assumed SIGNED semantics. A
+    // foreign-written UINT32 column stores values up to 2³²−1 whose int
+    // bit patterns are negative — the fits-in-Int shortcut would declare
+    // a PRESENT 3·10⁹ "provably absent" and wrongly prune its file. The
+    // annotation gate must degrade UINT32 to cannot-rule-out for EVERY
+    // key. Spark never writes UINT32, so build the file with the parquet
+    // example writer directly.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfu32_").toString
+    val file = s"$dir/u32.parquet"
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.intType(32, false)).named("k")
+      .named("t")
+    val fac = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
+      .withType(schema).withBloomFilterEnabled("k", true).build()
+    try {
+      // present unsigned values: 3e9 (int bits negative) and 100
+      w.write(fac.newGroup().append("k", 3000000000L.toInt))
+      w.write(fac.newGroup().append("k", 100))
+    } finally w.close()
+    val got = FooterStats.bloomProbe(spark, Seq(file), "k",
+        Seq(3000000000L, 100L, 555L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(3000000000L -> true, 100L -> true, 555L -> true),
+      s"UINT32 column must answer cannot-rule-out for every key: $got")
+  }
+
   test("bloom probe: a layout written WITHOUT blooms answers cannot-rule-out") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bf0_").toString
     (0 until 100).map(i => (i.toLong, i)).toDF("k", "v")
