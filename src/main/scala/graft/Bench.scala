@@ -140,7 +140,11 @@ object Bench {
       "compaction rewrite + probe - both are whole-LIFECYCLE entries " +
       "whose steady state is the per-batch probe/append (d18's shape); " +
       "d19's cut itself is 0.9s (span flagging dominates, stitch is " +
-      "per-row codegen)\""
+      "per-row codegen); r12 graft.SteadyState isolates the lifecycle " +
+      "hot paths on a standing index at sf0.1: t38 probe 2.1s + append " +
+      "1.1s, d20 tombstoned-probe 3.2s, t18 maintain-append 2.1s, t39 " +
+      "delete 0.2s + probe 1.4s - regressions there no longer hide in " +
+      "build cost\""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"gc_ms":$gcJson,"load":$loadJson,"load_start":$loadStart,"failures":$failures,"notes":$notes,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with a tail cap, which has truncated the
