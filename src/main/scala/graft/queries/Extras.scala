@@ -2635,6 +2635,45 @@ object Extras {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
     },
 
+    // ---- S28: s27's STRING-point twin — the planner composing a range
+    //      leg with a STRING-keyed bloom probe. Spark writes StringType
+    //      as BINARY+UTF8 and the writer's bloom hashed each value's
+    //      UTF-8 bytes, so probing the key's own bytes is writer-exact
+    //      (FooterStats.bloomProbeByFileString); annotations that store
+    //      non-string bytes degrade to cannot-rule-out, keeping the
+    //      plan lossless. c_name is unique per row — the high-cardinality
+    //      unclustered shape where min/max can never prune but blooms
+    //      can. Hash-checked against straight SQL; self-asserts pruning
+    //      (the range leg alone guarantees it on this dense keyspace). --
+    "s28_pruned_scan_string" -> Q(
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey BETWEEN 200 AND 500
+        |  AND c_name IN ('Customer#000000250', 'Customer#000000321',
+        |                 'Customer#999999999')""".stripMargin) { (s, dir) =>
+      val scratch = scratchDir("graft_s28")
+      t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        .repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#c_name", "true")
+        .parquet(scratch)
+      val files = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .sorted.toSeq
+      val names = Seq("Customer#000000250", "Customer#000000321",
+        "Customer#999999999") // the absent name exercises prune-to-nothing
+      val plan = graft.sources.ScanPlanner.plan(s, files,
+        range = Some(("c_custkey", 200.0, 500.0)),
+        pointString = Some(("c_name", names)))
+      require(plan.keptFiles.size < plan.totalFiles,
+        s"range-clustered layout must prune: kept ${plan.keptFiles.size}/${plan.totalFiles}")
+      graft.sources.ScanPlanner.scan(s, plan, files)
+        .filter(col("c_custkey").between(200L, 500L) &&
+          col("c_name").isin(names: _*))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    },
+
     "s25_bloom_filter_probe" -> Q(
       """SELECT u.k AS probe_key,
         |       EXISTS(SELECT 1 FROM orders o WHERE o.o_orderkey = u.k) AS present

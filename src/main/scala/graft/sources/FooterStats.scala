@@ -228,4 +228,70 @@ object FooterStats {
       .groupBy("file", "probe_key")
       .agg(max(col("_might")).as("might_contain"))
   }
+
+  /** STRING-keyed twin of [[bloomProbeByFile]] for BINARY-physical
+    * columns: the writer of a string column hashed the UTF-8 bytes of
+    * each value (parquet blooms hash `Binary` content with xxh64), so
+    * hashing the probe key's own UTF-8 bytes reproduces the writer's
+    * hash exactly — string-keyed layouts get REAL bloom pruning with
+    * the same no-false-negative contract as the integer path.
+    *
+    * The exact path is gated on the column actually storing string
+    * bytes: BINARY physical with a string/enum/json annotation (Spark
+    * writes StringType as BINARY+UTF8) or no annotation at all (raw
+    * bytes — byte-equality IS the comparison semantics). Any other
+    * shape answers true for every key ("cannot rule out"): a DECIMAL/
+    * BSON-annotated BINARY stores bytes that are not the display
+    * string's UTF-8, and a non-BINARY physical type hashed numbers —
+    * a cross-representation probe could declare a present value absent
+    * and wrongly prune its file. Missing column ⇒ no rows for the file
+    * (same intentional IN-list sharpening as the integer form).
+    */
+  def bloomProbeByFileString(spark: SparkSession, paths: Seq[String],
+                             column: String, keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(paths.nonEmpty, "bloomProbe needs at least one parquet path")
+    require(keys.nonEmpty, "bloomProbe needs at least one probe key")
+    val keyArr = keys.toArray
+    spark.createDataset(paths)
+      .repartition(math.min(paths.size, 64))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toList.flatMap { block =>
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == column).toList.flatMap { cc =>
+                  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+                  import org.apache.parquet.schema.LogicalTypeAnnotation
+                  val ptn = cc.getPrimitiveType.getPrimitiveTypeName
+                  val stringBytes = ptn == BINARY &&
+                    (cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                      case null => true
+                      case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+                      case _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation => true
+                      case _: LogicalTypeAnnotation.JsonLogicalTypeAnnotation => true
+                      case _ => false
+                    })
+                  val bloom =
+                    if (!stringBytes) null
+                    else reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                  if (bloom == null) keyArr.toList.map(k => (p, k, true))
+                  else keyArr.toList.map { k =>
+                    val b = org.apache.parquet.io.api.Binary.fromString(k)
+                    (p, k, bloom.findHash(bloom.hash(b)))
+                  }
+                }
+            }.iterator // materialized above — the reader closes below
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "probe_key", "_might")
+      .groupBy("file", "probe_key")
+      .agg(max(col("_might")).as("might_contain"))
+  }
 }

@@ -66,9 +66,20 @@ object ScanPlanner {
   /** Files surviving `column IN (keys)` by bloom probe: a file is kept
     * iff ANY key might be present in ANY of its row groups. */
   def planPoint(spark: SparkSession, paths: Seq[String], column: String,
-                keys: Seq[Long]): Seq[String] = {
-    val kept = FooterStats.bloomProbeByFile(spark, paths, column, keys)
-      .filter(col("might_contain"))
+                keys: Seq[Long]): Seq[String] =
+    keptByProbe(paths, FooterStats.bloomProbeByFile(spark, paths, column, keys))
+
+  /** String-keyed twin of [[planPoint]] — `column IN (string keys)` via
+    * [[FooterStats.bloomProbeByFileString]] (writer-matched UTF-8 byte
+    * hashing on BINARY string columns; everything else degrades to
+    * cannot-rule-out, so pruning stays lossless). */
+  def planPointString(spark: SparkSession, paths: Seq[String],
+                      column: String, keys: Seq[String]): Seq[String] =
+    keptByProbe(paths,
+      FooterStats.bloomProbeByFileString(spark, paths, column, keys))
+
+  private def keptByProbe(paths: Seq[String], probe: DataFrame): Seq[String] = {
+    val kept = probe.filter(col("might_contain"))
       .select("file").distinct()
       .collect().map(_.getString(0)).toSet
     paths.filter(kept.contains)
@@ -83,7 +94,8 @@ object ScanPlanner {
   def plan(spark: SparkSession, paths: Seq[String],
            range: Option[(String, Double, Double)] = None,
            point: Option[(String, Seq[Long])] = None,
-           ranges: Seq[(String, Double, Double)] = Nil): ScanPlan = {
+           ranges: Seq[(String, Double, Double)] = Nil,
+           pointString: Option[(String, Seq[String])] = None): ScanPlan = {
     require(paths.nonEmpty, "plan needs at least one parquet path")
     // ONE footer sweep feeds every range leg (zone map + group counts,
     // localCheckpoint'd so legs don't re-read a million footers), and
@@ -102,9 +114,13 @@ object ScanPlanner {
           if (kept.isEmpty) kept else rangeKeptFrom(zm, groups, kept, c, lo, hi)
         }
       }
-    val kept = point.fold(rangeKept) { case (c, keys) =>
+    val keptInt = point.fold(rangeKept) { case (c, keys) =>
       if (rangeKept.isEmpty) rangeKept
       else planPoint(spark, rangeKept, c, keys)
+    }
+    val kept = pointString.fold(keptInt) { case (c, keys) =>
+      if (keptInt.isEmpty) keptInt
+      else planPointString(spark, keptInt, c, keys)
     }
     ScanPlan(kept, paths.size)
   }

@@ -175,6 +175,58 @@ class FooterStatsSpec extends SparkSpec {
       s"UINT32 column must answer cannot-rule-out for every key: $got")
   }
 
+  test("string bloom probe: no false negatives; absent keys mostly pruned") {
+    // the writer of a BINARY string column hashed each value's UTF-8
+    // bytes; probing the key's own bytes must reproduce that hash —
+    // every present key answers true (the load-bearing contract) and a
+    // healthy majority of absent keys prune
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfstr_").toString
+    (0 until 1000).map(i => (f"key_$i%05d", i)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val present = (0 until 1000).map(i => f"key_$i%05d")
+    val absent = (0 until 1000).map(i => f"nope_$i%05d")
+    val got = FooterStats
+      .bloomProbeByFileString(spark, files, "k", present ++ absent)
+      .groupBy("probe_key").agg(max(col("might_contain")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(present.forall(got(_)),
+      "string bloom false negative — the UTF-8 hash does not match the writer")
+    val fpr = absent.count(got(_)).toDouble / absent.size
+    assert(fpr < 0.5, s"absurd false-positive rate $fpr — string bloom not probed")
+    assert(absent.exists(!got(_)), "no absent key pruned — string bloom likely skipped")
+  }
+
+  test("string bloom probe degrades to cannot-rule-out off string-byte columns") {
+    // a LONG column's bloom hashed 8-byte values — no UTF-8 probe can
+    // reproduce that, so string keys must never prune it; same for a
+    // string layout written without blooms
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfstr2_").toString
+    (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v") // Long → INT64
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val got = FooterStats.bloomProbeByFileString(spark, files, "k", Seq("5", "xyz"))
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(got === Map("5" -> true, "xyz" -> true),
+      s"INT64 column must answer cannot-rule-out for string keys: $got")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bfstr3_").toString
+    (0 until 100).map(i => (s"key$i", i)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir2) // no blooms
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val got2 = FooterStats
+      .bloomProbeByFileString(spark, files2, "k", Seq("key5", "absent"))
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(got2 === Map("key5" -> true, "absent" -> true),
+      s"bloom-less string layout must answer cannot-rule-out: $got2")
+  }
+
   test("bloom probe: a layout written WITHOUT blooms answers cannot-rule-out") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bf0_").toString
     (0 until 100).map(i => (i.toLong, i)).toDF("k", "v")
