@@ -2464,6 +2464,52 @@ object Extras {
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
     },
 
+    // ---- J23: COST-BASED join reorder, plan-ASSERTED — the
+    //      compile-time sibling of j21 (AQE skew) and j22 (runtime
+    //      bloom): ANALYZE gives the catalog row counts + NDVs, and
+    //      CostBasedJoinReorder pulls the selective dim (10 of 2000
+    //      parts) ahead of the bulky one (orders, no reduction), so the
+    //      fact-sized intermediate shrinks at step ONE. Written
+    //      syntactically in the WRONG order; requireReordered asserts
+    //      the stats plan flipped AND the un-analyzed twin star did not
+    //      (the flip is attributable to statistics alone — the j22
+    //      requireInjected discipline applied to compile-time stats).
+    //      CboReorderSpec pins the decline conditions: cbo.enabled off,
+    //      any single un-analyzed side. Hash-green vs plain SQL: a
+    //      reorder is a plan change, never a semantics change. ---------
+    "j23_cbo_reorder" -> Q(
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_partkey % 20 = 0""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val p = t(s, dir, "part")
+        .filter(col("p_partkey") % 20 === 0).select("p_partkey")
+      for ((df, name) <- Seq((l, "g_cbo_lineitem"), (o, "g_cbo_orders"),
+          (p, "g_cbo_part20"))) {
+        df.write.mode("overwrite").saveAsTable(name)
+        df.write.mode("overwrite").saveAsTable(name + "_ns") // never ANALYZEd
+      }
+      s.sql("ANALYZE TABLE g_cbo_lineitem COMPUTE STATISTICS FOR COLUMNS l_orderkey, l_partkey")
+      s.sql("ANALYZE TABLE g_cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+      s.sql("ANALYZE TABLE g_cbo_part20 COMPUTE STATISTICS FOR COLUMNS p_partkey")
+      val ss = graft.operators.CboReorder.cboSession(s)
+      def star(suffix: String) = ss.sql(
+        s"""SELECT count(*) AS n,
+           |       sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+           |       count(DISTINCT o_custkey) AS n_cust
+           |FROM g_cbo_lineitem$suffix l
+           |JOIN g_cbo_orders$suffix o ON l.l_orderkey = o.o_orderkey
+           |JOIN g_cbo_part20$suffix p ON l.l_partkey = p.p_partkey""".stripMargin)
+      graft.operators.CboReorder.requireReordered(star(""), star("_ns"),
+        selective = "g_cbo_part20", bulky = "g_cbo_orders")
+    },
+
     // ---- S13: snapshot diff (CDC change-set extraction) — old and new
     //      versions are simulated from orders: every 10th key deleted,
     //      every (10k+1)th inserted, every 7th status rewritten. Output is
