@@ -30,7 +30,25 @@ object Compaction {
     * per output file. Returns (filesBefore, filesAfter, totalBytes).
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-              targetBytes: Long): Stats = {
+              targetBytes: Long): Stats =
+    compactClustered(spark, inPath, outPath, targetBytes,
+      (df, n) => df.repartition(n))
+
+  /** Compaction that ALSO restores a clustering layout (s29): the sized
+    * rewrite routes through the caller's `cluster(df, n)` instead of a
+    * round-robin shuffle — pass a [[ZOrder.layout]] (or a
+    * repartitionByRange sort) and the compacted table comes out
+    * BETTER-pruned, not just bigger-filed. Churn (streaming appends,
+    * micro-batch upserts) destroys BOTH properties of a well-laid-out
+    * table — file size AND clustering — and a compaction that fixes only
+    * the first leaves every post-churn scan reading all files; the same
+    * single shuffle pays for both (a range shuffle costs what the
+    * round-robin did). File sizing is identical to [[compact]];
+    * `cluster` receives the computed file count as its partition count.
+    */
+  def compactClustered(spark: SparkSession, inPath: String, outPath: String,
+                       targetBytes: Long,
+                       cluster: (DataFrame, Int) => DataFrame): Stats = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val p = new Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -49,8 +67,7 @@ object Compaction {
     }
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inPath)
-      .repartition(n)
+    cluster(spark.read.parquet(inPath), n)
       .write.mode("overwrite").parquet(outPath)
     val after = fs.listStatus(new Path(outPath)).count { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")

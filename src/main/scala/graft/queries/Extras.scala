@@ -2114,6 +2114,73 @@ object Extras {
           sum(col("n_chars")).as("total_chars"))
     },
 
+    // ---- S29: RE-CLUSTER during compaction (s16 × s14) — churn destroys
+    //      BOTH properties of a well-laid-out table: file size AND
+    //      clustering. A round-robin compaction fixes only the first;
+    //      every post-churn scan still reads ALL files because the
+    //      z-ranges scattered. compactClustered routes the same sized
+    //      single-shuffle rewrite through ZOrder.layout, and the entry
+    //      PROVES the layout came back via ScanPlanner: a y-range
+    //      predicate prunes the fragmented copy almost nowhere, and the
+    //      re-clustered compaction within one boundary-sampling file of
+    //      the pre-churn z layout. Content-exactness is the s16
+    //      discipline: the aggregate over the compacted copy hash-matches
+    //      the oracle's view of the ORIGINAL table. ---------------------
+    "s29_compact_recluster" -> Q(
+      """SELECT o_orderkey % 64 AS x, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        (col("o_orderkey") % 64).cast("long").as("x"),
+        ((col("o_orderkey") / 64).cast("long") % 64).as("y"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // 1. the well-laid-out original: 16 z-ordered files over (x, y)
+      val zdir = scratchDir("graft_s29_z")
+      graft.ops.ZOrder.layout(base, Seq(col("x"), col("y")), bits = 6,
+          numPartitions = 16).drop("_z")
+        .write.mode("overwrite").parquet(zdir)
+      // 2. churn: a round-robin rewrite into 64 fragments (what a
+      //    micro-batch sink leaves behind — sized wrong AND unclustered)
+      val frag = scratchDir("graft_s29_frag")
+      s.read.parquet(zdir).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      // 3. compact WITH re-clustering back to ~16 files
+      val comp = scratchDir("graft_s29_comp")
+      val fragPath = new org.apache.hadoop.fs.Path(frag)
+      val fs = fragPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fragBytes = fs.listStatus(fragPath)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+      val stats = Compaction.compactClustered(s, frag, comp,
+        targetBytes = (fragBytes + 15) / 16,
+        (df, n) => graft.ops.ZOrder.layout(df, Seq(col("x"), col("y")),
+          bits = 6, numPartitions = n).drop("_z"))
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not reduce file count: $stats")
+      // 4. the layout proof, via the planner the layout exists for
+      def kept(d: String): (Int, Int) = {
+        val fls = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+          .sorted.toSeq
+        val p = graft.sources.ScanPlanner.plan(s, fls,
+          ranges = Seq(("y", 8.0, 15.0)))
+        (p.keptFiles.size, p.totalFiles)
+      }
+      val (kZ, tZ) = kept(zdir)
+      val (kF, tF) = kept(frag)
+      val (kC, tC) = kept(comp)
+      require(kF * 2 > tF,
+        s"fragmentation should have destroyed pruning: kept $kF/$tF")
+      require(kC * 2 < tC,
+        s"re-clustered compaction must restore real pruning: kept $kC/$tC")
+      require(kC <= kZ + 1, // one file of repartitionByRange sampling slack
+        s"post-compaction reads ($kC/$tC) must match the pre-churn " +
+          s"z layout ($kZ/$tZ)")
+      // 5. content-exactness: aggregate the compacted copy vs the oracle
+      s.read.parquet(comp)
+        .groupBy("x").agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    },
+
     // ---- W10: event-sequence pattern (click followed by a purchase
     //      within 1 hour) — the MATCH_RECOGNIZE-shaped funnel micro-
     //      pattern a17's whole-journey funnel doesn't cover: per-event
