@@ -46,13 +46,49 @@ object ZOrder {
     * (= file, at write time) owns a contiguous z-range, so its min/max
     * stats are tight in every interleaved dimension. One shuffle —
     * identical cost shape to the 1-D sort it replaces.
+    *
+    * Rows route to partition ⌊z / (z-span / numPartitions)⌋ through an
+    * EXACT identity partitioner, not repartitionByRange. Range
+    * partitioning picks its bounds from a sample, and sampled bounds
+    * land wherever the reader's split layout says: a file then
+    * straddles two z-quadrants and its min/max stats widen in EVERY
+    * interleaved dimension (measured: the s29 y-range probe kept 9/16
+    * files instead of 4/16 purely from boundary placement — and
+    * quantizing the range KEY doesn't fix it, because RangePartitioner's
+    * weight-threshold bound selection merges adjacent quantized buckets
+    * under sample noise, 16 buckets → 8 partitions). The identity
+    * routing makes every file own whole z-quadrants deterministically,
+    * for the same single shuffle. Skewed z-distributions degrade
+    * gracefully: empty quadrants produce empty partitions (fewer,
+    * larger files), never misaligned ones.
     */
   def layout(df: DataFrame, cols: Seq[Column], bits: Int,
              numPartitions: Int, zCol: String = "_z"): DataFrame = {
     require(!df.columns.contains(zCol),
       s"column name $zCol is reserved by ZOrder.layout (override zCol)")
-    df.withColumn(zCol, zvalue(cols, bits))
-      .repartitionByRange(numPartitions, col(zCol))
+    val w = bits * cols.size
+    val maxZ = if (w == 63) Long.MaxValue else (1L << w) - 1
+    val width = maxZ / numPartitions + 1
+    val withZ = df.withColumn(zCol, zvalue(cols, bits))
+    val zIdx = withZ.columns.length - 1
+    val spark = df.sparkSession
+    val routed = withZ.rdd
+      .map { r =>
+        val b = if (r.isNullAt(zIdx)) 0L else r.getLong(zIdx) / width
+        (b, r)
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = layoutPartitions(maxZ, width)
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      })
+      .values
+    spark.createDataFrame(routed, withZ.schema)
       .sortWithinPartitions(zCol)
   }
+
+  /** Partition count covering every representable bucket id, so an
+    * out-of-spec z (impossible after zvalue's mask, but cheap to cover)
+    * can never route out of range. */
+  private def layoutPartitions(maxZ: Long, width: Long): Int =
+    (maxZ / width + 1).toInt
 }

@@ -2130,9 +2130,14 @@ object Extras {
       """SELECT o_orderkey % 64 AS x, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      // y is layout-internal (never in the output or the oracle): derive
+      // it from a hash so it is DENSE at every scale factor — TPC-H
+      // orderkeys are sparse (8 of every 32), so a key-arithmetic y
+      // leaves half the z-quadrants empty at sf0.001 and the pruning
+      // proof below loses its denominator
       val base = t(s, dir, "orders").select(
         (col("o_orderkey") % 64).cast("long").as("x"),
-        ((col("o_orderkey") / 64).cast("long") % 64).as("y"),
+        pmod(xxhash64(col("o_orderkey")), lit(64)).as("y"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       // 1. the well-laid-out original: 16 z-ordered files over (x, y)
       val zdir = scratchDir("graft_s29_z")
