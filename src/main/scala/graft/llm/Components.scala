@@ -61,10 +61,15 @@ object Components {
         val viaEdges = sym.join(labels, sym("dst") === labels("id"))
           .select(col("src").as("id"), col("component"),
             when(lit(false), col("component")).as("old"))
+        // LAZY checkpoint: the change-detection count below is the round's
+        // materializing action, so checkpoint + convergence test share ONE
+        // job per round (eager localCheckpoint spent a separate job just to
+        // materialize, then a second to count — 2 scheduler round-trips per
+        // round for the same passes over the data).
         val next = own.unionByName(viaEdges)
           .groupBy("id")
           .agg(min(col("component")).as("component"), min(col("old")).as("old"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val changed = next.filter(col("component") =!= col("old")).count()
         labels = next.select("id", "component")
         converged = changed == 0
@@ -112,8 +117,12 @@ object Components {
       .union(edges.select(col(id2).as("u"), col(id1).as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
-    var converged = rel.isEmpty
+      .localCheckpoint(false)
+    // edge count of the current rel, carried across alternations so the
+    // fixpoint test never re-counts the previous round's output (the count
+    // is also the lazy checkpoint's materializing action)
+    var prevCount = rel.count()
+    var converged = prevCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star over the symmetric closure of rel
@@ -131,17 +140,24 @@ object Components {
       val o = large.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v")).distinct()
       val sMins = o.groupBy("u").agg(min(col("v")).as("m"))
+      // LAZY checkpoint: the count below materializes it — one job instead
+      // of a separate eager-materialize job plus a count job
       val small = o.join(sMins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(sMins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // exact fixpoint test: equal counts + empty difference ⇒ equal sets
-      // (both sides are distinct)
-      converged = small.count() == rel.count() &&
-        small.exceptAll(rel).isEmpty
+      // (both sides are distinct). The anti-join replaces exceptAll —
+      // set-equivalent over distinct inputs, but joinable (AQE broadcasts
+      // the small side) where exceptAll always re-shuffles BOTH sides; the
+      // previous round's count is carried, not recomputed.
+      val nSmall = small.count()
+      converged = nSmall == prevCount &&
+        small.join(rel, Seq("u", "v"), "left_anti").isEmpty
+      prevCount = nSmall
       rel = small
       iter += 1
     }

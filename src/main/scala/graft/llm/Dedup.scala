@@ -57,10 +57,20 @@ object Dedup {
   def shingleSets(docs: DataFrame, n: Int, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), " ")
-    docs.where(size(words) >= n)
-      .select(col(idCol),
+    // Native one-pass kernel when the Graft extension is installed (the
+    // HOF form pays an interpreted lambda dispatch + slice + array_join
+    // allocation PER WINDOW — measured as the dominant task time of the
+    // whole dedup family at sf0.1); byte-identical output, equality
+    // property-tested in WordShinglesSpec. Fallback keeps the pure
+    // built-in form for sessions without the extension.
+    val shingleExpr =
+      if (graft.plans.GraftExtensions.isInstalled("graft_shingles"))
+        call_function("graft_shingles", col(textCol), lit(n))
+      else
         array_distinct(transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle_set"))
+          i => array_join(slice(words, i + 1, lit(n)), " ")))
+    docs.where(size(words) >= n)
+      .select(col(idCol), shingleExpr.as("shingle_set"))
   }
 
   /** (doc_id, shingle) pairs: distinct word n-grams per document,
@@ -127,10 +137,15 @@ object Dedup {
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     val words = split(col(textCol), " ")
+    // native window kernel when installed (non-distinct variant of the
+    // graft_shingles byte-slice kernel; WordShinglesSpec pins equality)
+    val gramsExpr =
+      if (graft.plans.GraftExtensions.isInstalled("graft_shingles_all"))
+        call_function("graft_shingles_all", col(textCol), lit(n))
+      else transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " "))
     val grams = docs.where(size(words) >= n)
-      .select(col(idCol),
-        explode(transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
+      .select(col(idCol), explode(gramsExpr).as("shingle"))
     // reused by totals AND postings — cut once
     val cnts = grams.groupBy(col(idCol), col("shingle"))
       .agg(count(lit(1)).as("_cnt"))
@@ -209,16 +224,28 @@ object Dedup {
 
   /** Shared exact-overlap skeleton: (id1 < id2, |A∩B|, |A|, |B|) for every
     * document pair sharing at least one shingle.
+    *
+    * The per-doc set size |A| travels INSIDE the posting lists as a struct
+    * field next to the id instead of being joined on afterwards. The join
+    * form cost (r12 measurement): the shingling kernel ran a second and
+    * third time to rebuild the tiny (id, n) table for each join side, and —
+    * the 100 TB shape — the PAIR table was re-shuffled twice (once per
+    * counts equi-join) right after its own aggregation shuffle. Carrying
+    * the 8-byte size with the id makes the pair aggregation the only
+    * pair-table shuffle and the shingling a single pass; posting elements
+    * grow 8→16 bytes, which the singleton-shingle filter keeps cheap.
+    * Ordering is unchanged: _n is a function of _id, so struct sort order
+    * == id sort order and the (id1 < id2) pair convention is preserved.
     */
   private def pairOverlaps(docs: DataFrame, n: Int,
                            idCol: String, textCol: String): DataFrame = {
     val sets = shingleSets(docs, n, idCol, textCol)
-    val sh = sets.select(col(idCol), explode(col("shingle_set")).as("shingle"))
-    // per-doc set size is a scalar of the set column — no aggregation pass
-    val counts = sets.select(col(idCol), size(col("shingle_set")).cast("long").as("_n"))
-    // Inverted-index pair generation: group ids per shingle and expand the
-    // ordered pairs from each posting list. One aggregation instead of a
-    // shingle self-join — singleton shingles (the vast majority on web
+    val sh = sets.select(col(idCol),
+      size(col("shingle_set")).cast("long").as("_n"),
+      explode(col("shingle_set")).as("shingle"))
+    // Inverted-index pair generation: group (id, n) per shingle and expand
+    // the ordered pairs from each posting list. One aggregation instead of
+    // a shingle self-join — singleton shingles (the vast majority on web
     // corpora) produce no pairs at zero cost, and hot posting lists take
     // the chunked path in [[postingPairs]], so per-task work is bounded
     // even under join-key skew.
@@ -227,14 +254,15 @@ object Dedup {
     // re-runs the collect_list aggregation (the shuffle is reused, the
     // final hash-agg building and sorting every posting list is not)
     val postings = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("_id"), col("_n"))))
+        .as("_ids"))
       .filter(size(col("_ids")) > 1)
       .localCheckpoint(false)
     postingPairs(postings)
-      .groupBy("id1", "id2")
+      .groupBy(col("id1._id").as("id1"), col("id1._n").as("_n1"),
+        col("id2._id").as("id2"), col("id2._n").as("_n2"))
       .agg(count(lit(1)).as("_common"))
-      .join(counts.select(col(idCol).as("id1"), col("_n").as("_n1")), "id1")
-      .join(counts.select(col(idCol).as("id2"), col("_n").as("_n2")), "id2")
+      .select("id1", "id2", "_common", "_n1", "_n2")
   }
 
   /** Benchmark decontamination: per training document, the number of
@@ -390,9 +418,18 @@ object Dedup {
                     textCol: String = "text"): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Cluster rows to their target partition dirs before the write: an
+    // unshuffled dynamic-partition write has EVERY scan task open a
+    // parquet writer for EVERY band_idx dir it meets — tasks × bands tiny
+    // files and a writer init each (r12 profile: 133 s of task time for a
+    // 4,500-doc build, almost all writer churn). Keying by (band_idx,
+    // band_hash) spreads any corpus over any partition count with no hot
+    // key, and AQE coalesces the tiny local shuffle to a handful of
+    // write tasks — bands files per dir instead of per (task × dir).
     bandedHashes(minhashSignatures(docs, n, numHashes, idCol, textCol),
         bands, rows, idCol)
       .withColumn("ingest_batch", lit("base"))
+      .repartition(col("band_idx"), col("band_hash"))
       .write.mode("overwrite").partitionBy("ingest_batch", "band_idx")
       .parquet(s"$path/bands")
     val spark = docs.sparkSession
@@ -430,6 +467,9 @@ object Dedup {
     bandedHashes(minhashSignatures(docs, n, numHashes, idCol, textCol),
         bands, numHashes / bands, idCol)
       .withColumn("ingest_batch", lit(batchKey))
+      // dir-clustered write (see buildLshIndex): files per dir, not per
+      // (task × dir)
+      .repartition(col("band_idx"), col("band_hash"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch", "band_idx")
@@ -502,6 +542,9 @@ object Dedup {
     val staging = s"$path/bands_staging_" +
       java.util.UUID.randomUUID().toString.take(8)
     live.drop("ingest_batch").withColumn("ingest_batch", lit("base"))
+      // dir-clustered write (see buildLshIndex): files per dir, not per
+      // (task × dir)
+      .repartition(col("band_idx"), col("band_hash"))
       .write.mode("overwrite").partitionBy("ingest_batch", "band_idx")
       .parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -627,12 +670,24 @@ object Dedup {
     * (min over the same rehashed values).
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    shingleSets(docs, n, idCol, textCol)
-      .withColumn("_hs", transform(col("shingle_set"), s => xxhash64(s)))
-      .select(col(idCol),
-        array((0 until numHashes).map(i =>
-          array_min(transform(col("_hs"), h => rehash(h, i)))): _*).as("signature"))
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = shingleSets(docs, n, idCol, textCol)
+    // Native kernel when the extension is installed: the HOF form pays
+    // numHashes interpreted lambda dispatches PER SHINGLE plus numHashes
+    // intermediate arrays per row; the kernel is one pass with the same
+    // spark-catalyst XXH64 statics (bit-identical, property-tested in
+    // MinHashSigSpec). Fallback keeps the pure built-in form.
+    if (graft.plans.GraftExtensions.isInstalled("graft_minhash"))
+      sets.select(col(idCol),
+        call_function("graft_minhash", col("shingle_set"), lit(numHashes))
+          .as("signature"))
+    else
+      sets.withColumn("_hs", transform(col("shingle_set"), s => xxhash64(s)))
+        .select(col(idCol),
+          array((0 until numHashes).map(i =>
+            array_min(transform(col("_hs"), h => rehash(h, i)))): _*)
+            .as("signature"))
+  }
 
   /** MinHash-LSH candidate pairs: band the signature, hash each band,
     * expand all same-bucket (band index, band hash) id pairs, then verify
@@ -866,13 +921,21 @@ object Dedup {
     * vote, same pigeonhole pairing.
     */
   def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame =
+                      textCol: String = "text"): DataFrame = {
+    // native fold31 when installed — the HOF chain pays a dispatch AND an
+    // O(i) substr seek per character of every token (Fold31Spec pins
+    // bit-identity, including the empty-token edge)
+    val tokenHash =
+      if (graft.plans.GraftExtensions.isInstalled("graft_fold31"))
+        call_function("graft_fold31", col("_t"))
+      else TextStats.charFold31(
+        transform(sequence(lit(1), length(col("_t"))),
+          i => ascii(col("_t").substr(i, lit(1))).cast("long")))
     assembleSimhash(
       docs.select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
-        .withColumn("_h", TextStats.charFold31(
-          transform(sequence(lit(1), length(col("_t"))),
-            i => ascii(col("_t").substr(i, lit(1))).cast("long")))),
+        .withColumn("_h", tokenHash),
       bits = 31, idCol)
+  }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ `maxDist`, using the
     * pigeonhole block trick: split the 64-bit fingerprint into
@@ -1134,16 +1197,26 @@ object Dedup {
                                  idCol: String = "doc_id"): DataFrame =
     condenseSpans(flagged, k, Seq(idCol, "bench_id"))
 
-  /** (id, p, gram) for every k-gram position of every doc. */
+  /** (id, p, gram) for every k-gram position of every doc. Native kernel
+    * when the extension is installed: the HOF form pays an interpreted
+    * dispatch per position plus an O(p) codepoint seek inside every
+    * substr — quadratic in text length (CharGramsSpec pins equality);
+    * fallback keeps the pure built-in form.
+    */
   private def gramPositions(docs: DataFrame, k: Int,
-                            idCol: String, textCol: String): DataFrame =
+                            idCol: String, textCol: String): DataFrame = {
+    val gramsExpr =
+      if (graft.plans.GraftExtensions.isInstalled("graft_chargrams"))
+        call_function("graft_chargrams", col(textCol), lit(k))
+      else transform(
+        sequence(lit(1), length(col(textCol)) - (k - 1)),
+        p => col(textCol).substr(p, lit(k)))
     docs
       .filter(length(col(textCol)) >= k) // sequence(1, n<1) would DESCEND
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), length(col(textCol)) - (k - 1)),
-        p => col(textCol).substr(p, lit(k)))))
+      .select(col(idCol), posexplode(gramsExpr))
       .toDF(idCol, "_p0", "gram")
       .select(col(idCol), (col("_p0") + 1).as("p"), col("gram"))
+  }
 
   /** Flagged positions → maximal spans (A11 islands) per key tuple —
     * per doc for d14/d14b, per (train doc, bench doc) for d16. */

@@ -584,7 +584,14 @@ object Similarity {
     */
   def saveIvf(index: IvfIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    index.lists.write.mode("overwrite").partitionBy("_cl")
+    // Cluster rows to their target list dirs before the write: an
+    // unshuffled dynamic-partition write has every scan task open a
+    // parquet writer per _cl dir it meets — tasks × nlist tiny files and
+    // a writer init each (the Dedup.buildLshIndex finding). (_cl, cid)
+    // spreads any corpus over any partition count; AQE coalesces the
+    // tiny local shuffle to a handful of write tasks.
+    index.lists.repartition(col("_cl"), col("cid"))
+      .write.mode("overwrite").partitionBy("_cl")
       .parquet(s"$path/lists")
     val spark = index.lists.sparkSession
     import spark.implicits._
@@ -627,6 +634,8 @@ object Similarity {
     val index = loadIvf(spark, path)
     val d = cleanVectors(delta, idCol, vecCol, "cid", "_cv")
     nearestCentroid(d, "_cv", index.centroids, 1).select("cid", "_cl")
+      // dir-clustered write (see saveIvf)
+      .repartition(col("_cl"), col("cid"))
       .write.mode("append").partitionBy("_cl").parquet(s"$path/lists")
     loadIvf(spark, path)
   }
@@ -1219,7 +1228,10 @@ object Similarity {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index.ucent.write.mode("overwrite").parquet(s"$path/ucent")
     index.codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    index.codes.write.mode("overwrite").partitionBy("_cl")
+    // dir-clustered write (see saveIvf): files per list dir, not per
+    // (task × dir)
+    index.codes.repartition(col("_cl"), col("cid"))
+      .write.mode("overwrite").partitionBy("_cl")
       .parquet(s"$path/codes")
     val spark = index.codes.sparkSession
     import spark.implicits._
@@ -1336,6 +1348,8 @@ object Similarity {
     require(indexComplete(spark, path), s"no complete index at $path to append to")
     val index = loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
     encodeIvfPqDelta(index, delta, idCol, vecCol)
+      // dir-clustered write (see saveIvf)
+      .repartition(col("_cl"), col("cid"))
       .write.mode("append").partitionBy("_cl").parquet(s"$path/codes")
     loadIvfPq(spark, path, grownCorpus, idCol, vecCol)
   }

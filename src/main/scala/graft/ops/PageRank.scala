@@ -51,10 +51,13 @@ object PageRank {
         coalesce(col("_isrc"), lit(0)).as("_isrc"))
       .localCheckpoint(false)
 
+    // loop-invariant: (src, dst, out-degree) never changes across
+    // iterations — join it ONCE instead of once per round
+    val ed = e.join(deg, srcCol).localCheckpoint(false)
     var ranks = nodes.select(col("node"),
       (col("_isrc") * 1000000L).as("rank_micro"))
     for (_ <- 0 until iterations) {
-      val contrib = e.join(deg, srcCol)
+      val contrib = ed
         .join(ranks.withColumnRenamed("node", srcCol), srcCol)
         .select(col(dstCol).as("node"),
           expr("rank_micro div _deg").as("_c"))
@@ -88,9 +91,12 @@ object PageRank {
       .distinct()
       .localCheckpoint(false)
 
+    // loop-invariant: (src, dst, out-degree) never changes across
+    // iterations — join it ONCE instead of once per round
+    val ed = e.join(deg, srcCol).localCheckpoint(false)
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 0 until iterations) {
-      val contrib = e.join(deg, srcCol)
+      val contrib = ed
         .join(ranks.withColumnRenamed("node", srcCol), srcCol)
         .select(col(dstCol).as("node"),
           expr("rank_micro div _deg").as("_c"))

@@ -88,11 +88,19 @@ object Triangles {
     * it.
     */
   def triangles(oriented: DataFrame): DataFrame = {
-    val adj = oriented.groupBy(col("s"))
+    // The orientation subtree (degree agg + two joins) is referenced three
+    // times below (base edges, N⁺(a), N⁺(b)) and the adjacency aggregation
+    // twice — without lineage cuts the physical plan replays the whole
+    // orientation per reference (measured in g3's plan: the degree
+    // Union+HashAggregate appeared 4×, 34 Exchanges total). Materialize
+    // each ONCE: m oriented edges + one adjacency row per source vertex.
+    val o = oriented.localCheckpoint(false)
+    val adj = o.groupBy(col("s"))
       .agg(collect_list(col("t")).as("_nbrs"))
+      .localCheckpoint(false)
     val na = adj.select(col("s").as("a"), col("_nbrs").as("_na"))
     val nb = adj.select(col("s").as("b"), col("_nbrs").as("_nb"))
-    oriented.select(col("s").as("a"), col("t").as("b"))
+    o.select(col("s").as("a"), col("t").as("b"))
       .join(na, "a").join(nb, "b")
       .select(col("a"), col("b"),
         explode(array_intersect(col("_na"), col("_nb"))).as("c"))

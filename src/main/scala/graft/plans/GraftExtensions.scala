@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomContains, DotProduct, KGramFold31, NfcNormalize}
+import graft.functions.{BloomContains, CharGrams, DotProduct, Fold31, KGramFold31, MinHashSig, NfcNormalize, WordShingles, WordShinglesAll}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => BloomContains(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_chargrams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "graft_chargrams"),
+      (children: Seq[Expression]) => CharGrams(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fold31"),
+      new ExpressionInfo(classOf[Fold31].getName, "graft_fold31"),
+      (children: Seq[Expression]) => Fold31(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles_all"),
+      new ExpressionInfo(classOf[WordShinglesAll].getName, "graft_shingles_all"),
+      (children: Seq[Expression]) => WordShinglesAll(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSig(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => WordShingles(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),

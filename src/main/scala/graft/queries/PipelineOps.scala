@@ -821,8 +821,11 @@ object PipelineOps {
         |FROM documents d LEFT JOIN dup USING (doc_id) GROUP BY 1""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
       val pairs = Dedup.jaccardPairs(d, n = 3, threshold = 0.6)
-      val dup = pairs.select(col("id1").as("doc_id"))
-        .unionByName(pairs.select(col("id2").as("doc_id")))
+      // one reference to the pair subtree: explode both endpoints from the
+      // same row instead of a two-branch union, which physically replayed
+      // the whole pair-generation pipeline once per branch
+      val dup = pairs
+        .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
         .distinct()
       d.join(dup.withColumn("_dup", lit(1)), Seq("doc_id"), "left")
         .groupBy("source")
